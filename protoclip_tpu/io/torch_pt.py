@@ -1,0 +1,394 @@
+"""Pure-Python reader for PyTorch ``.pt``/``.pth`` checkpoint files.
+
+Parses torch's serialization formats directly (zipfile + pickle + raw
+little-endian storages) and returns numpy arrays — no torch import required.
+This is what makes the framework checkpoint-compatible with the reference's
+artifacts (``pretrained_ckpt/{imagenet-F,fewsol-198-F}/*.pt``, the ``_v/_t/_a``
+training triples written by ``main.py:350-369``, and OpenAI CLIP state-dict
+releases) on machines where torch is not installed.
+
+Supported formats:
+
+- **zip format** (torch >= 1.6): archive containing ``<name>/data.pkl`` and
+  raw storage blobs under ``<name>/data/<key>``.
+- **legacy format** (torch < 1.6): magic-number pickle stream followed by raw
+  storages.
+- **TorchScript archives** (e.g. OpenAI CLIP releases): detected by
+  ``constants.pkl``; extracting a state dict from these requires the
+  TorchScript module graph, so we delegate to ``torch.jit.load`` when torch is
+  importable and raise a clear error otherwise.
+
+bfloat16/fp16 storages decode to ``ml_dtypes.bfloat16`` / ``np.float16``.
+"""
+
+from __future__ import annotations
+
+import io
+import pickle
+import struct
+import zipfile
+from typing import Any, BinaryIO, Dict
+
+import numpy as np
+
+try:
+    import ml_dtypes
+
+    _BFLOAT16 = np.dtype(ml_dtypes.bfloat16)
+except ImportError:  # pragma: no cover - ml_dtypes ships with jax
+    _BFLOAT16 = None
+
+_LEGACY_MAGIC = 0x1950A86A20F9469CFC6C
+_LEGACY_PROTOCOL = 1001
+
+# torch storage class name -> numpy dtype
+_STORAGE_DTYPES: Dict[str, Any] = {
+    "FloatStorage": np.float32,
+    "DoubleStorage": np.float64,
+    "HalfStorage": np.float16,
+    "LongStorage": np.int64,
+    "IntStorage": np.int32,
+    "ShortStorage": np.int16,
+    "CharStorage": np.int8,
+    "ByteStorage": np.uint8,
+    "BoolStorage": np.bool_,
+    "ComplexFloatStorage": np.complex64,
+    "ComplexDoubleStorage": np.complex128,
+}
+# torch.<dtype> objects appearing as UntypedStorage companions
+_DTYPE_NAMES: Dict[str, Any] = {
+    "float32": np.float32,
+    "float64": np.float64,
+    "float16": np.float16,
+    "int64": np.int64,
+    "int32": np.int32,
+    "int16": np.int16,
+    "int8": np.int8,
+    "uint8": np.uint8,
+    "bool": np.bool_,
+    "complex64": np.complex64,
+    "complex128": np.complex128,
+}
+
+
+class _StorageRef:
+    """Lazy handle to a raw storage blob inside the archive."""
+
+    __slots__ = ("key", "dtype", "numel", "loader", "_raw")
+
+    def __init__(self, key: str, dtype, numel: int, loader):
+        self.key = key
+        self.dtype = dtype
+        self.numel = numel
+        self.loader = loader
+        self._raw = None  # legacy format: raw bytes attached after unpickling
+
+    def to_numpy(self) -> np.ndarray:
+        raw = self.loader(self.key)
+        if self.dtype == "bfloat16":
+            if _BFLOAT16 is None:
+                raise RuntimeError("bfloat16 checkpoint requires ml_dtypes")
+            return np.frombuffer(raw, dtype=_BFLOAT16)
+        return np.frombuffer(raw, dtype=self.dtype)
+
+
+class _TorchDtypeMarker:
+    def __init__(self, name: str):
+        self.name = name
+
+
+class _StorageTypeMarker:
+    """Stand-in for torch.FloatStorage & co. encountered by the unpickler."""
+
+    def __init__(self, dtype):
+        self.dtype = dtype
+
+
+class _PendingTensor:
+    """Tensor whose storage bytes have not been read yet (legacy format)."""
+
+    __slots__ = ("storage", "storage_offset", "size", "stride")
+
+    def __init__(self, storage, storage_offset, size, stride):
+        self.storage = storage
+        self.storage_offset = storage_offset
+        self.size = size
+        self.stride = stride
+
+    def resolve(self) -> np.ndarray:
+        return _rebuild_tensor(self.storage, self.storage_offset, self.size, self.stride)
+
+
+def _rebuild_tensor(storage: _StorageRef, storage_offset, size, stride):
+    try:
+        flat = storage.to_numpy()
+    except KeyError:
+        # Legacy format: raw bytes follow the pickle payload; defer.
+        return _PendingTensor(storage, storage_offset, size, stride)
+    size = tuple(int(s) for s in size)
+    stride = tuple(int(s) for s in stride)
+    if not size:
+        return flat[int(storage_offset)].copy()
+    itemsize = flat.dtype.itemsize
+    view = np.lib.stride_tricks.as_strided(
+        flat[int(storage_offset) :],
+        shape=size,
+        strides=tuple(s * itemsize for s in stride),
+        writeable=False,
+    )
+    return np.array(view)  # materialize contiguously
+
+
+def _rebuild_tensor_v2(storage, storage_offset, size, stride, requires_grad=False,
+                       backward_hooks=None, metadata=None):
+    return _rebuild_tensor(storage, storage_offset, size, stride)
+
+
+def _rebuild_tensor_v3(storage, storage_offset, size, stride, requires_grad,
+                       backward_hooks, dtype_marker, metadata=None):
+    # Newer torch stores UntypedStorage + explicit dtype.
+    if isinstance(dtype_marker, _TorchDtypeMarker):
+        name = dtype_marker.name
+        if name == "bfloat16":
+            storage = _StorageRef(storage.key, "bfloat16", storage.numel, storage.loader)
+        else:
+            storage = _StorageRef(
+                storage.key, _DTYPE_NAMES.get(name, np.float32), storage.numel, storage.loader
+            )
+    return _rebuild_tensor(storage, storage_offset, size, stride)
+
+
+def _rebuild_parameter(data, requires_grad=False, backward_hooks=None):
+    return data
+
+
+def _identity_rebuild(*args):
+    # _rebuild_wrapper_subclass / device-tensor wrappers: first arg is data.
+    return args[0]
+
+
+class _Unpickler(pickle.Unpickler):
+    """Unpickler that resolves torch symbols to numpy-producing shims."""
+
+    def __init__(self, fh: BinaryIO, storage_loader):
+        super().__init__(fh, encoding="utf-8")
+        self._storage_loader = storage_loader
+
+    def find_class(self, module: str, name: str):  # noqa: D102
+        if module.startswith("torch"):
+            if name in _STORAGE_DTYPES:
+                return _StorageTypeMarker(_STORAGE_DTYPES[name])
+            if name in ("UntypedStorage", "TypedStorage", "_UntypedStorage"):
+                return _StorageTypeMarker(np.uint8)
+            if name == "BFloat16Storage":
+                return _StorageTypeMarker("bfloat16")
+            if name == "_rebuild_tensor_v2":
+                return _rebuild_tensor_v2
+            if name == "_rebuild_tensor_v3":
+                return _rebuild_tensor_v3
+            if name == "_rebuild_tensor":
+                return _rebuild_tensor
+            if name == "_rebuild_parameter":
+                return _rebuild_parameter
+            if name in ("_rebuild_parameter_with_state", "_rebuild_wrapper_subclass"):
+                return _identity_rebuild
+            if module == "torch" and name in _DTYPE_NAMES or name == "bfloat16":
+                return _TorchDtypeMarker(name)
+            if name == "Size":
+                return tuple
+            if name == "device":
+                return lambda *a, **k: "cpu"
+            if name == "serialization" or name == "_get_layout":
+                return lambda *a, **k: None
+            raise pickle.UnpicklingError(
+                f"Unsupported torch symbol in checkpoint: {module}.{name}"
+            )
+        if module == "collections" and name == "OrderedDict":
+            import collections
+
+            return collections.OrderedDict
+        if module in ("numpy", "numpy.core.multiarray", "numpy._core.multiarray"):
+            import importlib
+
+            return getattr(importlib.import_module(module), name)
+        if module == "builtins":
+            import builtins
+
+            return getattr(builtins, name)
+        if module == "argparse" and name == "Namespace":
+            import argparse
+
+            return argparse.Namespace
+        raise pickle.UnpicklingError(
+            f"Refusing to unpickle untrusted symbol {module}.{name}"
+        )
+
+    def persistent_load(self, pid):  # noqa: D102
+        # pid = ('storage', StorageType, key, location, numel)
+        if not (isinstance(pid, tuple) and pid and pid[0] == "storage"):
+            raise pickle.UnpicklingError(f"Unexpected persistent id {pid!r}")
+        # 5-tuple classically; newer torch may append trailing metadata.
+        _, storage_type, key, _location, numel = pid[:5]
+        dtype = (
+            storage_type.dtype
+            if isinstance(storage_type, _StorageTypeMarker)
+            else np.float32
+        )
+        return _StorageRef(str(key), dtype, int(numel), self._storage_loader)
+
+
+# --------------------------------------------------------------------------
+# zip format (torch >= 1.6)
+# --------------------------------------------------------------------------
+
+def _load_zip(zf: zipfile.ZipFile) -> Any:
+    names = zf.namelist()
+    pkl_name = next((n for n in names if n.endswith("/data.pkl") or n == "data.pkl"), None)
+    if pkl_name is None:
+        raise ValueError("zip archive has no data.pkl")
+    if any(n.endswith("constants.pkl") for n in names):
+        # TorchScript archive — needs the TS module graph, delegate to torch.
+        raise _TorchScriptArchive()
+    prefix = pkl_name[: -len("data.pkl")]
+
+    def loader(key: str) -> bytes:
+        return zf.read(f"{prefix}data/{key}")
+
+    with zf.open(pkl_name) as fh:
+        return _Unpickler(io.BufferedReader(fh), loader).load()
+
+
+class _TorchScriptArchive(Exception):
+    pass
+
+
+# --------------------------------------------------------------------------
+# legacy format (torch < 1.6)
+# --------------------------------------------------------------------------
+
+def _load_legacy(fh: BinaryIO) -> Any:
+    magic = pickle.load(fh)
+    if magic != _LEGACY_MAGIC:
+        raise ValueError("not a legacy torch file")
+    protocol = pickle.load(fh)
+    if protocol != _LEGACY_PROTOCOL:
+        raise ValueError(f"unsupported legacy protocol {protocol}")
+    _sys_info = pickle.load(fh)
+
+    storages: Dict[str, _StorageRef] = {}
+
+    def loader(key: str) -> bytes:
+        return storages[key]._raw  # type: ignore[attr-defined]
+
+    unpickler = _Unpickler(fh, loader)
+    result = unpickler.load()
+
+    # Deserialize raw storages that follow the pickle payload.
+    key_order = pickle.load(fh)
+    refs = _collect_storage_refs(result)
+    by_key = {r.key: r for r in refs}
+    for key in key_order:
+        (numel,) = struct.unpack("<q", fh.read(8))
+        ref = by_key.get(str(key))
+        itemsize = (
+            2
+            if (ref is not None and ref.dtype in (np.float16, "bfloat16"))
+            else np.dtype(ref.dtype).itemsize
+            if ref is not None
+            else 8
+        )
+        raw = fh.read(numel * itemsize)
+        if ref is not None:
+            ref._raw = raw  # type: ignore[attr-defined]
+            storages[ref.key] = ref
+
+    return _materialize(result)
+
+
+def _collect_storage_refs(obj: Any) -> list:
+    out = []
+    seen = set()
+
+    def walk(o):
+        if id(o) in seen:
+            return
+        seen.add(id(o))
+        if isinstance(o, _StorageRef):
+            out.append(o)
+        elif isinstance(o, _PendingTensor):
+            walk(o.storage)
+        elif isinstance(o, dict):
+            for v in o.values():
+                walk(v)
+        elif isinstance(o, (list, tuple)):
+            for v in o:
+                walk(v)
+
+    walk(obj)
+    return out
+
+
+def _materialize(obj: Any) -> Any:
+    # Legacy tensors were rebuilt before raw bytes were read; re-walk to turn
+    # any leftover storage refs into arrays.
+    if isinstance(obj, _PendingTensor):
+        return obj.resolve()
+    if isinstance(obj, _StorageRef):
+        return obj.to_numpy()
+    if isinstance(obj, dict):
+        return type(obj)((k, _materialize(v)) for k, v in obj.items())
+    if isinstance(obj, list):
+        return [_materialize(v) for v in obj]
+    if isinstance(obj, tuple):
+        return tuple(_materialize(v) for v in obj)
+    return obj
+
+
+# --------------------------------------------------------------------------
+# public API
+# --------------------------------------------------------------------------
+
+def load_pt(path: str) -> Any:
+    """Load a torch checkpoint into numpy containers.
+
+    Tensors become ``np.ndarray`` (fp16 stays fp16; bf16 becomes
+    ``ml_dtypes.bfloat16``).  ``state_dict``-style OrderedDicts come back as
+    plain dicts of arrays.
+    """
+    with open(path, "rb") as fh:
+        head = fh.read(4)
+    if head[:2] == b"PK":
+        with zipfile.ZipFile(path) as zf:
+            try:
+                result = _load_zip(zf)
+            except _TorchScriptArchive:
+                return _load_torchscript(path)
+        return _plainify(result)
+    with open(path, "rb") as fh:
+        return _plainify(_load_legacy(fh))
+
+
+def _load_torchscript(path: str) -> Any:
+    try:
+        import torch
+    except ImportError as exc:  # pragma: no cover
+        raise RuntimeError(
+            f"{path} is a TorchScript archive; extracting its state dict "
+            "requires torch (pip install torch) or a plain state-dict export."
+        ) from exc
+    module = torch.jit.load(path, map_location="cpu")
+    return {k: v.detach().cpu().numpy() for k, v in module.state_dict().items()}
+
+
+def _plainify(obj: Any) -> Any:
+    import collections
+
+    if isinstance(obj, collections.OrderedDict):
+        return {k: _plainify(v) for k, v in obj.items()}
+    if isinstance(obj, dict):
+        return {k: _plainify(v) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [_plainify(v) for v in obj]
+    if isinstance(obj, tuple):
+        return tuple(_plainify(v) for v in obj)
+    return obj

@@ -1,0 +1,105 @@
+"""Shared transformer building blocks (ref ``clip/model.py:155-201``).
+
+The residual attention block is CLIP's: pre-LN MHA + pre-LN MLP with
+QuickGELU.  Blocks are *stacked* along a leading layer axis and run under
+``lax.scan`` — one compiled block body regardless of depth, which is the
+TPU-idiomatic replacement for the reference's ``nn.Sequential`` of modules.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from protoclip_tpu.ops.attention import multi_head_attention
+from protoclip_tpu.ops.activations import quick_gelu
+from protoclip_tpu.ops.layernorm import layer_norm
+
+Params = Dict[str, jax.Array]
+
+
+def mlp(x: jax.Array, p: Params) -> jax.Array:
+    """4x-expansion MLP with QuickGELU (ref ``clip/model.py:175-179``)."""
+    dtype = x.dtype
+    h = x @ p["w_fc"].astype(dtype) + p["b_fc"].astype(dtype)
+    h = quick_gelu(h)
+    return h @ p["w_proj"].astype(dtype) + p["b_proj"].astype(dtype)
+
+
+def residual_block(
+    x: jax.Array, p: Params, n_head: int, mask: Optional[jax.Array] = None
+) -> jax.Array:
+    x = x + multi_head_attention(
+        layer_norm(x, p["ln_1"]["scale"], p["ln_1"]["bias"]), p["attn"], n_head, mask
+    )
+    x = x + mlp(layer_norm(x, p["ln_2"]["scale"], p["ln_2"]["bias"]), p["mlp"])
+    return x
+
+
+def transformer(
+    x: jax.Array,
+    stacked_blocks: Params,
+    n_head: int,
+    mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Run ``L`` stacked residual blocks with ``lax.scan``.
+
+    ``stacked_blocks`` is a block-param pytree whose leaves carry a leading
+    layer axis.
+    """
+
+    def body(carry, block_params):
+        return residual_block(carry, block_params, n_head, mask), None
+
+    out, _ = jax.lax.scan(body, x, stacked_blocks)
+    return out
+
+
+def init_block_params(
+    rng: jax.Array, n_layers: int, width: int, dtype=jnp.float32
+) -> Params:
+    """Random-init stacked transformer blocks (CLIP's init scheme,
+    ref ``clip/model.py:314-321``)."""
+    keys = jax.random.split(rng, 4)
+    proj_std = (width ** -0.5) * ((2 * n_layers) ** -0.5)
+    attn_std = width ** -0.5
+    fc_std = (2 * width) ** -0.5
+
+    def norm(key, shape, std):
+        return (jax.random.normal(key, shape, jnp.float32) * std).astype(dtype)
+
+    shape2 = (n_layers, width, width)
+    return {
+        "ln_1": {
+            "scale": jnp.ones((n_layers, width), dtype),
+            "bias": jnp.zeros((n_layers, width), dtype),
+        },
+        "attn": {
+            "wq": norm(keys[0], shape2, attn_std),
+            "wk": norm(jax.random.fold_in(keys[0], 1), shape2, attn_std),
+            "wv": norm(jax.random.fold_in(keys[0], 2), shape2, attn_std),
+            "wo": norm(keys[1], shape2, proj_std),
+            "bq": jnp.zeros((n_layers, width), dtype),
+            "bk": jnp.zeros((n_layers, width), dtype),
+            "bv": jnp.zeros((n_layers, width), dtype),
+            "bo": jnp.zeros((n_layers, width), dtype),
+        },
+        "ln_2": {
+            "scale": jnp.ones((n_layers, width), dtype),
+            "bias": jnp.zeros((n_layers, width), dtype),
+        },
+        "mlp": {
+            "w_fc": norm(keys[2], (n_layers, width, 4 * width), fc_std),
+            "b_fc": jnp.zeros((n_layers, 4 * width), dtype),
+            "w_proj": norm(keys[3], (n_layers, 4 * width, width), proj_std),
+            "b_proj": jnp.zeros((n_layers, width), dtype),
+        },
+    }
+
+
+def causal_mask(length: int) -> jax.Array:
+    """Additive causal mask (ref ``clip/model.py:326-332``)."""
+    mask = jnp.full((length, length), -jnp.inf, dtype=jnp.float32)
+    return jnp.triu(mask, k=1)

@@ -1,0 +1,107 @@
+"""Adapter parity against torch-functional equivalents and the reference's
+pretrained adapter checkpoints."""
+
+import math
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+import jax
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as F  # noqa: E402
+
+from protoclip_tpu.io.torch_pt import load_pt  # noqa: E402
+from protoclip_tpu.models.adapters import (  # noqa: E402
+    adapter_from_torch_state,
+    adapter_to_torch_state,
+    apply_adapter,
+    init_adapter,
+)
+from tests.conftest import requires_reference  # noqa: E402
+
+
+def _torch_conv_adapter(state, x, three_x):
+    """Functional transcription of the documented conv adapter
+    (model.py:49-78): pad to square, 1x1 conv -> LN[C,s,s] (-> 3x3 conv -> LN)
+    -> 1x1 conv -> LN, +identity, crop."""
+    d = x.shape[-1]
+    s = int(math.ceil(math.sqrt(d)))
+    pad = s * s - d
+    t = torch.from_numpy(x)
+    t = F.pad(t, (0, pad)).view(-1, 1, s, s)
+    identity = t
+
+    def ln(v, w, b):
+        return F.layer_norm(v, tuple(w.shape), w, b)
+
+    out = F.conv2d(t, state_t(state, "conv1.weight"))
+    out = ln(out, state_t(state, "bn1.weight"), state_t(state, "bn1.bias"))
+    if three_x:
+        out = F.conv2d(out, state_t(state, "conv2.weight"), padding=1)
+        out = ln(out, state_t(state, "bn2.weight"), state_t(state, "bn2.bias"))
+    out = F.conv2d(out, state_t(state, "conv3.weight"))
+    out = ln(out, state_t(state, "bn3.weight"), state_t(state, "bn3.bias"))
+    out = out + identity
+    return out.view(-1, s * s)[:, :d].numpy()
+
+
+def _torch_fc_adapter(state, x):
+    """Functional transcription of Adapter_FC (model.py:81-95)."""
+    t = torch.from_numpy(x)
+    h = t @ state_t(state, "fc.0.weight").t()
+    h = F.layer_norm(h, (h.shape[-1],), state_t(state, "fc.1.weight"), state_t(state, "fc.1.bias"))
+    h = h @ state_t(state, "fc.2.weight").t()
+    h = F.layer_norm(h, (h.shape[-1],), state_t(state, "fc.3.weight"), state_t(state, "fc.3.bias"))
+    return (0.2 * h + 0.8 * t).numpy()
+
+
+def state_t(state, key):
+    return torch.from_numpy(np.asarray(state[key], dtype=np.float32))
+
+
+@pytest.mark.parametrize("kind,d", [("fc", 64), ("fc", 768), ("conv-2x", 1024), ("conv-3x", 1024), ("conv-3x", 768)])
+def test_adapter_parity_random(rng, kind, d):
+    params = init_adapter(jax.random.PRNGKey(3), d, kind)
+    x = rng.standard_normal((6, d)).astype(np.float32)
+    ours = np.asarray(apply_adapter(params, jnp.asarray(x), kind))
+
+    state = adapter_to_torch_state(params, kind)
+    if kind == "fc":
+        theirs = _torch_fc_adapter(state, x)
+    else:
+        theirs = _torch_conv_adapter(state, x, three_x=(kind == "conv-3x"))
+    np.testing.assert_allclose(ours, theirs, atol=2e-5)
+
+
+@pytest.mark.parametrize("kind,d", [("fc", 512), ("conv-3x", 1024)])
+def test_torch_state_roundtrip(kind, d):
+    params = init_adapter(jax.random.PRNGKey(1), d, kind)
+    state = adapter_to_torch_state(params, kind)
+    params2 = adapter_from_torch_state(state, kind)
+    for leaf1, leaf2 in zip(
+        jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(params2)
+    ):
+        np.testing.assert_allclose(np.asarray(leaf1), np.asarray(leaf2), atol=0)
+
+
+@requires_reference
+def test_pretrained_fc_adapter_parity(rng):
+    state = load_pt("/root/reference/pretrained_ckpt/fewsol-198-F/query_adapter.pt")
+    params = adapter_from_torch_state(state, "fc")
+    x = rng.standard_normal((4, 768)).astype(np.float32)
+    ours = np.asarray(apply_adapter(params, jnp.asarray(x), "fc"))
+    theirs = _torch_fc_adapter(state, x)
+    np.testing.assert_allclose(ours, theirs, atol=2e-4)
+
+
+@requires_reference
+def test_pretrained_conv_adapter_parity(rng):
+    # imagenet-F uses conv-2x (configs/imagenet.yml) on RN50 features (d=1024)
+    state = load_pt("/root/reference/pretrained_ckpt/imagenet-F/query_adapter.pt")
+    params = adapter_from_torch_state(state, "conv-2x")
+    x = rng.standard_normal((4, 1024)).astype(np.float32)
+    ours = np.asarray(apply_adapter(params, jnp.asarray(x), "conv-2x"))
+    theirs = _torch_conv_adapter(state, x, three_x=False)
+    np.testing.assert_allclose(ours, theirs, atol=2e-4)

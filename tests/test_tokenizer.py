@@ -1,0 +1,102 @@
+"""Tokenizer parity: our clean-room BPE vs HuggingFace's CLIPTokenizer built
+from the same merge table (an independent implementation of the same spec)."""
+
+import gzip
+import json
+import os
+
+import numpy as np
+import pytest
+
+from protoclip_tpu.tokenizer import ClipTokenizer, tokenize, default_vocab_path
+
+try:
+    VOCAB = default_vocab_path()
+except FileNotFoundError:
+    VOCAB = None
+
+pytestmark = pytest.mark.skipif(VOCAB is None, reason="BPE vocab not available")
+
+PROMPTS = [
+    "a photo of a cat.",
+    "a photo of a dog",
+    "itap of a chair.",
+    "a bad photo of the stapler.",
+    "a origami water bottle.",
+    "a photo of the large Boeing 737-800.",
+    "a F-16A/B in a video game.",
+    "art of the 1969 Chevrolet Camaro.",
+    "a photo of the small great white shark.",
+    "a centered satellite photo of Annual Crop Land.",
+    "polka-dotted texture.",
+    "a photo of a person doing Yo Yo.",
+    "this-has   odd   spacing\tand\ttabs",
+    "UPPER case And MiXeD",
+    "digits 12345 and symbols !@#$%",
+    "don't stop believin'",
+    "naïve café — em-dash résumé",
+]
+
+
+@pytest.fixture(scope="module")
+def hf_tokenizer(tmp_path_factory):
+    transformers = pytest.importorskip("transformers")
+    tmp = tmp_path_factory.mktemp("hf_tok")
+    with gzip.open(VOCAB, "rt", encoding="utf-8") as fh:
+        lines = fh.read().split("\n")
+    n_merges = 49408 - 512 - 2
+    merges = lines[1 : 1 + n_merges]
+
+    tok = ClipTokenizer(VOCAB)
+    vocab_path = tmp / "vocab.json"
+    merges_path = tmp / "merges.txt"
+    vocab_path.write_text(json.dumps(tok.encoder, ensure_ascii=False))
+    merges_path.write_text("#version: 0.2\n" + "\n".join(merges))
+    return transformers.CLIPTokenizer(str(vocab_path), str(merges_path))
+
+
+def test_vocab_size():
+    tok = ClipTokenizer(VOCAB)
+    assert tok.vocab_size == 49408
+    assert tok.sot_id == 49406
+    assert tok.eot_id == 49407
+
+
+@pytest.mark.parametrize("prompt", PROMPTS)
+def test_encode_matches_hf(hf_tokenizer, prompt):
+    ours = ClipTokenizer(VOCAB).encode(prompt)
+    theirs = hf_tokenizer(prompt)["input_ids"][1:-1]  # strip HF's SOT/EOT
+    assert ours == theirs, f"{prompt!r}: {ours} != {theirs}"
+
+
+def test_known_golden_ids():
+    # Well-known OpenAI CLIP token ids for the canonical prompt.
+    ids = ClipTokenizer(VOCAB).encode("a photo of a cat.")
+    assert ids == [320, 1125, 539, 320, 2368, 269]
+
+
+def test_tokenize_padding_and_specials():
+    arr = tokenize(["a photo of a cat.", "a"], context_length=77)
+    assert arr.shape == (2, 77)
+    assert arr.dtype == np.int32
+    assert arr[0, 0] == 49406
+    assert arr[0, 7] == 49407
+    assert arr[0, 8:].sum() == 0
+    # EOT position is the argmax (used by the text tower's feature gather)
+    assert arr[1].argmax() == 2
+
+
+def test_tokenize_overflow_raises():
+    long = " ".join(["hello"] * 100)
+    with pytest.raises(RuntimeError):
+        tokenize(long, context_length=77)
+    truncated = tokenize(long, context_length=77, truncate=True)
+    assert truncated[0, -1] == 49407
+
+
+def test_decode_roundtrip():
+    tok = ClipTokenizer(VOCAB)
+    text = "a photo of a cat."
+    # BPE end-of-word markers decode to trailing spaces (punctuation is its
+    # own word), matching the reference decoder's behavior.
+    assert tok.decode(tok.encode(text)).strip() == "a photo of a cat ."
