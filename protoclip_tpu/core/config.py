@@ -1,0 +1,87 @@
+"""Config system: YAML + programmatic overrides, with validation.
+
+The reference merges a flat YAML dict with argparse flags and injects derived
+keys at runtime (``main.py:52-71,480-489``) with no schema; here the config is
+a typed dataclass so typos fail loudly.  Field names and defaults mirror
+``configs/master.yml`` and the per-dataset files.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import List, Optional
+
+import yaml
+
+_ALLOWED_ADAPTERS = ("fc", "conv-2x", "conv-3x")
+_ALLOWED_LOSSES = ("L1", "L2", "L3", "L4")
+
+
+@dataclasses.dataclass
+class Config:
+    """One Proto-CLIP operating point (ref ``configs/*.yml``)."""
+
+    dataset: str = ""
+    root_path: str = "DATA"
+    shots: int = 16
+    backbone: str = "RN50"
+    lr: float = 1e-4
+    augment_epoch: int = 10
+    train_epoch: int = 2000
+    losses: List[str] = dataclasses.field(default_factory=lambda: ["L1", "L2", "L3"])
+    alpha: float = 0.5
+    beta: float = 1.0
+    adapter: str = "fc"
+    train_vis_mem_only: bool = False
+    only_test: bool = False
+    top_k: int = 1
+    logs_dir_path: str = "logs"
+    cache_root: str = "./caches"
+    seed: int = 1
+    # TPU-specific knobs (no reference equivalent)
+    batch_size: int = 1024  # eval/encode batch size (main.py:505)
+    compute_dtype: str = "bfloat16"
+    weights_path: Optional[str] = None
+
+    @property
+    def cache_dir(self) -> str:
+        return os.path.join(self.cache_root, self.dataset)
+
+    def validate(self) -> "Config":
+        if self.adapter not in _ALLOWED_ADAPTERS:
+            raise ValueError(f"adapter must be one of {_ALLOWED_ADAPTERS}, got {self.adapter!r}")
+        for loss in self.losses:
+            if loss not in _ALLOWED_LOSSES:
+                raise ValueError(f"unknown loss {loss!r}; allowed {_ALLOWED_LOSSES}")
+        if self.shots < 1:
+            raise ValueError("shots must be >= 1")
+        if not 0.0 <= self.alpha <= 1.0:
+            raise ValueError("alpha must be in [0, 1]")
+        if self.beta <= 0:
+            raise ValueError("beta must be > 0")
+        return self
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+
+def load_config(path: Optional[str] = None, **overrides) -> Config:
+    """Load a YAML config and apply keyword overrides (CLI flags).
+
+    Unknown YAML keys are ignored with a warning (the reference carries a few
+    vestigial keys like ``search_scale``).
+    """
+    data = {}
+    if path is not None:
+        with open(path, "r") as fh:
+            data = yaml.safe_load(fh) or {}
+    merged = {}
+    valid_fields = {f.name for f in dataclasses.fields(Config)}
+    for key, value in {**data, **{k: v for k, v in overrides.items() if v is not None}}.items():
+        if key in valid_fields:
+            merged[key] = value
+        else:
+            print(f"[protoclip_tpu] ignoring unknown config key {key!r}")
+    cfg = Config(**merged)
+    return cfg.validate()

@@ -1,0 +1,197 @@
+"""Dataset registry: 12 benchmark adapters behind one ``build_dataset``.
+
+Mirrors the reference's registry surface (``datasets/__init__.py:14-30``,
+plus ImageNet handled separately in ``main.py:508-515``), but adapters are
+data-driven specs instead of one class per file: every CoOp-style dataset is
+(directory, image subdir, split JSON, prompt template).  Special cases:
+FGVC (txt annotation files), ImageNet (class-folder tree + curated CLIP
+classnames), FewSOL-198 (alternate split file shipped with Proto-CLIP).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Callable, Dict, List, Optional
+
+from protoclip_tpu.data.splits import read_split
+from protoclip_tpu.data.types import Datum, FewShotDataset, generate_fewshot
+
+_ASSETS = os.path.join(os.path.dirname(os.path.abspath(__file__)), "assets")
+
+
+@dataclasses.dataclass(frozen=True)
+class _JsonSpec:
+    """A CoOp-style dataset: split JSON + image dir + one prompt template."""
+
+    dataset_dir: str
+    image_subdir: str
+    split_file: str
+    template: List[str]
+
+
+# Directory names, split files and templates established by the reference
+# adapters (datasets/<name>.py, one template per dataset).
+_JSON_SPECS: Dict[str, _JsonSpec] = {
+    "caltech101": _JsonSpec(
+        "caltech-101", "101_ObjectCategories", "split_zhou_Caltech101.json",
+        ["a photo of a {}."],
+    ),
+    "dtd": _JsonSpec(
+        "dtd", "images", "split_zhou_DescribableTextures.json", ["{} texture."]
+    ),
+    "eurosat": _JsonSpec(
+        "eurosat", "2750", "split_zhou_EuroSAT.json",
+        ["a centered satellite photo of {}."],
+    ),
+    "food101": _JsonSpec(
+        "food-101", "images", "split_zhou_Food101.json",
+        ["a photo of {}, a type of food."],
+    ),
+    "oxford_flowers": _JsonSpec(
+        "oxford_flowers", "jpg", "split_zhou_OxfordFlowers.json",
+        ["a photo of a {}, a type of flower."],
+    ),
+    "oxford_pets": _JsonSpec(
+        "oxford_pets", "images", "split_zhou_OxfordPets.json",
+        ["a photo of a {}, a type of pet."],
+    ),
+    "stanford_cars": _JsonSpec(
+        "stanford_cars", "", "split_zhou_StanfordCars.json", ["a photo of a {}."]
+    ),
+    "sun397": _JsonSpec(
+        "sun397", "SUN397", "split_zhou_SUN397.json", ["a photo of a {}."]
+    ),
+    "ucf101": _JsonSpec(
+        "ucf101", "UCF-101-midframes", "split_zhou_UCF101.json",
+        ["a photo of a person doing {}."],
+    ),
+    "fewsol": _JsonSpec("fewsol", "data", "fewsol_splits.json", ["a photo of a {}"]),
+}
+
+# Alternate split files for FewSOL-198 (ref splits/fewsol_splits_198.json;
+# configs/fewsol_198.yml runs dataset 'fewsol' against the 198-class split).
+_FEWSOL_198_CANDIDATES = (
+    "fewsol_splits_198.json",  # inside the dataset dir
+    os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "splits", "fewsol_splits_198.json"),
+    "/root/reference/splits/fewsol_splits_198.json",
+)
+
+
+def _build_json_dataset(
+    alias: str, root: str, shots: int, seed: int, split_path: Optional[str] = None
+) -> FewShotDataset:
+    spec = _JSON_SPECS[alias]
+    dataset_dir = os.path.join(root, spec.dataset_dir)
+    image_dir = os.path.join(dataset_dir, spec.image_subdir) if spec.image_subdir else dataset_dir
+    split_path = split_path or os.path.join(dataset_dir, spec.split_file)
+    train, val, test = read_split(split_path, image_dir)
+    train = generate_fewshot(train, shots, seed=seed)
+    return FewShotDataset(train, val, test, spec.template, name=alias)
+
+
+def _build_fewsol_198(root: str, shots: int, seed: int) -> FewShotDataset:
+    dataset_dir = os.path.join(root, "fewsol")
+    for cand in _FEWSOL_198_CANDIDATES:
+        path = cand if os.path.isabs(cand) else os.path.join(dataset_dir, cand)
+        if os.path.exists(path):
+            ds = _build_json_dataset("fewsol", root, shots, seed, split_path=path)
+            return FewShotDataset(ds.train_x, ds.val, ds.test, ds.template, name="fewsol_198")
+    raise FileNotFoundError(
+        "fewsol_splits_198.json not found (looked in dataset dir and repo splits/)"
+    )
+
+
+def _build_fgvc(root: str, shots: int, seed: int) -> FewShotDataset:
+    """FGVC Aircraft via variants.txt + images_variant_<split>.txt
+    (ref ``datasets/fgvc.py:10-53``)."""
+    dataset_dir = os.path.join(root, "fgvc_aircraft")
+    image_dir = os.path.join(dataset_dir, "images")
+    with open(os.path.join(dataset_dir, "variants.txt")) as fh:
+        classnames = [line.strip() for line in fh if line.strip()]
+    cname2lab = {c: i for i, c in enumerate(classnames)}
+
+    def read(split_file: str) -> List[Datum]:
+        items = []
+        with open(os.path.join(dataset_dir, split_file)) as fh:
+            for line in fh:
+                parts = line.strip().split(" ")
+                if not parts or not parts[0]:
+                    continue
+                imname, classname = parts[0] + ".jpg", " ".join(parts[1:])
+                items.append(
+                    Datum(os.path.join(image_dir, imname), cname2lab[classname], classname)
+                )
+        return items
+
+    train = generate_fewshot(read("images_variant_train.txt"), shots, seed=seed)
+    return FewShotDataset(
+        train,
+        read("images_variant_val.txt"),
+        read("images_variant_test.txt"),
+        ["a photo of a {}, a type of aircraft."],
+        name="fgvc",
+    )
+
+
+def imagenet_classnames_and_templates():
+    """The curated CLIP classname list + 7-template prompt ensemble
+    (data asset; ref ``datasets/imagenet.py:26-199``)."""
+    with open(os.path.join(_ASSETS, "imagenet_clip.json")) as fh:
+        data = json.load(fh)
+    return data["classnames"], data["templates"]
+
+
+def _build_imagenet(root: str, shots: int, seed: int) -> FewShotDataset:
+    """ImageNet from a class-folder tree.
+
+    Expects ``<root>/imagenet/images/{train,val}/<wnid>/*.JPEG``; wnids sorted
+    lexicographically define labels 0..999 (torchvision's convention).  Val
+    doubles as test, as in the reference (``datasets/imagenet.py:216-219``).
+    """
+    classnames, templates = imagenet_classnames_and_templates()
+    image_dir = os.path.join(root, "imagenet", "images")
+
+    def scan(split: str) -> List[Datum]:
+        split_dir = os.path.join(image_dir, split)
+        wnids = sorted(
+            d for d in os.listdir(split_dir) if os.path.isdir(os.path.join(split_dir, d))
+        )
+        items = []
+        for label, wnid in enumerate(wnids):
+            cname = classnames[label] if label < len(classnames) else wnid
+            wdir = os.path.join(split_dir, wnid)
+            for fname in sorted(os.listdir(wdir)):
+                items.append(Datum(os.path.join(wdir, fname), label, cname))
+        return items
+
+    train = generate_fewshot(scan("train"), shots, seed=seed)
+    val = scan("val")
+    return FewShotDataset(train, val, val, templates, name="imagenet")
+
+
+_BUILDERS: Dict[str, Callable[[str, int, int], FewShotDataset]] = {
+    **{
+        alias: (lambda a: lambda root, shots, seed: _build_json_dataset(a, root, shots, seed))(alias)
+        for alias in _JSON_SPECS
+    },
+    "fgvc": _build_fgvc,
+    "imagenet": _build_imagenet,
+    "fewsol_198": _build_fewsol_198,
+}
+
+
+def available_datasets() -> List[str]:
+    return sorted(_BUILDERS)
+
+
+def build_dataset(alias: str, root: str, shots: int, seed: int = 1) -> FewShotDataset:
+    """Build a few-shot benchmark dataset (ref ``datasets/__init__.py:29-30``).
+
+    ``seed`` pins the K-shot subsample (the reference seeds the global RNG with
+    1 before sampling, ``main.py:499-503``).
+    """
+    if alias not in _BUILDERS:
+        raise KeyError(f"unknown dataset {alias!r}; available: {available_datasets()}")
+    return _BUILDERS[alias](root, shots, seed)

@@ -1,0 +1,135 @@
+"""CLIP image preprocessing: host-side decode/resize, device-side normalize.
+
+Reference pipeline (``clip/clip.py:77-84`` eval; ``datasets/imagenet.py:8-23``
+train): Resize(bicubic) -> CenterCrop -> RGB -> ToTensor -> Normalize for
+eval, RandomResizedCrop(scale 0.5-1, bicubic) + HorizontalFlip(0.5) ->
+Normalize for train.
+
+TPU-first split: PIL produces uint8 HWC crops on the host (4x smaller
+host->device transfers than fp32), and :func:`normalize_batch` runs the
+/255 + mean/std affine on device where XLA fuses it into the first conv /
+patch matmul.
+"""
+
+from __future__ import annotations
+
+import math
+import random as _random
+from typing import Optional, Tuple
+
+import numpy as np
+from PIL import Image
+
+import jax
+import jax.numpy as jnp
+
+CLIP_MEAN = (0.48145466, 0.4578275, 0.40821073)
+CLIP_STD = (0.26862954, 0.26130258, 0.27577711)
+
+
+def load_image(path: str) -> Image.Image:
+    """Open an image as RGB; retries once on IOError (the reference retries
+    forever, ``datasets/utils.py:46-54`` — one bounded retry is saner)."""
+    try:
+        return Image.open(path).convert("RGB")
+    except OSError:
+        return Image.open(path).convert("RGB")
+
+
+def resize_shorter(img: Image.Image, size: int) -> Image.Image:
+    """Resize so the shorter side equals ``size`` (aspect preserved)."""
+    w, h = img.size
+    if w <= h:
+        new_w, new_h = size, max(1, round(h * size / w))
+    else:
+        new_w, new_h = max(1, round(w * size / h)), size
+    return img.resize((new_w, new_h), Image.BICUBIC)
+
+
+def center_crop(img: Image.Image, size: int) -> Image.Image:
+    w, h = img.size
+    left = (w - size) // 2
+    top = (h - size) // 2
+    return img.crop((left, top, left + size, top + size))
+
+
+def clip_preprocess(img: Image.Image, n_px: int = 224) -> np.ndarray:
+    """Eval-time transform -> uint8 (n_px, n_px, 3)."""
+    img = center_crop(resize_shorter(img, n_px), n_px)
+    return np.asarray(img, dtype=np.uint8)
+
+
+def random_resized_crop(
+    img: Image.Image,
+    size: int,
+    rng: _random.Random,
+    scale: Tuple[float, float] = (0.5, 1.0),
+    ratio: Tuple[float, float] = (3.0 / 4.0, 4.0 / 3.0),
+) -> Image.Image:
+    """torchvision-style RandomResizedCrop (10 attempts + center fallback)."""
+    w, h = img.size
+    area = w * h
+    log_ratio = (math.log(ratio[0]), math.log(ratio[1]))
+    for _ in range(10):
+        target_area = area * rng.uniform(*scale)
+        aspect = math.exp(rng.uniform(*log_ratio))
+        cw = int(round(math.sqrt(target_area * aspect)))
+        ch = int(round(math.sqrt(target_area / aspect)))
+        if 0 < cw <= w and 0 < ch <= h:
+            left = rng.randint(0, w - cw)
+            top = rng.randint(0, h - ch)
+            return img.resize(
+                (size, size), Image.BICUBIC, box=(left, top, left + cw, top + ch)
+            )
+    # fallback: center crop at the clamped aspect ratio
+    in_ratio = w / h
+    if in_ratio < ratio[0]:
+        cw, ch = w, int(round(w / ratio[0]))
+    elif in_ratio > ratio[1]:
+        cw, ch = int(round(h * ratio[1])), h
+    else:
+        cw, ch = w, h
+    left, top = (w - cw) // 2, (h - ch) // 2
+    return img.resize((size, size), Image.BICUBIC, box=(left, top, left + cw, top + ch))
+
+
+def random_train_transform(
+    img: Image.Image, rng: _random.Random, n_px: int = 224
+) -> np.ndarray:
+    """Train-time transform: RandomResizedCrop(scale 0.5-1) + HFlip(0.5)
+    -> uint8 (n_px, n_px, 3) (ref ``datasets/imagenet.py:8-23``)."""
+    img = random_resized_crop(img, n_px, rng)
+    if rng.random() < 0.5:
+        img = img.transpose(Image.FLIP_LEFT_RIGHT)
+    return np.asarray(img, dtype=np.uint8)
+
+
+def normalize_batch(images_u8: jax.Array, dtype=jnp.float32) -> jax.Array:
+    """Device-side ``ToTensor + Normalize``: uint8 (B, H, W, 3) -> normalized.
+
+    XLA fuses the affine into the consumer (first conv / patch matmul).
+    """
+    mean = jnp.asarray(CLIP_MEAN, jnp.float32) * 255.0
+    inv_std = 1.0 / (jnp.asarray(CLIP_STD, jnp.float32) * 255.0)
+    out = (images_u8.astype(jnp.float32) - mean) * inv_std
+    return out.astype(dtype)
+
+
+class EvalTransform:
+    """Picklable eval-transform callable."""
+
+    def __init__(self, n_px: int = 224):
+        self.n_px = n_px
+
+    def __call__(self, img: Image.Image, rng: Optional[_random.Random] = None) -> np.ndarray:
+        return clip_preprocess(img, self.n_px)
+
+
+class TrainTransform:
+    """Picklable train-transform callable (seeded per-loader)."""
+
+    def __init__(self, n_px: int = 224):
+        self.n_px = n_px
+
+    def __call__(self, img: Image.Image, rng: Optional[_random.Random] = None) -> np.ndarray:
+        return random_train_transform(img, rng or _random, self.n_px)

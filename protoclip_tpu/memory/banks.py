@@ -1,0 +1,189 @@
+"""Visual / textual memory-bank construction.
+
+Reference behavior being matched (TPU-first execution):
+
+- Visual bank (``utils.py:284-332``): ``augment_epoch`` passes over the
+  *unshuffled* few-shot train loader with random-crop/flip transforms;
+  features are averaged over passes in fp32, L2-normalized, sorted by label;
+  labels become one-hot values.  Bank layout here is row-major ``(N*K, d)``
+  (the reference keeps the transpose ``(d, N*K)``; row-major matches how the
+  trainer consumes it and the ``_v.pt`` checkpoint layout).
+- Textual bank (``utils.py:256-273``): for every class, fill every template,
+  tokenize, encode, L2-normalize each prompt embedding, average over the
+  ensemble, re-normalize -> ``(N, d)``.  All ``N * T`` prompts are encoded in
+  one batched jit sweep instead of a per-class Python loop.
+- Split features (``utils.py:335-361``): encode + L2-normalize val/test once.
+
+``encode_fn(images_u8) -> features`` must be a jit-compiled function taking a
+uint8 batch (the device-side normalize lives inside it); this module never
+dispatches eager TPU ops.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from protoclip_tpu.memory.cache import FeatureCache
+from protoclip_tpu.ops.proto import l2_normalize
+from protoclip_tpu.tokenizer import tokenize
+
+
+def encode_loader(
+    encode_fn: Callable[[np.ndarray], jnp.ndarray],
+    loader,
+    normalize: bool = False,
+    progress: Optional[str] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Encode every item in a loader -> (features fp32 (M, d), labels (M,))."""
+    feats: List[np.ndarray] = []
+    labels: List[np.ndarray] = []
+    iterator = loader
+    if progress:
+        try:
+            from tqdm import tqdm
+
+            iterator = tqdm(loader, total=len(loader), desc=progress)
+        except ImportError:  # pragma: no cover
+            pass
+    for images, batch_labels, n_valid in iterator:
+        batch = encode_fn(images)
+        if normalize:
+            batch = l2_normalize(batch.astype(jnp.float32))
+        feats.append(np.asarray(batch, np.float32)[:n_valid])
+        labels.append(np.asarray(batch_labels[:n_valid]))
+    return np.concatenate(feats), np.concatenate(labels)
+
+
+def build_visual_memory_bank(
+    encode_fn,
+    loader,
+    augment_epochs: int,
+    cache: Optional[FeatureCache] = None,
+    progress: bool = True,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Build (or load) the visual memory bank.
+
+    Returns ``keys (N*K, d)`` L2-normalized label-sorted features and
+    ``values (N*K, N)`` one-hot labels.
+    """
+    if cache is not None:
+        key_stem, value_stem = cache.visual_bank_stems(augment_epochs)
+        cached_k, cached_v = cache.load(key_stem), cache.load(value_stem)
+        if cached_k is not None and cached_v is not None:
+            keys = cached_k.get("keys", cached_k.get("array"))
+            values = cached_v.get("values", cached_v.get("array"))
+            if keys is not None and values is not None:
+                keys = np.asarray(keys, np.float32)
+                if keys.shape[0] < keys.shape[1] and values.shape[0] != keys.shape[0]:
+                    keys = keys.T  # reference stores (d, N*K)
+                return keys, np.asarray(values, np.float32)
+
+    sum_feats: Optional[np.ndarray] = None
+    labels: Optional[np.ndarray] = None
+    for aug in range(augment_epochs):
+        feats, batch_labels = encode_loader(
+            encode_fn, loader, normalize=False,
+            progress=f"visual bank aug {aug + 1}/{augment_epochs}" if progress else None,
+        )
+        sum_feats = feats if sum_feats is None else sum_feats + feats
+        if labels is None:
+            labels = batch_labels
+    assert sum_feats is not None and labels is not None
+
+    mean = sum_feats / float(augment_epochs)
+    mean /= np.linalg.norm(mean, axis=-1, keepdims=True)
+    order = np.argsort(labels, kind="stable")
+    keys = mean[order].astype(np.float32)
+    sorted_labels = labels[order]
+    n_class = int(sorted_labels.max()) + 1
+    values = np.eye(n_class, dtype=np.float32)[sorted_labels]
+
+    if cache is not None:
+        key_stem, value_stem = cache.visual_bank_stems(augment_epochs)
+        cache.save(key_stem, keys=keys)
+        cache.save(value_stem, values=values)
+    return keys, values
+
+
+def build_textual_memory_bank(
+    encode_text_fn,
+    classnames: Sequence[str],
+    template: Sequence[str],
+    cache: Optional[FeatureCache] = None,
+    batch_size: int = 512,
+    context_length: int = 77,
+) -> np.ndarray:
+    """Build (or load) the textual memory bank -> ``(N, d)`` fp32.
+
+    One batched encode over all ``N * T`` ensemble prompts (the 341-prompt
+    ImageNet ensemble is a single TPU dispatch), then the reference's
+    normalize -> mean -> normalize reduction per class.
+    """
+    if cache is not None:
+        cached = cache.load(cache.text_bank_stem())
+        if cached is not None:
+            bank = cached.get("bank", cached.get("array"))
+            if bank is not None:
+                bank = np.asarray(bank, np.float32)
+                if bank.shape[0] < bank.shape[1] and len(classnames) != bank.shape[0]:
+                    bank = bank.T  # reference stores (d, N)
+                return bank
+
+    prompts = [
+        t.format(name.replace("_", " ")) for name in classnames for t in template
+    ]
+    tokens = tokenize(prompts, context_length=context_length)
+    n_class, n_templates = len(classnames), len(template)
+
+    feats: List[np.ndarray] = []
+    # pad to a full batch so jit sees one shape
+    n_total = tokens.shape[0]
+    n_pad = (-n_total) % batch_size
+    if n_pad:
+        tokens = np.concatenate([tokens, np.zeros((n_pad, tokens.shape[1]), tokens.dtype)])
+        tokens[n_total:, 0] = 49407  # EOT so argmax gather stays in range
+    for start in range(0, tokens.shape[0], batch_size):
+        feats.append(np.asarray(encode_text_fn(tokens[start : start + batch_size]), np.float32))
+    flat = np.concatenate(feats)[:n_total]
+
+    emb = flat.reshape(n_class, n_templates, -1)
+    emb /= np.linalg.norm(emb, axis=-1, keepdims=True)
+    bank = emb.mean(axis=1)
+    bank /= np.linalg.norm(bank, axis=-1, keepdims=True)
+    bank = bank.astype(np.float32)
+
+    if cache is not None:
+        cache.save(cache.text_bank_stem(), bank=bank)
+    return bank
+
+
+def pre_load_features(
+    encode_fn,
+    loader,
+    split: str,
+    cache: Optional[FeatureCache] = None,
+    progress: bool = True,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Encode + L2-normalize an eval split once, with caching
+    (ref ``utils.py:335-361``)."""
+    if cache is not None:
+        f_stem, l_stem = cache.split_stems(split)
+        cf, cl = cache.load(f_stem), cache.load(l_stem)
+        if cf is not None and cl is not None:
+            feats = cf.get("features", cf.get("array"))
+            labels = cl.get("labels", cl.get("array"))
+            if feats is not None and labels is not None:
+                return np.asarray(feats, np.float32), np.asarray(labels, np.int64)
+
+    feats, labels = encode_loader(
+        encode_fn, loader, normalize=True, progress=f"{split} features" if progress else None
+    )
+    if cache is not None:
+        f_stem, l_stem = cache.split_stems(split)
+        cache.save(f_stem, features=feats)
+        cache.save(l_stem, labels=labels)
+    return feats, labels

@@ -1,0 +1,78 @@
+"""On-disk feature caches, directory-compatible with the reference.
+
+The reference caches every expensive stage under
+``caches/<dataset>/models/<backbone>/K-<shots>/`` (``utils.py:280-332``):
+
+- ``aug/visual_mb_{keys,values}_aug_{A}_{K}_shots.pt``
+- ``text_mb_<backbone>_K_<shots>.pkl``
+- ``{val,test}_{features,labels}.pt``
+
+This cache keeps the same tree and stem names but stores ``.npz`` (torch-free,
+mmap-able).  For A/B interop it also *reads* the reference's ``.pt`` caches
+when an ``.npz`` is absent (via the pure-Python torch reader).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+from protoclip_tpu.io.checkpoint import beautify, model_dir_root
+
+
+class FeatureCache:
+    """Cache handle for one (dataset, backbone, shots) operating point."""
+
+    def __init__(self, cache_dir: str, backbone: str, shots: int, enabled: bool = True):
+        self.root = model_dir_root(cache_dir, backbone, shots)
+        self.backbone = backbone
+        self.shots = shots
+        self.enabled = enabled
+
+    # -- generic npz (+ torch fallback) -------------------------------------
+
+    def _npz_path(self, stem: str) -> str:
+        return os.path.join(self.root, f"{stem}.npz")
+
+    def load(self, stem: str) -> Optional[Dict[str, np.ndarray]]:
+        if not self.enabled:
+            return None
+        path = self._npz_path(stem)
+        if os.path.exists(path):
+            with np.load(path) as data:
+                return {k: data[k] for k in data.files}
+        pt_path = os.path.join(self.root, f"{stem}.pt")
+        if os.path.exists(pt_path):
+            from protoclip_tpu.io.torch_pt import load_pt
+
+            obj = load_pt(pt_path)
+            if isinstance(obj, dict):
+                return {k: np.asarray(v) for k, v in obj.items()}
+            return {"array": np.asarray(obj)}
+        return None
+
+    def save(self, stem: str, **arrays: np.ndarray) -> None:
+        if not self.enabled:
+            return
+        path = self._npz_path(stem)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        np.savez(path, **arrays)
+
+    # -- named artifacts (reference stem naming) ----------------------------
+
+    def visual_bank_stems(self, augment_epochs: int):
+        return (
+            f"aug/visual_mb_keys_aug_{augment_epochs}_{self.shots}_shots",
+            f"aug/visual_mb_values_aug_{augment_epochs}_{self.shots}_shots",
+        )
+
+    def text_bank_stem(self) -> str:
+        return f"text_mb_{beautify(self.backbone)}_K_{self.shots}"
+
+    def split_stems(self, split: str):
+        return f"{split}_features", f"{split}_labels"
+
+    def hp_search_stem(self, split: str) -> str:
+        return f"zero_shot_hp_search_{split}_{beautify(self.backbone)}_K_{self.shots}"

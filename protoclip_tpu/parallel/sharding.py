@@ -1,0 +1,61 @@
+"""Sharding specs and sharded program builders.
+
+Layout policy (scaling-book recipe: pick a mesh, annotate shardings, let XLA
+insert collectives):
+
+- CLIP weights, memory banks, adapter, optimizer state: **replicated** —
+  they are tiny next to activations and every chip needs all of them.
+- Image batches / token batches / feature batches: **sharded on axis 0**
+  over the ``data`` mesh axis.
+- Per-batch metrics: XLA inserts the ``psum`` when reducing a sharded array
+  to a replicated scalar; no hand-written collectives needed.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard axis 0 over the ``data`` mesh axis."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(arr, mesh: Mesh):
+    """Place a host batch sharded over the mesh (axis 0)."""
+    return jax.device_put(arr, batch_sharding(mesh))
+
+
+def make_sharded_encode(
+    encode_fn: Callable, mesh: Mesh
+) -> Callable:
+    """jit ``encode_fn(params, images) -> features`` with images/features
+    sharded over ``data`` and params replicated."""
+    return jax.jit(
+        encode_fn,
+        in_shardings=(replicated(mesh), batch_sharding(mesh)),
+        out_shardings=batch_sharding(mesh),
+    )
+
+
+def shard_qt_step(step_fn: Callable, mesh: Mesh) -> Callable:
+    """jit the Q^T train step with batch inputs sharded over ``data``.
+
+    Signature: ``step(params, opt_state, images, labels, n_valid, lr)``.
+    Params/optimizer state replicate; the frozen-encode activations (the
+    memory giant) shard by batch; the loss reduction induces a psum.
+    """
+    rep, bat = replicated(mesh), batch_sharding(mesh)
+    return jax.jit(
+        step_fn,
+        in_shardings=(rep, rep, bat, bat, rep, rep),
+        out_shardings=(rep, rep, rep),
+        donate_argnums=(0, 1),
+    )

@@ -1,0 +1,241 @@
+"""Proto-CLIP-F episodic trainer as a fixed-shape TPU program.
+
+Reference hot loop (``main.py:222-313``): per epoch, a class permutation is
+chopped into random chunks of 20-40% of the classes; for each chunk
+("episode") every chunk class's K support slots are randomly split into
+support/query, the *frozen* cached features of the query slots pass through
+the adapter, and one AdamW step minimizes L1+L2+L3 against prototypes built
+from the *trainable* banks (prototypes always use all N classes and all K
+slots, ``main.py:260-264``; queries are the frozen keys, ``main.py:267``).
+
+TPU reformulation (SURVEY.md §7 "hard parts"): episodes become dense masks —
+``class_mask (E, N)`` and ``query_mask (E, N, K)`` sampled on host with numpy
+— and one jitted ``lax.scan`` consumes all E episodes of an epoch in a single
+dispatch.  Loss/accuracy are mask-weighted over the full (N*K) query block,
+which is mathematically identical to gathering the variable-length query set
+(non-query rows carry zero weight, and adapter grads flow only through
+weighted rows).  Padded episodes (``valid = 0``) leave params and optimizer
+state untouched.
+
+Exact PyTorch RNG replay is impossible (different generators); the parity
+target is accuracy, not bitwise traces.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from protoclip_tpu.core.protoclip import ProtoClip
+from protoclip_tpu.models.adapters import apply_adapter, init_adapter
+from protoclip_tpu.ops.losses import protoclip_loss
+from protoclip_tpu.ops.proto import class_prototypes, l2_normalize, proto_probs
+from protoclip_tpu.train.optim import cosine_lr, make_optimizer
+
+
+def episode_bounds(n_class: int) -> Tuple[int, int]:
+    """Class-chunk size bounds (ref ``main.py:218-220``)."""
+    upper = max(int(n_class * 0.4), 2)
+    lower = max(int(n_class * 0.2), 1)
+    return lower, upper
+
+
+def max_episodes(n_class: int) -> int:
+    lower, _ = episode_bounds(n_class)
+    return int(np.ceil(max(n_class - 1, 1) / lower))
+
+
+def make_episode_masks(
+    rng: np.random.Generator, n_class: int, k_shots: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Sample one epoch of episode masks on the host.
+
+    Returns ``class_mask (E, N)``, ``query_mask (E, N, K)``, ``valid (E,)``
+    with E = :func:`max_episodes` (trailing episodes zero-padded).
+
+    Mirrors the reference sampler: a class permutation is chunked by
+    ``randint(lower, upper)`` sizes over positions ``[0, N-1)`` (the final
+    permutation position never participates — reference quirk,
+    ``main.py:235-239``); per chunk class, ``n = randint(1, K)`` support
+    slots, the remaining ``K - n`` are queries (all K slots when K == 1).
+    """
+    lower, upper = episode_bounds(n_class)
+    E = max_episodes(n_class)
+    class_mask = np.zeros((E, n_class), np.float32)
+    query_mask = np.zeros((E, n_class, k_shots), np.float32)
+    valid = np.zeros((E,), np.float32)
+
+    perm = rng.permutation(n_class)
+    start, e = 0, 0
+    while start < n_class - 1 and e < E:
+        num = int(rng.integers(lower, upper)) if upper > lower else lower
+        chunk = perm[start : min(start + num, n_class - 1)]
+        if len(chunk) == 0:
+            break
+        for cls in chunk:
+            class_mask[e, cls] = 1.0
+            if k_shots > 1:
+                n_support = int(rng.integers(1, k_shots))
+                slots = rng.permutation(k_shots)
+                query_mask[e, cls, slots[n_support:]] = 1.0
+            else:
+                query_mask[e, cls, :] = 1.0
+        valid[e] = 1.0
+        start += len(chunk)
+        e += 1
+    return class_mask, query_mask, valid
+
+
+@dataclasses.dataclass
+class EpisodicTrainer:
+    """Owns the jitted epoch program and the training state.
+
+    Parameters mirror the reference config: ``alpha/beta`` are the fixed
+    operating point used during training (``main.py:213-214``),
+    ``train_vis_mem_only`` drops the textual bank from the optimizer
+    (``main.py:127-132``), ``losses`` selects L1/L2/L3/L4.
+    """
+
+    frozen_keys: np.ndarray  # (N*K, d) cached support features (query source)
+    bank_t_init: np.ndarray  # (N, d)
+    n_class: int
+    k_shots: int
+    adapter_kind: str
+    alpha: float
+    beta: float
+    lr: float = 1e-4
+    train_epoch: int = 2000
+    losses: Tuple[str, ...] = ("L1", "L2", "L3")
+    train_vis_mem_only: bool = False
+    seed: int = 1
+
+    def __post_init__(self):
+        d = self.frozen_keys.shape[1]
+        self.params: Dict = {
+            "bank_v": jnp.asarray(self.frozen_keys, jnp.float32),
+            "adapter": init_adapter(jax.random.PRNGKey(self.seed), d, self.adapter_kind),
+        }
+        if not self.train_vis_mem_only:
+            self.params["bank_t"] = jnp.asarray(self.bank_t_init, jnp.float32)
+        self._frozen_bank_t = jnp.asarray(self.bank_t_init, jnp.float32)
+        self._frozen_keys = jnp.asarray(self.frozen_keys, jnp.float32)
+        self.optimizer = make_optimizer(self.lr)
+        self.opt_state = self.optimizer.init(self.params)
+        self._labels = jnp.repeat(jnp.arange(self.n_class), self.k_shots)
+        self._np_rng = np.random.default_rng(self.seed)
+        self._epoch_fn = self._build_epoch_fn()
+        self.epoch = 0
+
+    # -- construction of the jitted epoch ----------------------------------
+
+    def _build_epoch_fn(self):
+        n, k = self.n_class, self.k_shots
+        labels = self._labels
+        losses = self.losses
+        alpha, beta = self.alpha, self.beta
+        optimizer = self.optimizer
+        frozen_keys = self._frozen_keys
+        frozen_bank_t = self._frozen_bank_t
+        vis_only = self.train_vis_mem_only
+
+        def episode_loss(params, query_mask_flat):
+            bank_t = frozen_bank_t if vis_only else params["bank_t"]
+            img_proto = class_prototypes(params["bank_v"], n, k)
+            txt_proto = l2_normalize(bank_t.astype(jnp.float32))
+            zq = apply_adapter(params["adapter"], frozen_keys, self.adapter_kind)
+            zq = l2_normalize(zq.astype(jnp.float32))
+            p = proto_probs(zq, img_proto, txt_proto, alpha, beta)
+            terms = protoclip_loss(
+                p, labels, img_proto, txt_proto, losses, query_weights=query_mask_flat
+            )
+            preds = jnp.argmax(p, axis=-1)
+            matches = jnp.sum((preds == labels).astype(jnp.float32) * query_mask_flat)
+            return terms["total"], (terms, matches)
+
+        grad_fn = jax.value_and_grad(episode_loss, has_aux=True)
+
+        def one_episode(carry, episode):
+            params, opt_state = carry
+            query_mask, valid = episode  # (N, K), ()
+            qm_flat = query_mask.reshape(-1)
+            (loss, (terms, matches)), grads = grad_fn(params, qm_flat)
+            updates, new_opt_state = optimizer.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            # padded episode: keep previous params/opt state
+            keep = valid > 0
+            params = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(keep, new, old), new_params, params
+            )
+            opt_state = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(keep, new, old), new_opt_state, opt_state
+            )
+            metrics = {
+                "loss": loss * valid,
+                "matches": matches * valid,
+                "queries": jnp.sum(qm_flat) * valid,
+                "episodes": valid,
+            }
+            return (params, opt_state), metrics
+
+        @jax.jit
+        def epoch_fn(params, opt_state, query_masks, valid, lr):
+            opt_state = _set_lr(opt_state, lr)
+            (params, opt_state), metrics = jax.lax.scan(
+                one_episode, (params, opt_state), (query_masks, valid)
+            )
+            agg = {
+                "loss": jnp.sum(metrics["loss"]) / jnp.maximum(jnp.sum(metrics["episodes"]), 1),
+                "acc": jnp.sum(metrics["matches"]) / jnp.maximum(jnp.sum(metrics["queries"]), 1),
+            }
+            return params, opt_state, agg
+
+        return epoch_fn
+
+    # -- public API ---------------------------------------------------------
+
+    def run_epoch(self) -> Dict[str, float]:
+        """Sample an epoch of episodes on host, run the jitted scan."""
+        _, query_mask, valid = make_episode_masks(self._np_rng, self.n_class, self.k_shots)
+        t_max = self.train_epoch * self.n_class * self.k_shots
+        lr = cosine_lr(self.lr, self.epoch, t_max)
+        self.params, self.opt_state, agg = self._epoch_fn(
+            self.params,
+            self.opt_state,
+            jnp.asarray(query_mask),
+            jnp.asarray(valid),
+            jnp.asarray(lr, jnp.float32),
+        )
+        self.epoch += 1
+        return {"loss": float(agg["loss"]), "acc": float(agg["acc"]), "lr": lr}
+
+    def model(self) -> ProtoClip:
+        bank_t = self.params.get("bank_t", self._frozen_bank_t)
+        return ProtoClip(
+            bank_v=self.params["bank_v"],
+            bank_t=bank_t,
+            adapter=self.params["adapter"],
+            adapter_kind=self.adapter_kind,
+            shots=self.k_shots,
+        )
+
+    def load_model(self, model: ProtoClip) -> None:
+        """Restore trainable params from a ProtoClip (e.g. best checkpoint)."""
+        self.params["bank_v"] = jnp.asarray(model.bank_v, jnp.float32)
+        if not self.train_vis_mem_only:
+            self.params["bank_t"] = jnp.asarray(model.bank_t, jnp.float32)
+        else:
+            self._frozen_bank_t = jnp.asarray(model.bank_t, jnp.float32)
+        self.params["adapter"] = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(x, jnp.float32), model.adapter
+        )
+
+
+def _set_lr(opt_state, lr):
+    """Update the injected learning-rate hyperparameter in-place."""
+    opt_state.hyperparams["learning_rate"] = lr
+    return opt_state

@@ -1,0 +1,258 @@
+"""End-to-end experiment runner — the equivalent of the reference's
+``main()`` + ``run_proto_clip()`` (``main.py:105-552``), composed from the
+framework layers:
+
+1. load CLIP, build dataset + loaders
+2. build/load visual + textual memory banks and val/test feature caches
+3. zero-shot alpha/beta sweep (cached)
+4. optionally train (episodic Proto-CLIP-F or F-Q^T), best-val checkpointing
+5. test at the fixed config (alpha, beta) and at re-searched HPs
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from protoclip_tpu.core.config import Config
+from protoclip_tpu.core.protoclip import ProtoClip, accuracy
+from protoclip_tpu.data import BatchLoader, build_dataset, normalize_batch
+from protoclip_tpu.data.transforms import EvalTransform, TrainTransform
+from protoclip_tpu.eval.gridsearch import (
+    alpha_beta_sweep,
+    best_operating_point,
+    default_alpha_beta_grid,
+    sweep_to_triples,
+)
+from protoclip_tpu.io.checkpoint import checkpoint_paths, save_checkpoint_triple
+from protoclip_tpu.memory import (
+    FeatureCache,
+    build_textual_memory_bank,
+    build_visual_memory_bank,
+    pre_load_features,
+)
+from protoclip_tpu.models import (
+    adapter_to_torch_state,
+    encode_image,
+    encode_text,
+    load_clip,
+)
+from protoclip_tpu.models.adapters import adapter_from_torch_state
+from protoclip_tpu.obs.logging import MetricLogger
+from protoclip_tpu.train.episodic import EpisodicTrainer
+from protoclip_tpu.train.qt import QTTrainer
+
+
+def make_encode_fns(cfg: Config, mesh=None):
+    """Load CLIP and return jitted uint8-batch encode functions.
+
+    ``encode_fn(images_u8) -> (B, d)``; normalization happens on device.
+    With a mesh, batches shard over the ``data`` axis.
+    """
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    clip_cfg, clip_params = load_clip(cfg.backbone, cfg.weights_path, dtype=dtype)
+
+    def _image(params, images_u8):
+        return encode_image(params, normalize_batch(images_u8, dtype), clip_cfg)
+
+    def _text(params, tokens):
+        return encode_text(params, tokens, clip_cfg)
+
+    if mesh is not None:
+        from protoclip_tpu.parallel.sharding import make_sharded_encode
+
+        image_jit = make_sharded_encode(_image, mesh)
+        text_jit = jax.jit(_text)
+    else:
+        image_jit = jax.jit(_image)
+        text_jit = jax.jit(_text)
+
+    return (
+        lambda images_u8: image_jit(clip_params, images_u8),
+        lambda tokens: text_jit(clip_params, tokens),
+        clip_cfg,
+        clip_params,
+    )
+
+
+@dataclasses.dataclass
+class ExperimentResult:
+    zero_shot: Dict[str, float]
+    test_acc_fixed: float
+    test_acc_searched: float
+    searched_alpha: float
+    searched_beta: float
+    best_val_acc: float
+    best_epoch: int
+
+
+def run(cfg: Config, mesh=None, progress: bool = True, logger: Optional[MetricLogger] = None) -> ExperimentResult:
+    """Run one full Proto-CLIP experiment from a config."""
+    cfg.validate()
+    logger = logger or MetricLogger(os.path.join(cfg.logs_dir_path, cfg.dataset))
+    encode_fn, text_fn, clip_cfg, clip_params = make_encode_fns(cfg, mesh)
+    cache = FeatureCache(cfg.cache_dir, cfg.backbone, cfg.shots)
+
+    dataset = build_dataset(cfg.dataset, cfg.root_path, cfg.shots, seed=cfg.seed)
+    n_px = clip_cfg.image_resolution
+
+    train_loader = BatchLoader(
+        dataset.train_x, batch_size=cfg.batch_size,
+        transform=TrainTransform(n_px), shuffle=False, seed=cfg.seed, image_size=n_px,
+    )
+    val_loader = BatchLoader(
+        dataset.val, batch_size=cfg.batch_size,
+        transform=EvalTransform(n_px), shuffle=False, image_size=n_px,
+    )
+    test_loader = BatchLoader(
+        dataset.test, batch_size=cfg.batch_size,
+        transform=EvalTransform(n_px), shuffle=False, image_size=n_px,
+    )
+
+    bank_v, bank_values = build_visual_memory_bank(
+        encode_fn, train_loader, cfg.augment_epoch, cache, progress=progress
+    )
+    bank_t = build_textual_memory_bank(
+        text_fn, dataset.classnames, dataset.template, cache,
+        context_length=clip_cfg.context_length,
+    )
+    val_feats, val_labels = pre_load_features(encode_fn, val_loader, "val", cache, progress)
+    test_feats, test_labels = pre_load_features(encode_fn, test_loader, "test", cache, progress)
+
+    n_class = dataset.num_classes
+    k = cfg.shots
+
+    # ---- zero-shot alpha/beta sweep (ref main.py:167-211) -----------------
+    alphas, betas = default_alpha_beta_grid()
+    img_protos = np.asarray(
+        jax.jit(lambda b: ProtoClip(
+            bank_v=b, bank_t=jnp.asarray(bank_t), adapter={}, adapter_kind="fc", shots=k
+        ).prototypes()[0])(jnp.asarray(bank_v))
+    )
+    text_protos = bank_t / np.linalg.norm(bank_t, axis=-1, keepdims=True)
+    zs = {}
+    for split, feats, labels in (
+        ("val", val_feats, val_labels),
+        ("test", test_feats, test_labels),
+        ("train", bank_v, np.argmax(bank_values, axis=1)),
+    ):
+        stem = cache.hp_search_stem(split)
+        cached = cache.load(stem)
+        if cached is not None and "acc" in cached:
+            acc_grid = cached["acc"]
+        else:
+            acc_grid = alpha_beta_sweep(feats, labels, img_protos, text_protos, alphas, betas)
+            cache.save(stem, acc=acc_grid, triples=sweep_to_triples(acc_grid, alphas, betas))
+        a, b, best = best_operating_point(acc_grid, alphas, betas)
+        zs[f"{split}_best_alpha"], zs[f"{split}_best_beta"], zs[f"{split}_best_acc"] = a, b, best
+        logger.scalar(f"zero_shot/{split}_best_acc", best, 0)
+    if progress:
+        print(
+            f"[zero-shot] val best {zs['val_best_acc']*100:.2f}% "
+            f"(a={zs['val_best_alpha']}, b={zs['val_best_beta']}) | "
+            f"test best {zs['test_best_acc']*100:.2f}%"
+        )
+
+    # The reference overrides the searched HPs with the config's
+    # (main.py:213-214); training runs at the tuned operating point.
+    alpha, beta = cfg.alpha, cfg.beta
+
+    ckpt_v, ckpt_t, ckpt_a = checkpoint_paths(
+        cfg.cache_dir, cfg.backbone, cfg.shots, alpha, beta,
+        cfg.lr, cfg.augment_epoch, cfg.train_epoch,
+    )
+
+    best_val, best_epoch = 0.0, -1
+    if not cfg.only_test:
+        trainer = EpisodicTrainer(
+            frozen_keys=bank_v,
+            bank_t_init=bank_t,
+            n_class=n_class,
+            k_shots=k,
+            adapter_kind=cfg.adapter,
+            alpha=alpha,
+            beta=beta,
+            lr=cfg.lr,
+            train_epoch=cfg.train_epoch,
+            losses=tuple(cfg.losses),
+            train_vis_mem_only=cfg.train_vis_mem_only,
+            seed=cfg.seed,
+        )
+        val_j = jnp.asarray(val_feats)
+        val_l = jnp.asarray(val_labels)
+
+        @jax.jit
+        def val_acc_fn(model: ProtoClip):
+            p = model.probs(val_j, alpha, beta)
+            return jnp.mean((jnp.argmax(p, axis=-1) == val_l).astype(jnp.float32))
+
+        iterator = range(cfg.train_epoch)
+        if progress:
+            from tqdm import tqdm
+
+            iterator = tqdm(iterator, desc=f"train {cfg.dataset}")
+        for epoch in iterator:
+            stats = trainer.run_epoch()
+            model = trainer.model()
+            va = float(val_acc_fn(model))
+            logger.scalar("Loss/train", stats["loss"], epoch)
+            logger.scalar("Accuracy/train", stats["acc"], epoch)
+            logger.scalar("Accuracy/val", va, epoch)
+            logger.scalar("HP/lr", stats["lr"], epoch)
+            if va >= best_val:
+                best_val, best_epoch = va, epoch
+                save_checkpoint_triple(
+                    ckpt_v, ckpt_t, ckpt_a,
+                    np.asarray(model.bank_v), np.asarray(model.bank_t),
+                    adapter_to_torch_state(model.adapter, cfg.adapter),
+                )
+        if progress:
+            print(f"Best val acc {best_val*100:.2f}% @ epoch {best_epoch}")
+
+    # ---- test (ref main.py:383-458) ---------------------------------------
+    from protoclip_tpu.io.checkpoint import load_checkpoint_triple
+
+    bank_v_best, bank_t_best, adapter_state = load_checkpoint_triple(ckpt_v, ckpt_t, ckpt_a)
+    model = ProtoClip(
+        bank_v=jnp.asarray(bank_v_best, jnp.float32),
+        bank_t=jnp.asarray(bank_t_best, jnp.float32),
+        adapter=adapter_from_torch_state(adapter_state, cfg.adapter),
+        adapter_kind=cfg.adapter,
+        shots=k,
+    )
+    test_acc_fixed = accuracy(model, test_feats, test_labels, alpha, beta)
+    logger.scalar("Accuracy/test_fixed", test_acc_fixed, 0)
+
+    # re-search alpha/beta on adapted features (ref main.py:407-434)
+    img_p, txt_p = jax.jit(lambda m: m.prototypes())(model)
+    adapt_j = jax.jit(lambda m, f: m.adapt(f))
+    val_adapted = np.asarray(adapt_j(model, jnp.asarray(val_feats)))
+    test_adapted = np.asarray(adapt_j(model, jnp.asarray(test_feats)))
+    val_grid = alpha_beta_sweep(val_adapted, val_labels, img_p, txt_p, alphas, betas)
+    a_s, b_s, _ = best_operating_point(val_grid, alphas, betas)
+    test_grid = alpha_beta_sweep(test_adapted, test_labels, img_p, txt_p, alphas, betas)
+    ai = int(np.where(alphas == a_s)[0][0])
+    bi = int(np.argmin(np.abs(betas - b_s)))
+    test_acc_searched = float(test_grid[ai, bi])
+    logger.scalar("Accuracy/test_searched", test_acc_searched, 0)
+    if progress:
+        print(
+            f"[test] fixed(a={alpha}, b={beta}): {test_acc_fixed*100:.2f}% | "
+            f"searched(a={a_s}, b={b_s}): {test_acc_searched*100:.2f}%"
+        )
+    logger.flush()
+
+    return ExperimentResult(
+        zero_shot=zs,
+        test_acc_fixed=test_acc_fixed,
+        test_acc_searched=test_acc_searched,
+        searched_alpha=a_s,
+        searched_beta=b_s,
+        best_val_acc=best_val,
+        best_epoch=best_epoch,
+    )

@@ -38,6 +38,7 @@ requires_reference = pytest.mark.skipif(
 )
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # function-scoped: each test gets an identical, order-independent stream
     return np.random.default_rng(0)

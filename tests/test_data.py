@@ -1,0 +1,194 @@
+"""Data layer: types, few-shot sampling, splits, transforms, loader."""
+
+import json
+import os
+import random
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from protoclip_tpu.data import (
+    BatchLoader,
+    Datum,
+    FewShotDataset,
+    build_dataset,
+    available_datasets,
+    normalize_batch,
+)
+from protoclip_tpu.data.splits import read_split, save_split, read_and_split_folder_dataset
+from protoclip_tpu.data.transforms import (
+    CLIP_MEAN,
+    CLIP_STD,
+    EvalTransform,
+    TrainTransform,
+    clip_preprocess,
+    random_resized_crop,
+)
+from protoclip_tpu.data.types import generate_fewshot
+
+
+def _items(n_class=4, per_class=6):
+    return [
+        Datum(f"/img/{c}_{i}.jpg", c, f"class{c}")
+        for c in range(n_class)
+        for i in range(per_class)
+    ]
+
+
+def test_dataset_properties():
+    ds = FewShotDataset(_items(), [], [], ["a photo of a {}."], name="toy")
+    assert ds.num_classes == 4
+    assert ds.classnames == ["class0", "class1", "class2", "class3"]
+
+
+def test_generate_fewshot_exact():
+    out = generate_fewshot(_items(4, 6), 3, seed=1)
+    assert len(out) == 12
+    per_class = {}
+    for d in out:
+        per_class.setdefault(d.label, set()).add(d.impath)
+    assert all(len(v) == 3 for v in per_class.values())  # no repeats
+
+
+def test_generate_fewshot_repeat_small_class():
+    items = _items(2, 2)
+    out = generate_fewshot(items, 5, seed=1)
+    assert len(out) == 10  # repeats allowed when class < K
+
+
+def test_generate_fewshot_deterministic():
+    a = generate_fewshot(_items(), 2, seed=7)
+    b = generate_fewshot(_items(), 2, seed=7)
+    assert [d.impath for d in a] == [d.impath for d in b]
+    c = generate_fewshot(_items(), 2, seed=8)
+    assert [d.impath for d in a] != [d.impath for d in c]
+
+
+def test_split_roundtrip(tmp_path):
+    train, val, test = _items(3, 4), _items(3, 2), _items(3, 3)
+    path = str(tmp_path / "split.json")
+    save_split(train, val, test, path, "/img")
+    t2, v2, s2 = read_split(path, "/img")
+    assert [d.impath for d in t2] == [d.impath for d in train]
+    assert [d.label for d in s2] == [d.label for d in test]
+
+
+def test_folder_splitter(tmp_path):
+    for cls in ("alpha", "beta"):
+        d = tmp_path / "images" / cls
+        d.mkdir(parents=True)
+        for i in range(10):
+            Image.new("RGB", (8, 8)).save(d / f"{i}.jpg")
+    train, val, test = read_and_split_folder_dataset(str(tmp_path / "images"), seed=0)
+    assert len(train) == 10 and len(val) == 4 and len(test) == 6
+    assert {d.classname for d in train} == {"alpha", "beta"}
+
+
+def test_registry_lists_all():
+    expected = {
+        "caltech101", "dtd", "eurosat", "fgvc", "food101", "imagenet",
+        "oxford_flowers", "oxford_pets", "stanford_cars", "sun397", "ucf101",
+        "fewsol", "fewsol_198",
+    }
+    assert set(available_datasets()) == expected
+
+
+def test_build_dataset_json(tmp_path):
+    img_dir = tmp_path / "caltech-101" / "101_ObjectCategories"
+    img_dir.mkdir(parents=True)
+    rows = {"train": [], "val": [], "test": []}
+    for c, cname in enumerate(["ant", "bee"]):
+        for i in range(4):
+            rel = f"{cname}/{i}.jpg"
+            (img_dir / cname).mkdir(exist_ok=True)
+            Image.new("RGB", (8, 8)).save(img_dir / rel)
+            rows["train"].append([rel, c, cname])
+        rows["val"].append([f"{cname}/0.jpg", c, cname])
+        rows["test"].append([f"{cname}/1.jpg", c, cname])
+    with open(tmp_path / "caltech-101" / "split_zhou_Caltech101.json", "w") as fh:
+        json.dump(rows, fh)
+    ds = build_dataset("caltech101", str(tmp_path), shots=2, seed=1)
+    assert ds.num_classes == 2
+    assert len(ds.train_x) == 4  # 2 classes x 2 shots
+    assert ds.template == ["a photo of a {}."]
+
+
+# -- transforms -------------------------------------------------------------
+
+
+def test_clip_preprocess_shape():
+    img = Image.new("RGB", (300, 180), (255, 0, 0))
+    out = clip_preprocess(img, 224)
+    assert out.shape == (224, 224, 3) and out.dtype == np.uint8
+    assert out[0, 0, 0] == 255
+
+
+def test_random_resized_crop_bounds():
+    rng = random.Random(0)
+    img = Image.new("RGB", (100, 80))
+    for _ in range(5):
+        out = random_resized_crop(img, 32, rng)
+        assert out.size == (32, 32)
+
+
+def test_train_transform_deterministic_given_rng():
+    img = Image.fromarray(
+        np.random.default_rng(0).integers(0, 255, (64, 64, 3), dtype=np.uint8).astype(np.uint8)
+    )
+    t = TrainTransform(32)
+    a = t(img, random.Random(42))
+    b = t(img, random.Random(42))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_normalize_batch_matches_manual():
+    rng = np.random.default_rng(0)
+    u8 = rng.integers(0, 256, (2, 4, 4, 3), dtype=np.uint8).astype(np.uint8)
+    out = np.asarray(normalize_batch(np.asarray(u8)))
+    manual = (u8.astype(np.float32) / 255.0 - np.asarray(CLIP_MEAN, np.float32)) / np.asarray(
+        CLIP_STD, np.float32
+    )
+    np.testing.assert_allclose(out, manual, atol=1e-5)
+
+
+# -- loader -----------------------------------------------------------------
+
+
+@pytest.fixture()
+def image_items(tmp_path):
+    items = []
+    for i in range(10):
+        path = tmp_path / f"im{i}.png"
+        Image.fromarray(np.full((16, 16, 3), i * 20, np.uint8)).save(path)
+        items.append(Datum(str(path), i % 3, f"c{i % 3}"))
+    return items
+
+
+def test_batch_loader_order_and_padding(image_items):
+    loader = BatchLoader(image_items, batch_size=4, transform=EvalTransform(16), image_size=16)
+    batches = list(loader)
+    assert len(batches) == 3
+    imgs, labels, n_valid = batches[-1]
+    assert imgs.shape == (4, 16, 16, 3)
+    assert n_valid == 2
+    assert (imgs[2:] == 0).all()  # padded rows are zero
+    first_imgs, first_labels, _ = batches[0]
+    assert first_labels.tolist() == [0, 1, 2, 0]
+    assert first_imgs[0, 0, 0, 0] == 0 and first_imgs[1, 0, 0, 0] == 20
+
+
+def test_batch_loader_shuffle_reproducible(image_items):
+    l1 = BatchLoader(image_items, batch_size=10, shuffle=True, seed=3, image_size=16)
+    l2 = BatchLoader(image_items, batch_size=10, shuffle=True, seed=3, image_size=16)
+    _, labels1, _ = next(iter(l1))
+    _, labels2, _ = next(iter(l2))
+    assert labels1.tolist() == labels2.tolist()
+    # second epoch reshuffles
+    _, labels1b, _ = next(iter(l1))
+    assert labels1.tolist() != labels1b.tolist()
+
+
+def test_batch_loader_empty_raises():
+    with pytest.raises(ValueError):
+        BatchLoader([], batch_size=4)

@@ -1,0 +1,134 @@
+"""End-to-end: full experiment runner on a synthetic dataset with a tiny
+CLIP checkpoint — the integration test for the whole stack (dataset ->
+loaders -> banks -> sweep -> train -> checkpoint -> test)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from protoclip_tpu.core.config import Config
+from tests.test_models import _tiny_torch_style_state_dict
+
+torch = pytest.importorskip("torch")
+
+N_CLASS, N_TRAIN, N_EVAL = 3, 6, 4  # per class
+
+
+@pytest.fixture(scope="module")
+def tiny_env(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("e2e")
+    rng = np.random.default_rng(0)
+
+    # tiny CLIP weights in torch layout (32px, patch 16, embed 32)
+    sd = _tiny_torch_style_state_dict(rng)
+    weights_path = str(tmp / "tiny_clip.pt")
+    torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}, weights_path)
+
+    # synthetic caltech-like dataset: each class a distinct color family
+    root = tmp / "DATA"
+    img_dir = root / "caltech-101" / "101_ObjectCategories"
+    rows = {"train": [], "val": [], "test": []}
+    colors = [(200, 30, 30), (30, 200, 30), (30, 30, 200)]
+    for c, cname in enumerate(["redthing", "greenthing", "bluething"]):
+        (img_dir / cname).mkdir(parents=True)
+        idx = 0
+        for split, count in (("train", N_TRAIN), ("val", N_EVAL), ("test", N_EVAL)):
+            for _ in range(count):
+                rel = f"{cname}/{idx}.jpg"
+                base = np.asarray(colors[c], np.uint8)
+                noise = rng.integers(0, 50, (40, 40, 3))
+                img = np.clip(base[None, None] + noise, 0, 255).astype(np.uint8)
+                Image.fromarray(img).save(img_dir / rel)
+                rows[split].append([rel, c, cname])
+                idx += 1
+    with open(root / "caltech-101" / "split_zhou_Caltech101.json", "w") as fh:
+        json.dump(rows, fh)
+
+    return {"root": str(root), "weights": weights_path, "tmp": str(tmp)}
+
+
+def _config(env, **kw):
+    defaults = dict(
+        dataset="caltech101",
+        root_path=env["root"],
+        shots=2,
+        backbone="tiny",
+        weights_path=env["weights"],
+        lr=1e-3,
+        augment_epoch=2,
+        train_epoch=3,
+        alpha=0.5,
+        beta=5.0,
+        adapter="fc",
+        batch_size=8,
+        cache_root=os.path.join(env["tmp"], "caches"),
+        logs_dir_path=os.path.join(env["tmp"], "logs"),
+        compute_dtype="float32",
+    )
+    defaults.update(kw)
+    return Config(**defaults)
+
+
+def test_full_run_and_only_test(tiny_env):
+    from protoclip_tpu.train.runner import run
+
+    cfg = _config(tiny_env)
+    result = run(cfg, progress=False)
+
+    assert 0.0 <= result.test_acc_fixed <= 1.0
+    assert 0.0 <= result.test_acc_searched <= 1.0
+    assert result.best_epoch >= 0
+    assert "val_best_acc" in result.zero_shot
+
+    # caches written in the reference tree layout
+    cache_root = os.path.join(cfg.cache_dir, "models", "tiny", "K-2")
+    assert os.path.exists(os.path.join(cache_root, "aug", "visual_mb_keys_aug_2_2_shots.npz"))
+    assert os.path.exists(os.path.join(cache_root, "text_mb_tiny_K_2.npz"))
+    assert os.path.exists(os.path.join(cache_root, "val_features.npz"))
+    # checkpoint triple exists and is torch-loadable
+    ckpt_dir = os.path.join(cache_root, "alpha-beta", "0.5-5.0")
+    files = os.listdir(ckpt_dir)
+    assert any(f.endswith("_v.pt") for f in files)
+    v = torch.load(
+        os.path.join(ckpt_dir, "best_lr_0.001_aug_2_epochs_2000_v.pt")
+        if "best_lr_0.001_aug_2_epochs_2000_v.pt" in files
+        else os.path.join(ckpt_dir, next(f for f in files if f.endswith("_v.pt"))),
+        weights_only=False,
+    )
+    assert tuple(v.shape) == (N_CLASS * 2, 32)
+
+    # only_test path reloads everything from caches + checkpoint
+    result2 = run(_config(tiny_env, only_test=True), progress=False)
+    assert result2.test_acc_fixed == pytest.approx(result.test_acc_fixed, abs=1e-5)
+
+
+def test_qt_run(tiny_env):
+    from protoclip_tpu.train.qt_runner import run_qt
+
+    cfg = _config(tiny_env, train_epoch=2)
+    result = run_qt(cfg, progress=False)
+    assert 0.0 <= result.test_acc_fixed <= 1.0
+    ckpt_dir = os.path.join(
+        cfg.cache_dir, "models", "tiny", "K-2", "best-alpha-beta", "0.5-5.0"
+    )
+    assert os.path.isdir(ckpt_dir) and os.listdir(ckpt_dir)
+
+
+def test_sharded_encode_on_cpu_mesh(tiny_env):
+    """Batch-sharded encode over the 8-device virtual mesh."""
+    import jax
+
+    if jax.device_count() < 2:
+        pytest.skip("needs multiple devices")
+    from protoclip_tpu.parallel import make_mesh
+    from protoclip_tpu.train.runner import make_encode_fns
+
+    mesh = make_mesh(8)
+    cfg = _config(tiny_env)
+    encode_fn, _, clip_cfg, _ = make_encode_fns(cfg, mesh)
+    images = np.zeros((16, 32, 32, 3), np.uint8)
+    feats = encode_fn(images)
+    assert feats.shape == (16, clip_cfg.embed_dim)

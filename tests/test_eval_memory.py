@@ -1,0 +1,165 @@
+"""Grid sweep, metrics, memory-bank construction, and cache interop."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from protoclip_tpu.eval import (
+    alpha_beta_sweep,
+    best_operating_point,
+    default_alpha_beta_grid,
+    sweep_to_triples,
+    top_k_accuracy,
+)
+from protoclip_tpu.memory import (
+    FeatureCache,
+    build_textual_memory_bank,
+    build_visual_memory_bank,
+    pre_load_features,
+)
+from protoclip_tpu.data.loader import ArrayLoader
+from protoclip_tpu.ops import proto_probs
+
+
+def test_default_grid_matches_reference():
+    alphas, betas = default_alpha_beta_grid()
+    assert alphas.tolist() == pytest.approx([0.0, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 1.0])
+    assert len(betas) == 29  # 9 fractional + 20 integer
+    assert betas[0] == pytest.approx(0.1) and betas[-1] == pytest.approx(20.0)
+
+
+def test_sweep_matches_naive_loop(rng):
+    Q, N, d = 40, 5, 16
+    feats = rng.standard_normal((Q, d)).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=-1, keepdims=True)
+    labels = rng.integers(0, N, Q)
+    img_p = rng.standard_normal((N, d)).astype(np.float32)
+    img_p /= np.linalg.norm(img_p, axis=-1, keepdims=True)
+    txt_p = rng.standard_normal((N, d)).astype(np.float32)
+    txt_p /= np.linalg.norm(txt_p, axis=-1, keepdims=True)
+
+    alphas = np.asarray([0.0, 0.5, 1.0], np.float32)
+    betas = np.asarray([0.5, 5.0], np.float32)
+    acc = alpha_beta_sweep(feats, labels, img_p, txt_p, alphas, betas)
+    assert acc.shape == (3, 2)
+    for i, a in enumerate(alphas):
+        for j, b in enumerate(betas):
+            p = np.asarray(proto_probs(jnp.asarray(feats), jnp.asarray(img_p), jnp.asarray(txt_p), float(a), float(b)))
+            expected = float((p.argmax(1) == labels).mean())
+            assert acc[i, j] == pytest.approx(expected, abs=1e-6)
+
+
+def test_best_operating_point_and_triples():
+    alphas = np.asarray([0.0, 1.0])
+    betas = np.asarray([1.0, 2.0])
+    acc = np.asarray([[0.1, 0.9], [0.4, 0.2]])
+    a, b, best = best_operating_point(acc, alphas, betas)
+    assert (a, b, best) == (0.0, 2.0, pytest.approx(0.9))
+    triples = sweep_to_triples(acc, alphas, betas)
+    assert triples.shape == (4, 3)
+    assert triples[1].tolist() == [0.0, 2.0, pytest.approx(0.9)]
+
+
+def test_top_k_accuracy():
+    scores = np.asarray([[0.1, 0.9, 0.0], [0.8, 0.1, 0.1]])
+    labels = np.asarray([1, 2])
+    assert top_k_accuracy(scores, labels, 1) == pytest.approx(50.0)
+    assert top_k_accuracy(scores, labels, 2) == pytest.approx(50.0)
+    assert top_k_accuracy(scores, labels, 3) == pytest.approx(100.0)
+
+
+# -- memory banks -----------------------------------------------------------
+
+
+def _fake_encode(images_u8):
+    """Deterministic 'encoder': mean-pool pixels into a feature."""
+    x = np.asarray(images_u8, np.float32)
+    b = x.shape[0]
+    feats = np.stack(
+        [x.mean((1, 2, 3)), x[:, 0].mean((1, 2)), x[:, :, 0].mean((1, 2)), np.ones(b)],
+        axis=1,
+    )
+    return jnp.asarray(feats)
+
+
+def test_visual_bank_build(rng, tmp_path):
+    # 3 classes x 2 shots of distinct constant images, shuffled order
+    images = np.stack([np.full((8, 8, 3), v, np.uint8) for v in (10, 10, 200, 200, 90, 90)])
+    labels = np.asarray([2, 2, 0, 0, 1, 1], np.int32)
+    loader = ArrayLoader(images, labels, batch_size=4)
+    cache = FeatureCache(str(tmp_path), "RN50", 2)
+    keys, values = build_visual_memory_bank(_fake_encode, loader, augment_epochs=3, cache=cache, progress=False)
+    assert keys.shape == (6, 4) and values.shape == (6, 3)
+    np.testing.assert_allclose(np.linalg.norm(keys, axis=-1), 1.0, atol=1e-5)
+    # sorted by label: first two rows are label 0 (value 200 images)
+    assert values.argmax(1).tolist() == [0, 0, 1, 1, 2, 2]
+    # cache round-trips
+    keys2, values2 = build_visual_memory_bank(_fake_encode, loader, augment_epochs=3, cache=cache, progress=False)
+    np.testing.assert_array_equal(keys, keys2)
+    np.testing.assert_array_equal(values, values2)
+
+
+def test_visual_bank_reads_reference_layout_pt(tmp_path):
+    torch = pytest.importorskip("torch")
+    cache = FeatureCache(str(tmp_path), "RN50", 2)
+    key_stem, value_stem = cache.visual_bank_stems(3)
+    # reference stores keys transposed (d, N*K) as .pt (utils.py:320)
+    d, nk = 4, 6
+    keys_ref = np.random.default_rng(0).standard_normal((d, nk)).astype(np.float32)
+    values_ref = np.eye(3, dtype=np.float32)[np.asarray([0, 0, 1, 1, 2, 2])]
+    import os
+
+    os.makedirs(os.path.join(cache.root, "aug"), exist_ok=True)
+    torch.save(torch.from_numpy(keys_ref), os.path.join(cache.root, key_stem + ".pt"))
+    torch.save(torch.from_numpy(values_ref), os.path.join(cache.root, value_stem + ".pt"))
+    keys, values = build_visual_memory_bank(None, None, augment_epochs=3, cache=cache, progress=False)
+    np.testing.assert_allclose(keys, keys_ref.T, atol=1e-6)
+    np.testing.assert_array_equal(values, values_ref)
+
+
+def test_textual_bank_math(tmp_path, monkeypatch):
+    # fake text encoder: deterministic function of token sum
+    def fake_text_encode(tokens):
+        t = np.asarray(tokens, np.float32)
+        return jnp.asarray(
+            np.stack([t.sum(1), t[:, 1], t[:, 2], np.ones(t.shape[0])], axis=1)
+        )
+
+    import protoclip_tpu.memory.banks as banks
+
+    def fake_tokenize(prompts, context_length=77):
+        out = np.zeros((len(prompts), 8), np.int32)
+        for i, p in enumerate(prompts):
+            out[i, 1] = len(p)
+            out[i, 2] = hash(p) % 97
+        return out
+
+    monkeypatch.setattr(banks, "tokenize", fake_tokenize)
+    classnames = ["cat", "dog", "sea_lion"]
+    template = ["a photo of a {}.", "art of the {}."]
+    bank = build_textual_memory_bank(fake_text_encode, classnames, template, cache=None, batch_size=4)
+    assert bank.shape == (3, 4)
+    np.testing.assert_allclose(np.linalg.norm(bank, axis=-1), 1.0, atol=1e-5)
+
+    # manual: per-prompt normalize -> mean -> normalize, underscores replaced
+    prompts = [t.format(c.replace("_", " ")) for c in classnames for t in template]
+    toks = fake_tokenize(prompts)
+    emb = np.array(fake_text_encode(toks), np.float32).reshape(3, 2, 4)
+    emb /= np.linalg.norm(emb, axis=-1, keepdims=True)
+    manual = emb.mean(1)
+    manual /= np.linalg.norm(manual, axis=-1, keepdims=True)
+    np.testing.assert_allclose(bank, manual, atol=1e-5)
+
+
+def test_pre_load_features(tmp_path):
+    images = np.stack([np.full((8, 8, 3), v, np.uint8) for v in (0, 50, 100, 150, 250)])
+    labels = np.arange(5, dtype=np.int64)
+    loader = ArrayLoader(images, labels, batch_size=2)
+    cache = FeatureCache(str(tmp_path), "ViT-B/16", 1)
+    feats, labs = pre_load_features(_fake_encode, loader, "val", cache, progress=False)
+    assert feats.shape == (5, 4)
+    np.testing.assert_allclose(np.linalg.norm(feats, axis=-1), 1.0, atol=1e-5)
+    np.testing.assert_array_equal(labs, labels)
+    feats2, labs2 = pre_load_features(None, None, "val", cache, progress=False)
+    np.testing.assert_array_equal(feats, feats2)

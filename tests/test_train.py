@@ -1,0 +1,177 @@
+"""Trainers: episode sampling, episodic training convergence, Q^T step,
+config system, checkpoint round-trip."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from protoclip_tpu.core.config import Config, load_config
+from protoclip_tpu.core.protoclip import ProtoClip, accuracy
+from protoclip_tpu.train.episodic import (
+    EpisodicTrainer,
+    episode_bounds,
+    make_episode_masks,
+    max_episodes,
+)
+from protoclip_tpu.train.optim import cosine_lr
+
+
+def test_episode_bounds():
+    lower, upper = episode_bounds(100)
+    assert (lower, upper) == (20, 40)
+    lower, upper = episode_bounds(3)
+    assert lower >= 1 and upper >= 2
+
+
+def test_make_episode_masks_properties():
+    rng = np.random.default_rng(0)
+    N, K = 20, 4
+    class_mask, query_mask, valid = make_episode_masks(rng, N, K)
+    E = max_episodes(N)
+    assert class_mask.shape == (E, N) and query_mask.shape == (E, N, K)
+    active = valid > 0
+    # query slots only in sampled classes
+    assert (query_mask[~(class_mask > 0)].sum()) == 0
+    # every sampled class has between 1 and K-1 query slots (K>1)
+    for e in np.where(active)[0]:
+        for c in np.where(class_mask[e] > 0)[0]:
+            n_q = query_mask[e, c].sum()
+            assert 1 <= n_q <= K - 1
+    # each class appears in at most one episode per epoch
+    assert (class_mask[active].sum(0) <= 1).all()
+
+
+def test_make_episode_masks_k1():
+    rng = np.random.default_rng(0)
+    class_mask, query_mask, valid = make_episode_masks(rng, 10, 1)
+    active = valid > 0
+    for e in np.where(active)[0]:
+        np.testing.assert_array_equal(query_mask[e, :, 0], class_mask[e])
+
+
+def test_cosine_lr_matches_torch():
+    torch = pytest.importorskip("torch")
+    base, t_max = 1e-4, 2000 * 160
+    param = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.SGD([param], lr=base)
+    sched = torch.optim.lr_scheduler.CosineAnnealingLR(opt, t_max)
+    for epoch in range(5):
+        assert cosine_lr(base, epoch, t_max) == pytest.approx(sched.get_last_lr()[0], rel=1e-6)
+        opt.step()
+        sched.step()
+
+
+def _separable_problem(rng, N=5, K=4, d=32):
+    """Synthetic features: distinct class directions + noise."""
+    protos = rng.standard_normal((N, d)).astype(np.float32)
+    protos /= np.linalg.norm(protos, axis=-1, keepdims=True)
+    keys = protos.repeat(K, axis=0) + 0.1 * rng.standard_normal((N * K, d)).astype(np.float32)
+    keys /= np.linalg.norm(keys, axis=-1, keepdims=True)
+    bank_t = protos + 0.05 * rng.standard_normal((N, d)).astype(np.float32)
+    return keys, bank_t, protos
+
+
+def test_episodic_trainer_improves_loss(rng):
+    keys, bank_t, protos = _separable_problem(rng)
+    trainer = EpisodicTrainer(
+        frozen_keys=keys, bank_t_init=bank_t, n_class=5, k_shots=4,
+        adapter_kind="fc", alpha=0.5, beta=10.0, lr=1e-3, train_epoch=50, seed=0,
+    )
+    first = trainer.run_epoch()
+    losses = [first["loss"]]
+    for _ in range(15):
+        losses.append(trainer.run_epoch()["loss"])
+    assert losses[-1] < losses[0]
+    assert trainer.epoch == 16
+
+    # resulting model classifies the frozen keys well
+    model = trainer.model()
+    labels = np.arange(5).repeat(4)
+    acc = accuracy(model, keys, labels, 0.5, 10.0)
+    assert acc > 0.8
+
+
+def test_episodic_vis_mem_only_freezes_text_bank(rng):
+    keys, bank_t, _ = _separable_problem(rng)
+    trainer = EpisodicTrainer(
+        frozen_keys=keys, bank_t_init=bank_t, n_class=5, k_shots=4,
+        adapter_kind="fc", alpha=0.5, beta=5.0, train_vis_mem_only=True, seed=0,
+    )
+    assert "bank_t" not in trainer.params
+    trainer.run_epoch()
+    model = trainer.model()
+    np.testing.assert_array_equal(np.asarray(model.bank_t), bank_t)
+    # visual bank did move
+    assert not np.allclose(np.asarray(model.bank_v), keys)
+
+
+def test_episodic_trainer_losses_subset(rng):
+    keys, bank_t, _ = _separable_problem(rng)
+    trainer = EpisodicTrainer(
+        frozen_keys=keys, bank_t_init=bank_t, n_class=5, k_shots=4,
+        adapter_kind="conv-2x", alpha=0.3, beta=8.0, losses=("L1",), seed=0,
+    )
+    stats = trainer.run_epoch()
+    assert np.isfinite(stats["loss"])
+
+
+def test_qt_trainer_step(rng):
+    from protoclip_tpu.train.qt import QTTrainer
+    from tests.test_models import TINY_VIT
+    from protoclip_tpu.models.clip import init_clip_params
+
+    clip_params = init_clip_params(jax.random.PRNGKey(0), TINY_VIT)
+    keys, bank_t, protos = _separable_problem(rng, N=3, K=2, d=TINY_VIT.embed_dim)
+    trainer = QTTrainer(
+        clip_params=clip_params, clip_cfg=TINY_VIT,
+        bank_v_init=keys, bank_t_init=bank_t, n_class=3, k_shots=2,
+        adapter_kind="fc", alpha=0.5, beta=5.0, seed=0,
+    )
+    images = rng.integers(0, 256, (4, 32, 32, 3), dtype=np.uint8).astype(np.uint8)
+    labels = np.asarray([0, 1, 2, 0], np.int32)
+    stats = trainer.train_step(images, labels, n_valid=3)  # padded row ignored
+    assert np.isfinite(stats["loss"])
+    trainer.finish_epoch()
+    assert trainer.epoch == 1
+    model = trainer.model()
+    assert model.bank_v.shape == keys.shape
+
+
+def test_config_load_and_validation(tmp_path):
+    cfg = load_config("configs/caltech101.yml")
+    assert cfg.dataset == "caltech101"
+    assert cfg.alpha == 0.8 and cfg.beta == 9
+    assert cfg.adapter == "conv-3x" and cfg.train_vis_mem_only
+    assert cfg.losses == ["L1", "L2", "L3"]
+    cfg2 = load_config("configs/caltech101.yml", alpha=0.3, shots=4)
+    assert cfg2.alpha == 0.3 and cfg2.shots == 4
+
+    with pytest.raises(ValueError):
+        Config(adapter="bogus").validate()
+    with pytest.raises(ValueError):
+        Config(alpha=1.5).validate()
+    with pytest.raises(ValueError):
+        Config(losses=["L9"]).validate()
+
+
+def test_all_reference_configs_load():
+    import glob
+
+    names = sorted(glob.glob("configs/*.yml"))
+    assert len(names) == 14
+    for path in names:
+        cfg = load_config(path)
+        if "master" not in path:
+            assert cfg.dataset
+
+
+def test_checkpoint_paths_layout(tmp_path):
+    from protoclip_tpu.io.checkpoint import checkpoint_paths
+
+    v, t, a = checkpoint_paths(str(tmp_path), "ViT-B/16", 16, 0.5, 12, 1e-4, 10, 2000)
+    assert "models/ViT_B_16/K-16/alpha-beta/0.5-12" in v
+    assert v.endswith("best_lr_0.0001_aug_10_epochs_2000_v.pt")
+    vq, _, _ = checkpoint_paths(str(tmp_path), "RN50", 16, 0.5, 12, 1e-4, 10, 2000, qt=True)
+    assert "best-alpha-beta" in vq
