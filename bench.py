@@ -1,0 +1,95 @@
+"""Benchmark harness: flagship CLIP-encode throughput on one chip.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Headline metric: ViT-B/16 image-encode throughput (images/sec/chip) at
+224px in bfloat16 — the hot path of Proto-CLIP's feature caching and of the
+F-Q^T trainer (the reference's dominant GPU workload, ``utils.py:303-316``,
+``main.qt.py:198-201``).
+
+Baseline: PyTorch fp16 ViT-B/16 encode on A100 reaches ~1.1k images/sec at
+eval batch sizes (BASELINE.md north-star: >=5x that per chip).  Synthetic
+device-resident data isolates chip throughput from host IO (this harness's
+host has 1 vCPU; production feature extraction overlaps host decode with
+device compute).
+
+Extra (non-headline) metrics are written to ``bench_details.json``.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_IMAGES_PER_SEC = 1100.0  # PyTorch-A100 fp16 ViT-B/16 encode (BASELINE.md)
+
+
+def bench_encode(backbone: str = "ViT-B/16", batch: int = 512, iters: int = 10):
+    import jax
+    import jax.numpy as jnp
+
+    from protoclip_tpu.data.transforms import normalize_batch
+    from protoclip_tpu.models.clip import encode_image, load_clip
+
+    cfg, params = load_clip(backbone, dtype=jnp.bfloat16)
+
+    @jax.jit
+    def encode(params, images_u8):
+        return encode_image(params, normalize_batch(images_u8, jnp.bfloat16), cfg)
+
+    res = cfg.image_resolution
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.integers(0, 256, (batch, res, res, 3)).astype(np.uint8))
+
+    # Compile + warm the device-to-host fetch path.  Timing fetches the
+    # result each iteration: on remote-tunnel backends `block_until_ready`
+    # does not guarantee execution completed, a host fetch does.
+    np.asarray(encode(params, images))
+    np.asarray(encode(params, images))
+
+    times = []
+    for _ in range(iters):
+        start = time.perf_counter()
+        np.asarray(encode(params, images))
+        times.append(time.perf_counter() - start)
+    best = min(times)
+    return batch / best, best
+
+
+def main() -> None:
+    import jax
+
+    backend = jax.default_backend()
+    if backend == "cpu":
+        # CI/debug fallback: tiny run so the harness still emits a line
+        ips, step_s = bench_encode(batch=8, iters=2)
+    else:
+        ips, step_s = bench_encode()
+
+    details = {
+        "backend": backend,
+        "device": str(jax.devices()[0]),
+        "step_seconds": step_s,
+        "backbone": "ViT-B/16",
+        "batch": 512 if backend != "cpu" else 8,
+    }
+    with open("bench_details.json", "w") as fh:
+        json.dump(details, fh, indent=2)
+
+    print(
+        json.dumps(
+            {
+                "metric": "vit_b16_encode_images_per_sec_per_chip",
+                "value": round(ips, 1),
+                "unit": "images/sec",
+                "vs_baseline": round(ips / BASELINE_IMAGES_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -29,10 +29,18 @@ def mlp(x: jax.Array, p: Params) -> jax.Array:
 
 
 def residual_block(
-    x: jax.Array, p: Params, n_head: int, mask: Optional[jax.Array] = None
+    x: jax.Array,
+    p: Params,
+    n_head: int,
+    mask: Optional[jax.Array] = None,
+    causal: bool = False,
 ) -> jax.Array:
     x = x + multi_head_attention(
-        layer_norm(x, p["ln_1"]["scale"], p["ln_1"]["bias"]), p["attn"], n_head, mask
+        layer_norm(x, p["ln_1"]["scale"], p["ln_1"]["bias"]),
+        p["attn"],
+        n_head,
+        mask,
+        causal=causal,
     )
     x = x + mlp(layer_norm(x, p["ln_2"]["scale"], p["ln_2"]["bias"]), p["mlp"])
     return x
@@ -43,15 +51,17 @@ def transformer(
     stacked_blocks: Params,
     n_head: int,
     mask: Optional[jax.Array] = None,
+    causal: bool = False,
 ) -> jax.Array:
     """Run ``L`` stacked residual blocks with ``lax.scan``.
 
     ``stacked_blocks`` is a block-param pytree whose leaves carry a leading
-    layer axis.
+    layer axis.  ``causal=True`` applies the causal mask via the attention
+    fast path (no materialized (L, L) mask on the Pallas route).
     """
 
     def body(carry, block_params):
-        return residual_block(carry, block_params, n_head, mask), None
+        return residual_block(carry, block_params, n_head, mask, causal=causal), None
 
     out, _ = jax.lax.scan(body, x, stacked_blocks)
     return out

@@ -7,7 +7,7 @@ from typing import Dict
 import jax
 import jax.numpy as jnp
 
-from protoclip_tpu.models.layers import causal_mask, init_block_params, transformer
+from protoclip_tpu.models.layers import init_block_params, transformer
 from protoclip_tpu.ops.layernorm import layer_norm
 
 Params = Dict[str, jax.Array]
@@ -23,7 +23,7 @@ def apply_text(params: Params, tokens: jax.Array, cfg) -> jax.Array:
     dtype = params["token_embedding"].dtype
     x = params["token_embedding"][tokens]  # (B, 77, width)
     x = x + params["positional_embedding"].astype(dtype)
-    x = transformer(x, params["blocks"], cfg.transformer_heads, causal_mask(tokens.shape[1]))
+    x = transformer(x, params["blocks"], cfg.transformer_heads, causal=True)
     x = layer_norm(x, params["ln_final"]["scale"], params["ln_final"]["bias"])
 
     eot = jnp.argmax(tokens, axis=-1)

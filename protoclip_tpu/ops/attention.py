@@ -57,17 +57,37 @@ def multi_head_attention(
     params: Dict[str, jax.Array],
     n_head: int,
     mask: Optional[jax.Array] = None,
+    causal: bool = False,
 ) -> jax.Array:
-    """Self-attention over ``x`` of shape ``(B, L, D)``."""
+    """Self-attention over ``x`` of shape ``(B, L, D)``.
+
+    ``causal=True`` selects the causal mask internally (text tower); an
+    explicit additive ``mask`` forces the XLA path.  Without an explicit
+    mask, the fused Pallas kernel handles masking on TPU.
+    """
     dtype = x.dtype
     q = x @ params["wq"].astype(dtype) + params["bq"].astype(dtype)
     k = x @ params["wk"].astype(dtype) + params["bk"].astype(dtype)
     v = x @ params["wv"].astype(dtype) + params["bv"].astype(dtype)
-    out = attention_core(
-        _split_heads(q, n_head), _split_heads(k, n_head), _split_heads(v, n_head), mask
-    )
+    qh, kh, vh = _split_heads(q, n_head), _split_heads(k, n_head), _split_heads(v, n_head)
+
+    if mask is None:
+        from protoclip_tpu.ops.pallas_kernels import fused_attention, pallas_enabled
+
+        if pallas_enabled():
+            out = fused_attention(qh, kh, vh, causal=causal)
+        else:
+            m = _causal_mask(x.shape[1]) if causal else None
+            out = attention_core(qh, kh, vh, m)
+    else:
+        out = attention_core(qh, kh, vh, mask)
     out = _merge_heads(out)
     return out @ params["wo"].astype(dtype) + params["bo"].astype(dtype)
+
+
+def _causal_mask(length: int) -> jax.Array:
+    mask = jnp.full((length, length), -jnp.inf, dtype=jnp.float32)
+    return jnp.triu(mask, k=1)
 
 
 def cross_attention_single_query(

@@ -1,0 +1,118 @@
+"""Pallas TPU kernels for Proto-CLIP's hot ops.
+
+CLIP's sequences are short (77 text tokens, 50-577 vision tokens), so the
+classic flash-attention streaming decomposition buys nothing — the entire
+``L x L`` score tile fits comfortably in VMEM.  What *does* hurt on the XLA
+path is HBM traffic: materializing fp32 ``(B, H, L, L)`` scores and softmax
+weights (≈1 GB per ViT-B/16 batch of 512) between three separate kernels.
+The fused kernel below keeps scores/softmax/weighted-sum for one (batch,
+head) entirely in VMEM: per program it reads ``3*L*dh`` and writes ``L*dh``
+elements instead of round-tripping ``2*L*L`` fp32 through HBM.
+
+Layout: inputs ``(B, H, L, dh)`` with L padded to a multiple of 8 (sublane)
+by the host-side wrapper; the key-padding and causal masks are applied inside
+the kernel.  dh is 64 for all CLIP towers (half a lane register — acceptable;
+two-head packing was measured slower due to the doubled score tile).
+
+Enable/disable with ``$PROTOCLIP_PALLAS`` (default: on for TPU backends).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:  # pltpu is importable on CPU too (used for interpret-mode tests)
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PLTPU = True
+except ImportError:  # pragma: no cover
+    _HAS_PLTPU = False
+
+
+def pallas_enabled() -> bool:
+    """Use Pallas kernels? Default: only on TPU backends, overridable."""
+    env = os.environ.get("PROTOCLIP_PALLAS", "auto").lower()
+    if env in ("0", "false", "off"):
+        return False
+    if env in ("1", "true", "on"):
+        return True
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _attention_kernel(q_ref, k_ref, v_ref, out_ref, *, scale, length, causal):
+    """One (batch, head): fused scores -> masked softmax -> weighted sum."""
+    q = q_ref[0, 0].astype(jnp.float32)  # (Lp, dh)
+    k = k_ref[0, 0].astype(jnp.float32)
+    v = v_ref[0, 0]
+
+    scores = jax.lax.dot_general(
+        q * scale,
+        k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (Lp, Lp)
+
+    lp = scores.shape[-1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (lp, lp), 1)
+    mask = col >= length  # key padding
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, (lp, lp), 0)
+        mask = jnp.logical_or(mask, col > row)
+    scores = jnp.where(mask, -1e30, scores)
+
+    scores = scores - jnp.max(scores, axis=-1, keepdims=True)
+    exp = jnp.exp(scores)
+    weights = exp / jnp.sum(exp, axis=-1, keepdims=True)
+
+    out = jax.lax.dot_general(
+        weights.astype(v.dtype),
+        v,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    out_ref[0, 0] = out.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("length", "causal", "interpret"))
+def _fused_attention_padded(q, k, v, length: int, causal=False, interpret=False):
+    b, h, lp, dh = q.shape
+    scale = dh ** -0.5
+    kernel = functools.partial(
+        _attention_kernel, scale=scale, length=length, causal=causal
+    )
+    grid = (b, h)
+    spec = pl.BlockSpec(
+        (1, 1, lp, dh), lambda i, j: (i, j, 0, 0),
+        memory_space=pltpu.VMEM if _HAS_PLTPU else None,
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, h, lp, dh), q.dtype),
+        grid=grid,
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        interpret=interpret,
+    )(q, k, v)
+
+
+def fused_attention(q, k, v, causal: bool = False, interpret: bool = False):
+    """Fused attention over ``(B, H, L, dh)``; returns the same shape.
+
+    Pads L up to a multiple of 8 (fp32 sublane) internally; padded keys are
+    masked out, padded query rows are sliced off.
+    """
+    b, h, l, dh = q.shape
+    lp = -(-l // 8) * 8
+    if lp != l:
+        pad = [(0, 0), (0, 0), (0, lp - l), (0, 0)]
+        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+    out = _fused_attention_padded(q, k, v, length=l, causal=causal, interpret=interpret)
+    return out[:, :, :l, :]

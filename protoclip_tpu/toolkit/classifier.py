@@ -1,0 +1,181 @@
+"""Deployment classifier: crops -> CLIP features -> Proto-CLIP top-k.
+
+Equivalent of the reference's ``ProtoClipClassifier``
+(``toolkit/.../proto_clip_classifier.py:24-158``): loads a CLIP backbone and
+a trained ``_v/_t/_a`` checkpoint triple, builds prototypes once, and
+classifies batches of RGB crops into top-k class names using the splits-file
+id->classname mapping.  Prediction-canvas rendering and ``.npy`` logging are
+kept for demo parity.
+
+TPU notes: the whole inference path (normalize -> encode -> adapter -> P ->
+top-k) is one jitted program; crops are letterboxed host-side to the
+backbone's resolution and batched to a fixed shape to avoid recompiles.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from protoclip_tpu.core.config import Config
+from protoclip_tpu.core.protoclip import ProtoClip
+from protoclip_tpu.data.transforms import clip_preprocess, normalize_batch
+from protoclip_tpu.io.checkpoint import checkpoint_paths, load_checkpoint_triple
+from protoclip_tpu.models import encode_image, load_clip
+from protoclip_tpu.models.adapters import adapter_from_torch_state
+from protoclip_tpu.ops.proto import l2_normalize
+
+
+class ProtoClipClassifier:
+    """Few-shot object classifier over a trained Proto-CLIP checkpoint."""
+
+    def __init__(
+        self,
+        cfg: Config,
+        splits_path: Optional[str] = None,
+        memory_bank_v_path: Optional[str] = None,
+        memory_bank_t_path: Optional[str] = None,
+        adapter_weights_path: Optional[str] = None,
+        class_id_mapping: Optional[Dict[int, str]] = None,
+        max_batch: int = 16,
+    ):
+        self.cfg = cfg
+        self.max_batch = max_batch
+        self.clip_cfg, self._clip_params = load_clip(
+            cfg.backbone, cfg.weights_path,
+            dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32,
+        )
+
+        if class_id_mapping is not None:
+            self.class_id_mapping = dict(class_id_mapping)
+        elif splits_path is not None:
+            self.class_id_mapping = self._parse_splits_file(splits_path)
+        else:
+            raise ValueError("provide splits_path or class_id_mapping")
+
+        if memory_bank_v_path is None and memory_bank_t_path is None:
+            # derive from the config-addressed cache tree (model_utils.py:12-28)
+            memory_bank_v_path, memory_bank_t_path, adapter_weights_path = checkpoint_paths(
+                cfg.cache_dir, cfg.backbone, cfg.shots, cfg.alpha, cfg.beta,
+                cfg.lr, cfg.augment_epoch, cfg.train_epoch,
+            )
+        bank_v, bank_t, adapter_state = load_checkpoint_triple(
+            memory_bank_v_path, memory_bank_t_path, adapter_weights_path
+        )
+        if bank_v is None:
+            bank_v = np.zeros((bank_t.shape[0] * cfg.shots, bank_t.shape[1]), np.float32)
+        self.model = ProtoClip(
+            bank_v=jnp.asarray(bank_v, jnp.float32),
+            bank_t=jnp.asarray(bank_t, jnp.float32),
+            adapter=adapter_from_torch_state(adapter_state, cfg.adapter)
+            if adapter_state
+            else {},
+            adapter_kind=cfg.adapter,
+            shots=cfg.shots,
+        )
+        self._infer = self._build_infer()
+
+    @staticmethod
+    def _parse_splits_file(path: str) -> Dict[int, str]:
+        """label id -> classname from a CoOp split JSON (train rows)."""
+        with open(path) as fh:
+            data = json.load(fh)
+        return {int(row[1]): row[2] for row in data["train"]}
+
+    def _build_infer(self):
+        clip_cfg, clip_params, model = self.clip_cfg, self._clip_params, self.model
+        top_k = max(1, self.cfg.top_k)
+        alpha, beta = self.cfg.alpha, self.cfg.beta
+
+        @jax.jit
+        def infer(images_u8):
+            images = normalize_batch(images_u8, jnp.bfloat16)
+            feats = encode_image(clip_params, images, clip_cfg).astype(jnp.float32)
+            feats = l2_normalize(feats)
+            p = model.probs(feats, alpha, beta)
+            probs, idxs = jax.lax.top_k(p, top_k)
+            return probs, idxs
+
+        return infer
+
+    def _preprocess_crops(self, crops: Sequence[np.ndarray]) -> np.ndarray:
+        n_px = self.clip_cfg.image_resolution
+        out = np.zeros((self.max_batch, n_px, n_px, 3), np.uint8)
+        for i, crop in enumerate(crops[: self.max_batch]):
+            out[i] = clip_preprocess(Image.fromarray(np.asarray(crop)), n_px)
+        return out
+
+    def classify_objects(
+        self,
+        cropped_images: Sequence[np.ndarray],
+        log: bool = False,
+        rgb_image: Optional[np.ndarray] = None,
+        log_dir: str = "./ros-demo-logs",
+    ) -> Tuple[List[List[str]], np.ndarray]:
+        """Crops -> (top-k class names per crop, top-k probabilities)."""
+        n = len(cropped_images)
+        if n == 0:
+            return [], np.zeros((0, self.cfg.top_k), np.float32)
+        if n > self.max_batch:
+            raise ValueError(f"at most {self.max_batch} crops per call (got {n})")
+        batch = self._preprocess_crops(cropped_images)
+        probs, idxs = self._infer(jnp.asarray(batch))
+        probs = np.asarray(probs)[:n]
+        idxs = np.asarray(idxs)[:n]
+        names = [
+            [self.class_id_mapping.get(int(i), str(int(i))).replace("_", " ") for i in row]
+            for row in idxs
+        ]
+        if log:
+            os.makedirs(log_dir, exist_ok=True)
+            np.save(
+                os.path.join(log_dir, f"experiment_pred_{int(time.time())}.npy"),
+                {
+                    "rgb_image": rgb_image,
+                    "cropped_images": list(cropped_images),
+                    "top_k_classes": names,
+                    "top_k_probs": probs,
+                },
+            )
+        return names, probs
+
+    def draw_image_with_top_k_images(
+        self,
+        image_list: Sequence[np.ndarray],
+        top_k_classes: List[List[str]],
+        top_k_probs: np.ndarray,
+        ground_truth_classes: Optional[List[str]] = None,
+    ):
+        """Render the 2-column prediction canvas
+        (ref ``proto_clip_classifier.py:82-129``)."""
+        from PIL import ImageDraw
+
+        rows = (len(image_list) + 1) // 2
+        img = Image.new("RGB", (650, max(325, 40 + rows * 160)), (255, 255, 255))
+        draw = ImageDraw.Draw(img)
+        percent = np.asarray(top_k_probs) * 100.0
+        texts = []
+        for i, crop in enumerate(image_list):
+            x, y = 40 + (i % 2) * 300, 40 + (i // 2) * 160
+            img.paste(Image.fromarray(np.asarray(crop)).resize((100, 100)), box=(x, y))
+            lines = [
+                f"{j + 1}. {top_k_classes[i][j]} ({percent[i][j]:.2f}%)"
+                for j in range(len(top_k_classes[i]))
+            ]
+            gt = ground_truth_classes[i] if ground_truth_classes else None
+            if gt is not None and gt not in top_k_classes[i]:
+                draw.multiline_text((x + 110, y - 20), f"True class: {gt}", fill="green")
+            for j, line in enumerate(lines):
+                bold = gt is not None and top_k_classes[i][j] == gt
+                draw.multiline_text(
+                    (x + 110, y + j * 20), line, fill="blue" if bold else "black"
+                )
+            texts.append("\n".join(lines))
+        return img, texts

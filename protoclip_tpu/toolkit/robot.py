@@ -1,0 +1,190 @@
+"""Robot-perception geometry and segmentation utilities (ROS-free core).
+
+The reference splits these across ``toolkit/.../ros/utils/{image_utils,
+seg_image_listener,ros_utils,segmentation_utils}.py``; everything here is
+pure numpy and testable without a robot.  The thin rospy node wrappers live
+in :mod:`protoclip_tpu.toolkit.ros_nodes` (import-gated on rospy).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+# -- segmentation crops -----------------------------------------------------
+
+
+def crop_object_images(
+    label: np.ndarray, rgb_image: np.ndarray, min_size: int = 5
+) -> Tuple[List[np.ndarray], List[int]]:
+    """Crop per-mask object images from a segmentation label map
+    (ref ``image_utils.py:27-61``): background id 0 skipped, tiny masks
+    (<= min_size pixels in either dimension) rejected."""
+    mask_ids = np.unique(label)
+    if len(mask_ids) and mask_ids[0] == 0:
+        mask_ids = mask_ids[1:]
+
+    crops: List[np.ndarray] = []
+    kept_ids: List[int] = []
+    for mask_id in mask_ids:
+        ys, xs = np.nonzero(label == mask_id)
+        if len(ys) == 0:
+            continue
+        y_min, y_max = ys.min(), ys.max()
+        x_min, x_max = xs.min(), xs.max()
+        if (x_max - x_min <= min_size) or (y_max - y_min <= min_size):
+            continue
+        crops.append(rgb_image[y_min:y_max, x_min:x_max, :])
+        kept_ids.append(int(mask_id))
+    return crops, kept_ids
+
+
+# -- 3-D geometry -----------------------------------------------------------
+
+
+def backproject(depth: np.ndarray, intrinsics: np.ndarray) -> np.ndarray:
+    """Depth map (H, W) -> XYZ point image (H, W, 3) via pinhole intrinsics
+    (ref ``ros_utils.py`` backprojection / ``seg_image_listener.py:25-31``)."""
+    h, w = depth.shape
+    fx, fy = intrinsics[0, 0], intrinsics[1, 1]
+    cx, cy = intrinsics[0, 2], intrinsics[1, 2]
+    xs = np.arange(w, dtype=np.float32)
+    ys = np.arange(h, dtype=np.float32)
+    grid_x, grid_y = np.meshgrid(xs, ys)
+    z = depth.astype(np.float32)
+    x = (grid_x - cx) * z / fx
+    y = (grid_y - cy) * z / fy
+    return np.stack([x, y, z], axis=-1)
+
+
+def mask_bbox_3d(
+    xyz_image: np.ndarray,
+    mask: np.ndarray,
+    z_outlier_sigma: float = 2.0,
+) -> Optional[Dict[str, np.ndarray]]:
+    """Axis-aligned 3-D bounding box of a mask's points with z-outlier
+    trimming (ref ``seg_image_listener.py:229-285``).
+
+    Points whose z deviates more than ``z_outlier_sigma`` standard deviations
+    from the mask's median z are discarded before the box is fit; returns
+    ``{"center", "extent", "points"}`` or None if the mask is empty.
+    """
+    points = xyz_image[mask > 0]
+    points = points[points[:, 2] > 0]  # invalid depth
+    if len(points) == 0:
+        return None
+    z = points[:, 2]
+    med = np.median(z)
+    std = z.std() or 1e-6
+    keep = np.abs(z - med) <= z_outlier_sigma * std
+    points = points[keep]
+    if len(points) == 0:
+        return None
+    mins, maxs = points.min(axis=0), points.max(axis=0)
+    return {
+        "center": (mins + maxs) / 2.0,
+        "extent": maxs - mins,
+        "points": points,
+    }
+
+
+def quaternion_to_rotation(q: Sequence[float]) -> np.ndarray:
+    """Unit quaternion (x, y, z, w) -> 3x3 rotation matrix
+    (ref ``ros_utils.py`` quaternion helpers)."""
+    x, y, z, w = q
+    n = x * x + y * y + z * z + w * w
+    if n < 1e-12:
+        return np.eye(3)
+    s = 2.0 / n
+    wx, wy, wz = s * w * x, s * w * y, s * w * z
+    xx, xy, xz = s * x * x, s * x * y, s * x * z
+    yy, yz, zz = s * y * y, s * y * z, s * z * z
+    return np.asarray(
+        [
+            [1.0 - (yy + zz), xy - wz, xz + wy],
+            [xy + wz, 1.0 - (xx + zz), yz - wx],
+            [xz - wy, yz + wx, 1.0 - (xx + yy)],
+        ],
+        np.float32,
+    )
+
+
+def rotation_to_quaternion(R: np.ndarray) -> np.ndarray:
+    """3x3 rotation matrix -> unit quaternion (x, y, z, w)."""
+    R = np.asarray(R, np.float64)
+    trace = np.trace(R)
+    if trace > 0:
+        s = 0.5 / np.sqrt(trace + 1.0)
+        w = 0.25 / s
+        x = (R[2, 1] - R[1, 2]) * s
+        y = (R[0, 2] - R[2, 0]) * s
+        z = (R[1, 0] - R[0, 1]) * s
+    else:
+        i = int(np.argmax(np.diag(R)))
+        j, k = (i + 1) % 3, (i + 2) % 3
+        s = 2.0 * np.sqrt(max(1.0 + R[i, i] - R[j, j] - R[k, k], 1e-12))
+        q = np.zeros(4)
+        q[i] = 0.25 * s
+        q[3] = (R[k, j] - R[j, k]) / s
+        q[j] = (R[j, i] + R[i, j]) / s
+        q[k] = (R[k, i] + R[i, k]) / s
+        x, y, z, w = q
+    out = np.asarray([x, y, z, w], np.float64)
+    return (out / np.linalg.norm(out)).astype(np.float32)
+
+
+def pose_to_transform(translation: Sequence[float], quaternion: Sequence[float]) -> np.ndarray:
+    """(t, q) -> homogeneous 4x4 transform."""
+    T = np.eye(4, dtype=np.float32)
+    T[:3, :3] = quaternion_to_rotation(quaternion)
+    T[:3, 3] = np.asarray(translation, np.float32)
+    return T
+
+
+# -- segmentation visualization ---------------------------------------------
+
+_SEG_PALETTE = np.asarray(
+    [
+        (0, 0, 0),
+        (230, 25, 75), (60, 180, 75), (255, 225, 25), (0, 130, 200),
+        (245, 130, 48), (145, 30, 180), (70, 240, 240), (240, 50, 230),
+        (210, 245, 60), (250, 190, 190), (0, 128, 128), (230, 190, 255),
+        (170, 110, 40), (255, 250, 200), (128, 0, 0), (170, 255, 195),
+        (128, 128, 0), (255, 215, 180), (0, 0, 128), (128, 128, 128),
+    ],
+    np.uint8,
+)
+
+
+def seg_color_map(n: int) -> np.ndarray:
+    """n distinct RGB colors (cycled palette; ref ``ros_utils.py`` colormap)."""
+    reps = -(-n // (len(_SEG_PALETTE) - 1))
+    return np.tile(_SEG_PALETTE[1:], (reps, 1))[:n]
+
+
+def visualize_segmentation(
+    rgb: np.ndarray, label: np.ndarray, alpha: float = 0.5
+) -> np.ndarray:
+    """Blend colored masks over the RGB image and outline mask borders
+    (ref ``segmentation_utils.py:7-111``)."""
+    out = rgb.astype(np.float32).copy()
+    mask_ids = [m for m in np.unique(label) if m != 0]
+    colors = seg_color_map(max(len(mask_ids), 1))
+    for idx, mask_id in enumerate(mask_ids):
+        mask = label == mask_id
+        out[mask] = (1 - alpha) * out[mask] + alpha * colors[idx]
+        # 1-pixel border: mask minus its erosion
+        border = mask & ~_erode(mask)
+        out[border] = colors[idx]
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def _erode(mask: np.ndarray) -> np.ndarray:
+    e = mask.copy()
+    e[1:] &= mask[:-1]
+    e[:-1] &= mask[1:]
+    e[:, 1:] &= mask[:, :-1]
+    e[:, :-1] &= mask[:, 1:]
+    return e

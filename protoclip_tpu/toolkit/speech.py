@@ -1,0 +1,164 @@
+"""Speech command parsing: ASR (whisper) + POS tagging (flair).
+
+Equivalent of the reference's ``toolkit/.../asr/`` and ``toolkit/.../pos/``:
+transcribe microphone audio and extract a dictionary-validated (verb, noun)
+pair — e.g. "pick up the mustard bottle" -> ("pick", "mustard bottle").
+
+The heavy dependencies (whisper, PyAudio, flair) are optional: the tagging
+*logic* (adjacent same-tag merging + dictionary validation,
+ref ``pos/verb_and_noun_tagger.py:34-56``) is dependency-free and testable
+with any ``(word, tag)`` source; only the flair/whisper front-ends are gated.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Sequence, Tuple
+
+WordTags = List[Tuple[str, str]]
+
+_NOUN_TAGS = ("NN", "NNP", "NNS")
+_VERB_TAG = "VB"
+
+
+def merge_adjacent_same_tags(word_tags: Sequence[Tuple[str, str]]) -> WordTags:
+    """Merge runs of identically-tagged words ("mustard"+"bottle" -> one NN)."""
+    merged: WordTags = []
+    i = 0
+    while i < len(word_tags):
+        word, tag = word_tags[i]
+        while i + 1 < len(word_tags) and word_tags[i + 1][1] == tag:
+            word += " " + word_tags[i + 1][0]
+            i += 1
+        merged.append((word, tag))
+        i += 1
+    return merged
+
+
+def find_valid_noun_and_verb(
+    word_tags: Sequence[Tuple[str, str]],
+    allowed_verbs: set,
+    allowed_nouns: set,
+) -> Tuple[Optional[str], Optional[str]]:
+    """Dictionary-validated (verb, noun) from tagged words
+    (ref ``pos/verb_and_noun_tagger.py:34-56``)."""
+    verb = noun = None
+    for word, tag in merge_adjacent_same_tags(word_tags):
+        if tag in _NOUN_TAGS and word in allowed_nouns:
+            noun = word
+        if tag == _VERB_TAG and word in allowed_verbs:
+            verb = word
+    return verb, noun
+
+
+def load_dictionary(path: str, replace_underscores: bool = False) -> set:
+    with open(path) as fh:
+        words = [line.strip() for line in fh if line.strip()]
+    if replace_underscores:
+        words = [w.replace("_", " ") for w in words]
+    return set(words)
+
+
+class VerbAndNounTagger:
+    """flair-backed tagger (requires ``pip install flair``)."""
+
+    def __init__(self, verb_dictionary_path: str, noun_dictionary_path: str):
+        try:
+            from flair.data import Sentence
+            from flair.models import SequenceTagger
+        except ImportError as exc:  # pragma: no cover - optional dep
+            raise ImportError(
+                "flair is required for POS tagging: pip install flair"
+            ) from exc
+        self._Sentence = Sentence
+        self._tagger = SequenceTagger.load("flair/pos-english")
+        self.allowed_verb_set = load_dictionary(verb_dictionary_path)
+        self.allowed_noun_set = load_dictionary(noun_dictionary_path, replace_underscores=True)
+
+    def tag_sentence(self, text: str) -> WordTags:
+        sentence = self._Sentence(text)
+        self._tagger.predict(sentence)
+        out: WordTags = []
+        for entity in sentence.get_labels():
+            word = entity.shortstring.split("/")[0].strip('"').lower()
+            out.append((word, entity.value))
+        return out
+
+    def find_valid_noun_and_verb(self, text: str):
+        return find_valid_noun_and_verb(
+            self.tag_sentence(text), self.allowed_verb_set, self.allowed_noun_set
+        )
+
+
+def transcribe_stream(
+    on_text: Callable[[str], bool],
+    model_name: str = "base.en",
+    energy_threshold: int = 1000,
+    record_timeout: float = 2.0,
+    phrase_timeout: float = 3.0,
+):  # pragma: no cover - requires microphone + whisper
+    """Stream microphone audio through whisper; call ``on_text`` per phrase
+    until it returns True (ref ``asr/transcribe.py:16-118``).  Requires
+    ``pip install openai-whisper SpeechRecognition PyAudio``."""
+    try:
+        import queue
+        from datetime import datetime, timedelta
+
+        import speech_recognition as sr
+        import whisper
+    except ImportError as exc:
+        raise ImportError(
+            "ASR requires whisper + SpeechRecognition + PyAudio"
+        ) from exc
+
+    import numpy as np
+
+    audio_model = whisper.load_model(model_name)
+    recorder = sr.Recognizer()
+    recorder.energy_threshold = energy_threshold
+    recorder.dynamic_energy_threshold = False
+    source = sr.Microphone(sample_rate=16000)
+    data_queue: "queue.Queue[bytes]" = queue.Queue()
+
+    with source:
+        recorder.adjust_for_ambient_noise(source)
+
+    def record_callback(_, audio):
+        data_queue.put(audio.get_raw_data())
+
+    recorder.listen_in_background(source, record_callback, phrase_time_limit=record_timeout)
+
+    phrase_time = None
+    buffer = b""
+    while True:
+        if data_queue.empty():
+            continue
+        now = datetime.utcnow()
+        if phrase_time and now - phrase_time > timedelta(seconds=phrase_timeout):
+            buffer = b""
+        phrase_time = now
+        while not data_queue.empty():
+            buffer += data_queue.get()
+        audio_np = (
+            np.frombuffer(buffer, dtype=np.int16).astype(np.float32) / 32768.0
+        )
+        text = audio_model.transcribe(audio_np, fp16=False)["text"].strip()
+        if on_text(text):
+            return text
+
+
+def transcribe_with_verb_and_noun_matching(
+    tagger: "VerbAndNounTagger", **kwargs
+):  # pragma: no cover - requires microphone + whisper
+    """Transcribe until a dictionary-valid (verb, noun) pair is heard
+    (ref ``asr/transcribe_with_pos.py:17-129``)."""
+    result = {}
+
+    def on_text(text: str) -> bool:
+        verb, noun = tagger.find_valid_noun_and_verb(text)
+        if verb and noun:
+            result["verb"], result["noun"] = verb, noun
+            return True
+        return False
+
+    transcribe_stream(on_text, **kwargs)
+    return result.get("verb"), result.get("noun")

@@ -1,0 +1,221 @@
+"""Toolkit: classifier inference, OOD eval, robot geometry, speech logic."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax.numpy as jnp
+
+from protoclip_tpu.core.config import Config
+from protoclip_tpu.toolkit.robot import (
+    backproject,
+    crop_object_images,
+    mask_bbox_3d,
+    pose_to_transform,
+    quaternion_to_rotation,
+    rotation_to_quaternion,
+    seg_color_map,
+    visualize_segmentation,
+)
+from protoclip_tpu.toolkit.speech import (
+    find_valid_noun_and_verb,
+    load_dictionary,
+    merge_adjacent_same_tags,
+)
+
+torch = pytest.importorskip("torch")
+
+
+# -- robot geometry ---------------------------------------------------------
+
+
+def test_crop_object_images():
+    label = np.zeros((40, 40), np.int32)
+    label[5:20, 5:25] = 3  # valid object
+    label[30:33, 30:33] = 7  # too small (<= 5px)
+    rgb = np.arange(40 * 40 * 3, dtype=np.uint8).reshape(40, 40, 3)
+    crops, ids = crop_object_images(label, rgb)
+    assert ids == [3]
+    assert crops[0].shape == (14, 19, 3)
+    np.testing.assert_array_equal(crops[0], rgb[5:19, 5:24, :])
+
+
+def test_backproject_roundtrip():
+    K = np.asarray([[100.0, 0, 32], [0, 100.0, 24], [0, 0, 1]])
+    depth = np.full((48, 64), 2.0, np.float32)
+    xyz = backproject(depth, K)
+    assert xyz.shape == (48, 64, 3)
+    # center pixel maps to (0, 0, z)
+    np.testing.assert_allclose(xyz[24, 32], [0, 0, 2.0], atol=1e-5)
+    # projection consistency: u = fx*x/z + cx
+    u, v = 50, 10
+    x, y, z = xyz[v, u]
+    assert 100 * x / z + 32 == pytest.approx(u)
+    assert 100 * y / z + 24 == pytest.approx(v)
+
+
+def test_mask_bbox_3d_outlier_trim():
+    xyz = np.zeros((10, 10, 3), np.float32)
+    xyz[..., 2] = 1.0
+    xyz[0, 0, 2] = 50.0  # z outlier
+    mask = np.ones((10, 10), np.int32)
+    box = mask_bbox_3d(xyz, mask)
+    assert box is not None
+    assert box["center"][2] == pytest.approx(1.0)
+    assert len(box["points"]) == 99  # outlier dropped
+    assert mask_bbox_3d(np.zeros((4, 4, 3), np.float32), np.ones((4, 4))) is None
+
+
+def test_quaternion_roundtrip(rng):
+    q = rng.standard_normal(4)
+    q /= np.linalg.norm(q)
+    R = quaternion_to_rotation(q)
+    np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
+    np.testing.assert_allclose(np.linalg.det(R), 1.0, atol=1e-5)
+    q2 = rotation_to_quaternion(R)
+    # q and -q are the same rotation
+    assert np.allclose(q2, q, atol=1e-5) or np.allclose(q2, -q, atol=1e-5)
+    T = pose_to_transform([1, 2, 3], q)
+    np.testing.assert_allclose(T[:3, 3], [1, 2, 3])
+
+
+def test_visualize_segmentation():
+    rgb = np.full((20, 20, 3), 128, np.uint8)
+    label = np.zeros((20, 20), np.int32)
+    label[5:15, 5:15] = 1
+    out = visualize_segmentation(rgb, label)
+    assert out.shape == rgb.shape and out.dtype == np.uint8
+    assert not np.array_equal(out[10, 10], rgb[10, 10])  # tinted
+    np.testing.assert_array_equal(out[0, 0], rgb[0, 0])  # background untouched
+    assert len(seg_color_map(50)) == 50
+
+
+# -- speech logic -----------------------------------------------------------
+
+
+def test_merge_adjacent_same_tags():
+    tags = [("pick", "VB"), ("mustard", "NN"), ("bottle", "NN"), ("now", "RB")]
+    merged = merge_adjacent_same_tags(tags)
+    assert merged == [("pick", "VB"), ("mustard bottle", "NN"), ("now", "RB")]
+
+
+def test_find_valid_noun_and_verb():
+    tags = [("please", "UH"), ("pick", "VB"), ("the", "DT"), ("mustard", "NN"), ("bottle", "NN")]
+    verb, noun = find_valid_noun_and_verb(tags, {"pick"}, {"mustard bottle"})
+    assert (verb, noun) == ("pick", "mustard bottle")
+    verb, noun = find_valid_noun_and_verb(tags, {"grasp"}, {"mug"})
+    assert (verb, noun) == (None, None)
+
+
+def test_load_dictionary(tmp_path):
+    p = tmp_path / "nouns.txt"
+    p.write_text("mustard_bottle\npower_drill\n")
+    out = load_dictionary(str(p), replace_underscores=True)
+    assert out == {"mustard bottle", "power drill"}
+
+
+# -- classifier + OOD over tiny CLIP ---------------------------------------
+
+
+@pytest.fixture(scope="module")
+def classifier_env(tmp_path_factory):
+    from tests.test_models import _tiny_torch_style_state_dict
+    from protoclip_tpu.models.adapters import adapter_to_torch_state, init_adapter
+    import jax
+
+    tmp = tmp_path_factory.mktemp("toolkit")
+    rng = np.random.default_rng(0)
+    sd = _tiny_torch_style_state_dict(rng)
+    weights = str(tmp / "tiny_clip.pt")
+    torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}, weights)
+
+    d, n_class, k = 32, 3, 2
+    bank_v = rng.standard_normal((n_class * k, d)).astype(np.float32)
+    bank_t = rng.standard_normal((n_class, d)).astype(np.float32)
+    adapter = init_adapter(jax.random.PRNGKey(0), d, "fc")
+    v_path, t_path, a_path = str(tmp / "v.pt"), str(tmp / "t.pt"), str(tmp / "a.pt")
+    torch.save(torch.from_numpy(bank_v), v_path)
+    torch.save(torch.from_numpy(bank_t), t_path)
+    torch.save(
+        {k2: torch.from_numpy(np.asarray(v2)) for k2, v2 in adapter_to_torch_state(adapter, "fc").items()},
+        a_path,
+    )
+    splits = str(tmp / "splits.json")
+    with open(splits, "w") as fh:
+        json.dump(
+            {"train": [["a.jpg", 0, "red_cup"], ["b.jpg", 1, "mug"], ["c.jpg", 2, "drill"]]},
+            fh,
+        )
+    cfg = Config(
+        dataset="fewsol", shots=k, backbone="tiny", weights_path=weights,
+        alpha=0.5, beta=5.0, adapter="fc", top_k=2, compute_dtype="float32",
+    )
+    return {"cfg": cfg, "splits": splits, "v": v_path, "t": t_path, "a": a_path, "tmp": str(tmp)}
+
+
+def test_proto_clip_classifier(classifier_env):
+    from protoclip_tpu.toolkit import ProtoClipClassifier
+
+    clf = ProtoClipClassifier(
+        classifier_env["cfg"],
+        splits_path=classifier_env["splits"],
+        memory_bank_v_path=classifier_env["v"],
+        memory_bank_t_path=classifier_env["t"],
+        adapter_weights_path=classifier_env["a"],
+    )
+    rng = np.random.default_rng(1)
+    crops = [rng.integers(0, 256, (50, 60, 3)).astype(np.uint8) for _ in range(3)]
+    names, probs = clf.classify_objects(crops, log=True, log_dir=os.path.join(classifier_env["tmp"], "logs"))
+    assert len(names) == 3 and probs.shape == (3, 2)
+    assert names[0][0] in ("red cup", "mug", "drill")
+    assert np.all(probs[:, 0] >= probs[:, 1])  # sorted top-k
+    # npy prediction log written
+    logs = os.listdir(os.path.join(classifier_env["tmp"], "logs"))
+    assert any(f.startswith("experiment_pred_") for f in logs)
+
+    canvas, texts = clf.draw_image_with_top_k_images(crops, names, probs, ["mug", "mug", "mug"])
+    assert canvas.size[0] == 650 and len(texts) == 3
+
+    # empty input
+    names, probs = clf.classify_objects([])
+    assert names == [] and probs.shape == (0, 2)
+
+
+def test_ood_eval(classifier_env):
+    from protoclip_tpu.toolkit.ood import test_ood_performance
+    from protoclip_tpu.train.runner import make_encode_fns
+
+    # build a numeric-class-folder OOD dataset (imagenet_v2 layout)
+    root = os.path.join(classifier_env["tmp"], "ood")
+    rng = np.random.default_rng(2)
+    for cls in range(3):
+        os.makedirs(os.path.join(root, str(cls)), exist_ok=True)
+        for i in range(2):
+            Image.fromarray(rng.integers(0, 256, (32, 32, 3)).astype(np.uint8)).save(
+                os.path.join(root, str(cls), f"{i}.jpg")
+            )
+    cfg = classifier_env["cfg"]
+    encode_fn, _, clip_cfg, _ = make_encode_fns(cfg)
+    acc = test_ood_performance(
+        cfg, "imagenet_v2", encode_fn, root,
+        memory_bank_v_path=classifier_env["v"],
+        memory_bank_t_path=classifier_env["t"],
+        adapter_weights_path=classifier_env["a"],
+        image_size=clip_cfg.image_resolution,
+    )
+    assert 0.0 <= acc <= 100.0
+
+
+def test_tsne_plot(classifier_env):
+    from protoclip_tpu.toolkit.tsne import plot_prototype_tsne
+
+    rng = np.random.default_rng(0)
+    out = plot_prototype_tsne(
+        rng.standard_normal((5, 16)), rng.standard_normal((5, 16)),
+        [f"c{i}" for i in range(5)],
+        os.path.join(classifier_env["tmp"], "tsne.png"),
+    )
+    assert os.path.exists(out)
