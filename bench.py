@@ -37,23 +37,24 @@ def bench_encode(backbone: str = "ViT-B/16", batch: int = 512, iters: int = 10):
     cfg, params = load_clip(backbone, dtype=jnp.bfloat16)
 
     @jax.jit
-    def encode(params, images_u8):
-        return encode_image(params, normalize_batch(images_u8, jnp.bfloat16), cfg)
+    def encode_checksum(params, images_u8):
+        feats = encode_image(params, normalize_batch(images_u8, jnp.bfloat16), cfg)
+        # Scalar checksum: forces full execution while keeping the timed
+        # device-to-host fetch negligible (remote-tunnel transfers are slow
+        # and block_until_ready does not await execution there).
+        return jnp.sum(feats.astype(jnp.float32))
 
     res = cfg.image_resolution
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.integers(0, 256, (batch, res, res, 3)).astype(np.uint8))
 
-    # Compile + warm the device-to-host fetch path.  Timing fetches the
-    # result each iteration: on remote-tunnel backends `block_until_ready`
-    # does not guarantee execution completed, a host fetch does.
-    np.asarray(encode(params, images))
-    np.asarray(encode(params, images))
+    np.asarray(encode_checksum(params, images))  # compile
+    np.asarray(encode_checksum(params, images))  # warm
 
     times = []
     for _ in range(iters):
         start = time.perf_counter()
-        np.asarray(encode(params, images))
+        np.asarray(encode_checksum(params, images))
         times.append(time.perf_counter() - start)
     best = min(times)
     return batch / best, best

@@ -219,3 +219,39 @@ def test_tsne_plot(classifier_env):
         os.path.join(classifier_env["tmp"], "tsne.png"),
     )
     assert os.path.exists(out)
+
+
+def test_paper_figures(classifier_env, tmp_path):
+    from protoclip_tpu.toolkit import ProtoClipClassifier
+    from protoclip_tpu.toolkit.paper_figures import generate_prediction_figures
+
+    clf = ProtoClipClassifier(
+        classifier_env["cfg"],
+        splits_path=classifier_env["splits"],
+        memory_bank_v_path=classifier_env["v"],
+        memory_bank_t_path=classifier_env["t"],
+        adapter_weights_path=classifier_env["a"],
+    )
+    rng = np.random.default_rng(5)
+    paths = []
+    for i in range(3):
+        p = tmp_path / f"img{i}.png"
+        Image.fromarray(rng.integers(0, 256, (40, 40, 3)).astype(np.uint8)).save(p)
+        paths.append(str(p))
+    out = generate_prediction_figures(
+        clf, [paths[:2], paths[2:]], str(tmp_path / "figs"), [["mug", "drill"], ["red cup"]]
+    )
+    assert len(out) == 2 and all(os.path.exists(p) for p in out)
+
+
+def test_alpha_beta_surface_plot(tmp_path):
+    from protoclip_tpu.obs.plots import plot_alpha_beta_surface, report_best_operating_points
+
+    alphas = np.linspace(0, 1, 5)
+    betas = np.linspace(0.1, 20, 7)
+    grid = np.random.default_rng(0).uniform(0, 1, (5, 7))
+    out = plot_alpha_beta_surface(grid, alphas, betas, str(tmp_path / "ab.png"))
+    assert os.path.exists(out)
+    rep = report_best_operating_points({"val": grid, "test": grid * 0.9}, alphas, betas)
+    assert set(rep) == {"val", "test", "test_at_val_best"}
+    assert rep["test_at_val_best"] == pytest.approx(0.9 * grid.max())
