@@ -41,6 +41,10 @@ class CLIPConfig:
     vocab_size: int = 49408
     transformer_width: int = 512
     transformer_layers: int = 12
+    # Head-count overrides for non-standard widths (None = OpenAI's
+    # 64-dims-per-head rule, clip/model.py:261,270).
+    n_vision_heads: Optional[int] = None
+    n_text_heads: Optional[int] = None
 
     @property
     def is_vit(self) -> bool:
@@ -48,17 +52,15 @@ class CLIPConfig:
 
     @property
     def vision_heads(self) -> int:
-        # ViT: width / 64 (ref clip/model.py:270)
-        return self.vision_width // 64
+        return self.n_vision_heads or self.vision_width // 64
 
     @property
     def vision_heads_resnet(self) -> int:
-        # ResNet attnpool: width * 32 / 64 (ref clip/model.py:261)
-        return self.vision_width * 32 // 64
+        return self.n_vision_heads or self.vision_width * 32 // 64
 
     @property
     def transformer_heads(self) -> int:
-        return self.transformer_width // 64
+        return self.n_text_heads or self.transformer_width // 64
 
 
 BACKBONE_CONFIGS: Dict[str, CLIPConfig] = {

@@ -66,22 +66,34 @@ def multi_head_attention(
     mask, the fused Pallas kernel handles masking on TPU.
     """
     dtype = x.dtype
-    q = x @ params["wq"].astype(dtype) + params["bq"].astype(dtype)
-    k = x @ params["wk"].astype(dtype) + params["bk"].astype(dtype)
-    v = x @ params["wv"].astype(dtype) + params["bv"].astype(dtype)
-    qh, kh, vh = _split_heads(q, n_head), _split_heads(k, n_head), _split_heads(v, n_head)
+    d = x.shape[-1]
+    # Fused QKV: one (D, 3D) MXU matmul instead of three (D, D) ones.
+    w_qkv = jnp.concatenate(
+        [params["wq"], params["wk"], params["wv"]], axis=1
+    ).astype(dtype)
+    b_qkv = jnp.concatenate([params["bq"], params["bk"], params["bv"]]).astype(dtype)
+    qkv = x @ w_qkv + b_qkv
+    q, k, v = qkv[..., :d], qkv[..., d : 2 * d], qkv[..., 2 * d :]
 
     if mask is None:
-        from protoclip_tpu.ops.pallas_kernels import fused_attention, pallas_enabled
+        from protoclip_tpu.ops.pallas_kernels import fused_attention_packed, pallas_enabled
 
         if pallas_enabled():
-            out = fused_attention(qh, kh, vh, causal=causal)
+            # packed kernel: no head-major transpose ever touches HBM
+            out = fused_attention_packed(q, k, v, n_head, causal=causal)
         else:
             m = _causal_mask(x.shape[1]) if causal else None
-            out = attention_core(qh, kh, vh, m)
+            out = _merge_heads(
+                attention_core(
+                    _split_heads(q, n_head), _split_heads(k, n_head), _split_heads(v, n_head), m
+                )
+            )
     else:
-        out = attention_core(qh, kh, vh, mask)
-    out = _merge_heads(out)
+        out = _merge_heads(
+            attention_core(
+                _split_heads(q, n_head), _split_heads(k, n_head), _split_heads(v, n_head), mask
+            )
+        )
     return out @ params["wo"].astype(dtype) + params["bo"].astype(dtype)
 
 

@@ -44,3 +44,26 @@ def test_fused_attention_bf16(rng):
     ours = np.asarray(fused_attention(q, k, v, interpret=True).astype(jnp.float32))
     ref = np.asarray(attention_core(q, k, v).astype(jnp.float32))
     np.testing.assert_allclose(ours, ref, atol=0.05)
+
+
+@pytest.mark.parametrize("L,causal", [(50, False), (77, True), (197, False)])
+def test_fused_attention_packed_matches_xla(rng, L, causal):
+    from protoclip_tpu.ops.pallas_kernels import fused_attention_packed
+
+    B, H, D = 2, 4, 128
+    q = rng.standard_normal((B, L, D)).astype(np.float32)
+    k = rng.standard_normal((B, L, D)).astype(np.float32)
+    v = rng.standard_normal((B, L, D)).astype(np.float32)
+    ours = np.asarray(
+        fused_attention_packed(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), H, causal=causal, interpret=True
+        )
+    )
+
+    def split(t):
+        return jnp.asarray(t).reshape(B, L, H, D // H).transpose(0, 2, 1, 3)
+
+    mask = jnp.triu(jnp.full((L, L), -jnp.inf), k=1) if causal else None
+    ref = attention_core(split(q), split(k), split(v), mask)
+    ref = np.asarray(ref.transpose(0, 2, 1, 3).reshape(B, L, D))
+    np.testing.assert_allclose(ours, ref, atol=2e-5)

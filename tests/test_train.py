@@ -175,3 +175,38 @@ def test_checkpoint_paths_layout(tmp_path):
     assert v.endswith("best_lr_0.0001_aug_10_epochs_2000_v.pt")
     vq, _, _ = checkpoint_paths(str(tmp_path), "RN50", 16, 0.5, 12, 1e-4, 10, 2000, qt=True)
     assert "best-alpha-beta" in vq
+
+
+def test_train_state_resume(rng, tmp_path):
+    from protoclip_tpu.train.resume import load_train_state, save_train_state
+
+    keys, bank_t, _ = _separable_problem(rng)
+    def make():
+        return EpisodicTrainer(
+            frozen_keys=keys, bank_t_init=bank_t, n_class=5, k_shots=4,
+            adapter_kind="fc", alpha=0.5, beta=10.0, lr=1e-3, train_epoch=20, seed=0,
+        )
+    t1 = make()
+    for _ in range(3):
+        t1.run_epoch()
+    path = str(tmp_path / "state.pkl")
+    save_train_state(path, t1)
+
+    t2 = make()
+    epoch = load_train_state(path, t2)
+    assert epoch == 3
+    for leaf1, leaf2 in zip(
+        jax.tree_util.tree_leaves(t1.params), jax.tree_util.tree_leaves(t2.params)
+    ):
+        np.testing.assert_array_equal(np.asarray(leaf1), np.asarray(leaf2))
+    # resumed trainer keeps training without error
+    stats = t2.run_epoch()
+    assert np.isfinite(stats["loss"])
+
+    # structure mismatch is rejected
+    t3 = EpisodicTrainer(
+        frozen_keys=keys, bank_t_init=bank_t, n_class=5, k_shots=4,
+        adapter_kind="fc", alpha=0.5, beta=10.0, train_vis_mem_only=True, seed=0,
+    )
+    with pytest.raises(ValueError):
+        load_train_state(path, t3)
