@@ -140,13 +140,14 @@ def run_qt(cfg: Config, mesh=None, progress: bool = True, logger: Optional[Metri
 
     alphas, betas = default_alpha_beta_grid()
     img_p, txt_p = jax.jit(lambda m: m.prototypes())(model)
-    adapt_j = jax.jit(lambda m, f: m.adapt(f))
+    # reference quirk: searched-sweep val features unnormalized (main.py:415)
+    adapt_j = jax.jit(lambda m, f, norm: m.adapt(f, normalize=norm), static_argnums=2)
     val_grid = alpha_beta_sweep(
-        np.asarray(adapt_j(model, jnp.asarray(val_feats))), val_labels, img_p, txt_p, alphas, betas
+        np.asarray(adapt_j(model, jnp.asarray(val_feats), False)), val_labels, img_p, txt_p, alphas, betas
     )
     a_s, b_s, _ = best_operating_point(val_grid, alphas, betas)
     test_grid = alpha_beta_sweep(
-        np.asarray(adapt_j(model, jnp.asarray(test_feats))), test_labels, img_p, txt_p, alphas, betas
+        np.asarray(adapt_j(model, jnp.asarray(test_feats), True)), test_labels, img_p, txt_p, alphas, betas
     )
     ai = int(np.where(alphas == a_s)[0][0])
     bi = int(np.argmin(np.abs(betas - b_s)))

@@ -228,11 +228,15 @@ def run(cfg: Config, mesh=None, progress: bool = True, logger: Optional[MetricLo
     test_acc_fixed = accuracy(model, test_feats, test_labels, alpha, beta)
     logger.scalar("Accuracy/test_fixed", test_acc_fixed, 0)
 
-    # re-search alpha/beta on adapted features (ref main.py:407-434)
+    # re-search alpha/beta on adapted features (ref main.py:407-434).
+    # Reference quirk preserved: the searched-sweep val features are NOT
+    # re-normalized after the adapter (main.py:415), while test features are
+    # (main.py:407-409) — P is not row-scale invariant, so this affects
+    # which (alpha, beta) the sweep selects.
     img_p, txt_p = jax.jit(lambda m: m.prototypes())(model)
-    adapt_j = jax.jit(lambda m, f: m.adapt(f))
-    val_adapted = np.asarray(adapt_j(model, jnp.asarray(val_feats)))
-    test_adapted = np.asarray(adapt_j(model, jnp.asarray(test_feats)))
+    adapt_j = jax.jit(lambda m, f, norm: m.adapt(f, normalize=norm), static_argnums=2)
+    val_adapted = np.asarray(adapt_j(model, jnp.asarray(val_feats), False))
+    test_adapted = np.asarray(adapt_j(model, jnp.asarray(test_feats), True))
     val_grid = alpha_beta_sweep(val_adapted, val_labels, img_p, txt_p, alphas, betas)
     a_s, b_s, _ = best_operating_point(val_grid, alphas, betas)
     test_grid = alpha_beta_sweep(test_adapted, test_labels, img_p, txt_p, alphas, betas)
