@@ -159,6 +159,8 @@ def _attention_kernel_packed(
             preferred_element_type=jnp.float32,
         )
         scores = jnp.where(mask, -1e30, scores)
+        # fp32 softmax (a bf16-exponent variant measured perf-neutral —
+        # the kernel is MXU/layout bound, not VPU bound)
         scores = scores - jnp.max(scores, axis=-1, keepdims=True)
         exp = jnp.exp(scores)
         weights = exp / jnp.sum(exp, axis=-1, keepdims=True)
