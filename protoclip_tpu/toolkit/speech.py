@@ -58,6 +58,17 @@ def load_dictionary(path: str, replace_underscores: bool = False) -> set:
     return set(words)
 
 
+def noun_dictionary_from_splits(splits_path: str) -> set:
+    """Build the allowed-noun set from a split JSON's classnames (the
+    reference ships a static 197-noun file derived the same way from the
+    FewSOL-198 classes)."""
+    import json
+
+    with open(splits_path) as fh:
+        data = json.load(fh)
+    return {str(row[2]).replace("_", " ") for row in data.get("train", [])}
+
+
 class VerbAndNounTagger:
     """flair-backed tagger (requires ``pip install flair``)."""
 

@@ -255,3 +255,12 @@ def test_alpha_beta_surface_plot(tmp_path):
     rep = report_best_operating_points({"val": grid, "test": grid * 0.9}, alphas, betas)
     assert set(rep) == {"val", "test", "test_at_val_best"}
     assert rep["test_at_val_best"] == pytest.approx(0.9 * grid.max())
+
+
+def test_noun_dictionary_from_splits(tmp_path):
+    from protoclip_tpu.toolkit.speech import noun_dictionary_from_splits
+
+    p = tmp_path / "s.json"
+    with open(p, "w") as fh:
+        json.dump({"train": [["a", 0, "mustard_bottle"], ["b", 1, "mug"], ["c", 0, "mustard_bottle"]]}, fh)
+    assert noun_dictionary_from_splits(str(p)) == {"mustard bottle", "mug"}
