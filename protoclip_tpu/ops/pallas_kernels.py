@@ -222,3 +222,173 @@ def fused_attention_packed(
         q, k, v, n_head=n_head, length=l, causal=causal, interpret=interpret
     )
     return out[:, :l, :]
+
+
+# -- whole-transformer-block kernel -----------------------------------------
+#
+# One pallas_call per residual block: LN1 -> fused QKV -> per-head attention
+# -> out-projection -> residual -> LN2 -> MLP(QuickGELU) -> residual, all in
+# VMEM.  The layer's weights (~14MB bf16 for ViT-B) use constant index maps,
+# so Mosaic keeps them resident across the batch grid; per-layer HBM traffic
+# drops to x-in + x-out + one weight read.
+
+
+def _block_kernel(
+    x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
+    ln1s_ref, ln1b_ref, ln2s_ref, ln2b_ref,
+    wfc_ref, bfc_ref, wproj_ref, bproj_ref,
+    out_ref, *, n_head, length, causal, eps=1e-5,
+):
+    x = x_ref[...]  # (G, Lp, D) bf16
+    g, lp, d = x.shape
+    dh = d // n_head
+    dtype = x.dtype
+
+    def ln(v, scale_ref, bias_ref):
+        vf = v.astype(jnp.float32)
+        mean = jnp.mean(vf, axis=-1, keepdims=True)
+        c = vf - mean
+        var = jnp.mean(c * c, axis=-1, keepdims=True)
+        normed = c * jax.lax.rsqrt(var + eps)
+        return (
+            normed * scale_ref[...].astype(jnp.float32)
+            + bias_ref[...].astype(jnp.float32)
+        ).astype(dtype)
+
+    h1 = ln(x, ln1s_ref, ln1b_ref).reshape(g * lp, d)
+    qkv = (
+        jax.lax.dot_general(
+            h1, wqkv_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dtype)
+        + bqkv_ref[...].astype(dtype)
+    ).reshape(g, lp, 3 * d)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (g, lp, lp), 2)
+    mask = col >= length
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, (g, lp, lp), 1)
+        mask = jnp.logical_or(mask, col > row)
+
+    scale = dh ** -0.5
+    attn = jnp.zeros((g, lp, d), dtype)
+    for h in range(n_head):
+        qh = qkv[:, :, h * dh : (h + 1) * dh].astype(jnp.float32)
+        kh = qkv[:, :, d + h * dh : d + (h + 1) * dh].astype(jnp.float32)
+        vh = qkv[:, :, 2 * d + h * dh : 2 * d + (h + 1) * dh]
+        s = jax.lax.dot_general(
+            qh * scale, kh, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        s = jnp.where(mask, -1e30, s)
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s)
+        w = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(dtype)
+        o = jax.lax.dot_general(
+            w, vh, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        attn = attn.at[:, :, h * dh : (h + 1) * dh].set(o.astype(dtype))
+
+    proj = (
+        jax.lax.dot_general(
+            attn.reshape(g * lp, d), wo_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dtype)
+        + bo_ref[...].astype(dtype)
+    ).reshape(g, lp, d)
+    x = x + proj
+
+    h2 = ln(x, ln2s_ref, ln2b_ref).reshape(g * lp, d)
+    hid = (
+        jax.lax.dot_general(
+            h2, wfc_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + bfc_ref[...].astype(jnp.float32)
+    )
+    hid = (hid * jax.nn.sigmoid(1.702 * hid)).astype(dtype)  # QuickGELU
+    mlp_out = (
+        jax.lax.dot_general(
+            hid, wproj_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dtype)
+        + bproj_ref[...].astype(dtype)
+    ).reshape(g, lp, d)
+    out_ref[...] = x + mlp_out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_head", "length", "causal", "interpret", "group")
+)
+def _fused_block_padded(
+    x, wqkv, bqkv, wo, bo, ln1s, ln1b, ln2s, ln2b, wfc, bfc, wproj, bproj,
+    n_head: int, length: int, causal=False, interpret=False, group=4,
+):
+    b, lp, d = x.shape
+    g = next((c for c in (group, 2, 1) if b % c == 0), 1)
+    kernel = functools.partial(
+        _block_kernel, n_head=n_head, length=length, causal=causal
+    )
+    vm = pltpu.VMEM if _HAS_PLTPU else None
+    x_spec = pl.BlockSpec((g, lp, d), lambda i: (i, 0, 0), memory_space=vm)
+
+    def w_spec(arr):
+        return pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim, memory_space=vm)
+
+    weights = (wqkv, bqkv, wo, bo, ln1s, ln1b, ln2s, ln2b, wfc, bfc, wproj, bproj)
+    params = {}
+    if _HAS_PLTPU and not interpret:
+        params["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, lp, d), x.dtype),
+        grid=(b // g,),
+        in_specs=[x_spec] + [w_spec(w) for w in weights],
+        out_specs=x_spec,
+        interpret=interpret,
+        **params,
+    )(x, *weights)
+
+
+def fused_transformer_block(
+    x, block_params, n_head: int, causal: bool = False, interpret: bool = False,
+    group: int = 4,
+):
+    """Run one full residual attention block as a single Pallas kernel.
+
+    ``block_params`` is the per-layer pytree used by
+    :func:`protoclip_tpu.models.layers.residual_block` (keys ``ln_1``,
+    ``attn``, ``ln_2``, ``mlp``).  ``x``: (B, L, D).
+    """
+    b, l, d = x.shape
+    lp = -(-l // 8) * 8
+    if lp != l:
+        x = jnp.pad(x, [(0, 0), (0, lp - l), (0, 0)])
+    attn = block_params["attn"]
+    dtype = x.dtype
+    wqkv = jnp.concatenate([attn["wq"], attn["wk"], attn["wv"]], axis=1).astype(dtype)
+    bqkv = jnp.concatenate([attn["bq"], attn["bk"], attn["bv"]]).astype(dtype)
+    out = _fused_block_padded(
+        x,
+        wqkv,
+        bqkv,
+        attn["wo"].astype(dtype),
+        attn["bo"].astype(dtype),
+        block_params["ln_1"]["scale"].astype(jnp.float32),
+        block_params["ln_1"]["bias"].astype(jnp.float32),
+        block_params["ln_2"]["scale"].astype(jnp.float32),
+        block_params["ln_2"]["bias"].astype(jnp.float32),
+        block_params["mlp"]["w_fc"].astype(dtype),
+        block_params["mlp"]["b_fc"].astype(dtype),
+        block_params["mlp"]["w_proj"].astype(dtype),
+        block_params["mlp"]["b_proj"].astype(dtype),
+        n_head=n_head,
+        length=l,
+        causal=causal,
+        interpret=interpret,
+        group=group,
+    )
+    return out[:, :l, :]

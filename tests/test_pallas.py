@@ -70,3 +70,21 @@ def test_fused_attention_packed_matches_xla(rng, L, causal):
     # fp16-softmax numerics) -> ~3e-3 quantization vs the fp32 XLA path
     np.testing.assert_allclose(ours, ref, atol=2e-2)
     assert np.abs(ours - ref).mean() < 1e-3  # bulk agreement
+
+
+@pytest.mark.parametrize("L,causal", [(50, False), (13, True)])
+def test_fused_transformer_block_matches_reference(rng, L, causal):
+    from protoclip_tpu.models.layers import init_block_params, residual_block
+    from protoclip_tpu.ops.pallas_kernels import fused_transformer_block
+    import jax
+
+    B, D, H = 4, 128, 4
+    stacked = init_block_params(jax.random.PRNGKey(0), 1, D)
+    blk = jax.tree_util.tree_map(lambda a: a[0], stacked)
+    x = rng.standard_normal((B, L, D)).astype(np.float32)
+
+    ours = np.asarray(
+        fused_transformer_block(jnp.asarray(x), blk, H, causal=causal, interpret=True)
+    )
+    ref = np.asarray(residual_block(jnp.asarray(x), blk, H, causal=causal))
+    np.testing.assert_allclose(ours, ref, atol=5e-4)
