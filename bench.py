@@ -27,6 +27,24 @@ import numpy as np
 BASELINE_IMAGES_PER_SEC = 1100.0  # PyTorch-A100 fp16 ViT-B/16 encode (BASELINE.md)
 
 
+def _enable_compilation_cache() -> None:
+    """Persistent executable cache: remote-tunnel compiles can take many
+    minutes; caching makes repeated bench runs near-instant."""
+    import os
+
+    import jax
+
+    try:
+        cache_dir = os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/jax_comp_cache")
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # older jax or unsupported backend: benign
+
+
 def bench_encode(backbone: str = "ViT-B/16", batch: int = 512, iters: int = 10):
     import jax
     import jax.numpy as jnp
@@ -63,6 +81,7 @@ def bench_encode(backbone: str = "ViT-B/16", batch: int = 512, iters: int = 10):
 def main() -> None:
     import jax
 
+    _enable_compilation_cache()
     backend = jax.default_backend()
     if backend == "cpu":
         # CI/debug fallback: tiny run so the harness still emits a line

@@ -271,7 +271,8 @@ def _block_kernel(
         mask = jnp.logical_or(mask, col > row)
 
     scale = dh ** -0.5
-    attn = jnp.zeros((g, lp, d), dtype)
+    head_outs = []  # concatenated below (dynamic-update lowers to scatter,
+    # which Mosaic does not support)
     for h in range(n_head):
         qh = qkv[:, :, h * dh : (h + 1) * dh].astype(jnp.float32)
         kh = qkv[:, :, d + h * dh : d + (h + 1) * dh].astype(jnp.float32)
@@ -288,7 +289,8 @@ def _block_kernel(
             w, vh, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
-        attn = attn.at[:, :, h * dh : (h + 1) * dh].set(o.astype(dtype))
+        head_outs.append(o.astype(dtype))
+    attn = jnp.concatenate(head_outs, axis=-1)
 
     proj = (
         jax.lax.dot_general(

