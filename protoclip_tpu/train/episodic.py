@@ -180,6 +180,9 @@ class EpisodicTrainer:
                 "queries": jnp.sum(qm_flat) * valid,
                 "episodes": valid,
             }
+            for term, value in terms.items():
+                if term != "total":
+                    metrics[f"term_{term}"] = value * valid
             return (params, opt_state), metrics
 
         @jax.jit
@@ -188,10 +191,14 @@ class EpisodicTrainer:
             (params, opt_state), metrics = jax.lax.scan(
                 one_episode, (params, opt_state), (query_masks, valid)
             )
+            n_ep = jnp.maximum(jnp.sum(metrics["episodes"]), 1)
             agg = {
-                "loss": jnp.sum(metrics["loss"]) / jnp.maximum(jnp.sum(metrics["episodes"]), 1),
+                "loss": jnp.sum(metrics["loss"]) / n_ep,
                 "acc": jnp.sum(metrics["matches"]) / jnp.maximum(jnp.sum(metrics["queries"]), 1),
             }
+            for key in metrics:
+                if key.startswith("term_"):
+                    agg[key] = jnp.sum(metrics[key]) / n_ep
             return params, opt_state, agg
 
         return epoch_fn
@@ -211,7 +218,11 @@ class EpisodicTrainer:
             jnp.asarray(lr, jnp.float32),
         )
         self.epoch += 1
-        return {"loss": float(agg["loss"]), "acc": float(agg["acc"]), "lr": lr}
+        out = {"loss": float(agg["loss"]), "acc": float(agg["acc"]), "lr": lr}
+        for key, value in agg.items():
+            if key.startswith("term_"):
+                out[key.removeprefix("term_")] = float(value)
+        return out
 
     def model(self) -> ProtoClip:
         bank_t = self.params.get("bank_t", self._frozen_bank_t)

@@ -196,6 +196,14 @@ def run(cfg: Config, mesh=None, progress: bool = True, logger: Optional[MetricLo
             from tqdm import tqdm
 
             iterator = tqdm(iterator, desc=f"train {cfg.dataset}")
+        # per-term TensorBoard tags matching the reference (main.py:287-302)
+        term_tags = {
+            "L1": "Loss/train/L1-negLog",
+            "L2": "Loss/train/L2-img2txt_align",
+            "L3": "Loss/train/L3-txt2img_align",
+            "L4": "Loss/train/L4-img_inter_cluster",
+            "L5": "Loss/train/L5-txt_inter_cluster",
+        }
         for epoch in iterator:
             stats = trainer.run_epoch()
             model = trainer.model()
@@ -204,6 +212,9 @@ def run(cfg: Config, mesh=None, progress: bool = True, logger: Optional[MetricLo
             logger.scalar("Accuracy/train", stats["acc"], epoch)
             logger.scalar("Accuracy/val", va, epoch)
             logger.scalar("HP/lr", stats["lr"], epoch)
+            for term, tag in term_tags.items():
+                if term in stats:
+                    logger.scalar(tag, stats[term], epoch)
             if va >= best_val:
                 best_val, best_epoch = va, epoch
                 save_checkpoint_triple(
