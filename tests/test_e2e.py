@@ -132,3 +132,19 @@ def test_sharded_encode_on_cpu_mesh(tiny_env):
     images = np.zeros((16, 32, 32, 3), np.uint8)
     feats = encode_fn(images)
     assert feats.shape == (16, clip_cfg.embed_dim)
+
+
+def test_full_runner_with_mesh(tiny_env):
+    """The whole experiment flow with batches sharded over the 8-device
+    virtual mesh (bank build, sweep, training, test)."""
+    import jax
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 devices")
+    from protoclip_tpu.parallel import make_mesh
+    from protoclip_tpu.train.runner import run
+
+    mesh = make_mesh(8)
+    cfg = _config(tiny_env, train_epoch=1, cache_root=os.path.join(tiny_env["tmp"], "caches_mesh"))
+    result = run(cfg, mesh=mesh, progress=False)
+    assert 0.0 <= result.test_acc_fixed <= 1.0

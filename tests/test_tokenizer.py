@@ -100,3 +100,40 @@ def test_decode_roundtrip():
     # BPE end-of-word markers decode to trailing spaces (punctuation is its
     # own word), matching the reference decoder's behavior.
     assert tok.decode(tok.encode(text)).strip() == "a photo of a cat ."
+
+
+DATASET_TEMPLATES = [
+    "a photo of a {}.",          # caltech101 / sun397 / stanford_cars
+    "{} texture.",               # dtd
+    "a centered satellite photo of {}.",  # eurosat
+    "a photo of a {}, a type of aircraft.",  # fgvc
+    "a photo of {}, a type of food.",        # food101
+    "a photo of a {}, a type of flower.",    # oxford_flowers
+    "a photo of a {}, a type of pet.",       # oxford_pets
+    "a photo of a person doing {}.",         # ucf101
+    "a photo of a {}",                       # fewsol
+]
+
+
+def test_all_dataset_templates_tokenize(hf_tokenizer):
+    """Every dataset's prompt template round-trips through BPE identically
+    to the independent HF implementation."""
+    ours_tok = ClipTokenizer(VOCAB)
+    for template in DATASET_TEMPLATES:
+        prompt = template.format("sea lion")
+        ours = ours_tok.encode(prompt)
+        theirs = hf_tokenizer(prompt)["input_ids"][1:-1]
+        assert ours == theirs, template
+
+
+def test_imagenet_ensemble_tokenizes_within_context():
+    """All 7 ImageNet templates x longest classnames fit in 77 tokens."""
+    from protoclip_tpu.data.registry import imagenet_classnames_and_templates
+
+    classnames, templates = imagenet_classnames_and_templates()
+    assert len(classnames) == 1000 and len(templates) == 7
+    longest = max(classnames, key=len)
+    prompts = [t.format(longest.replace("_", " ")) for t in templates]
+    arr = tokenize(prompts)
+    assert arr.shape == (7, 77)
+    assert (arr.argmax(axis=1) > 0).all()
