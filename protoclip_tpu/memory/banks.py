@@ -78,9 +78,12 @@ def build_visual_memory_bank(
             values = cached_v.get("values", cached_v.get("array"))
             if keys is not None and values is not None:
                 keys = np.asarray(keys, np.float32)
-                if keys.shape[0] < keys.shape[1] and values.shape[0] != keys.shape[0]:
-                    keys = keys.T  # reference stores (d, N*K)
-                return keys, np.asarray(values, np.float32)
+                values = np.asarray(values, np.float32)
+                # reference stores keys transposed (d, N*K); values' row count
+                # is the ground truth for N*K
+                if keys.shape[0] != values.shape[0]:
+                    keys = keys.T
+                return keys, values
 
     sum_feats: Optional[np.ndarray] = None
     labels: Optional[np.ndarray] = None
@@ -129,8 +132,9 @@ def build_textual_memory_bank(
             bank = cached.get("bank", cached.get("array"))
             if bank is not None:
                 bank = np.asarray(bank, np.float32)
-                if bank.shape[0] < bank.shape[1] and len(classnames) != bank.shape[0]:
-                    bank = bank.T  # reference stores (d, N)
+                # reference stores the bank transposed (d, N)
+                if bank.shape[0] != len(classnames):
+                    bank = bank.T
                 return bank
 
     prompts = [

@@ -325,10 +325,23 @@ def _block_kernel(
 )
 def _fused_block_padded(
     x, wqkv, bqkv, wo, bo, ln1s, ln1b, ln2s, ln2b, wfc, bfc, wproj, bproj,
-    n_head: int, length: int, causal=False, interpret=False, group=4,
+    n_head: int, length: int, causal=False, interpret=False, group=16,
 ):
     b, lp, d = x.shape
-    g = next((c for c in (group, 2, 1) if b % c == 0), 1)
+    # Pick the largest batch group whose working set fits the 100MB scoped
+    # VMEM budget (x + qkv + score tile + fp32 MLP hidden + out, plus the
+    # resident layer weights).  G=16 measured fastest for ViT-B/16.
+    weight_bytes = 2 * (3 * d * d + d * d + 8 * d * d)
+    per_row = lp * (2 * d + 6 * d + 4 * lp + 16 * d + 2 * d)
+    budget = 85 * 1024 * 1024
+    g = next(
+        (
+            c
+            for c in (group, 16, 8, 4, 2, 1)
+            if c <= group and b % c == 0 and weight_bytes + c * per_row <= budget
+        ),
+        1,
+    )
     kernel = functools.partial(
         _block_kernel, n_head=n_head, length=length, causal=causal
     )
@@ -357,7 +370,7 @@ def _fused_block_padded(
 
 def fused_transformer_block(
     x, block_params, n_head: int, causal: bool = False, interpret: bool = False,
-    group: int = 4,
+    group: int = 16,
 ):
     """Run one full residual attention block as a single Pallas kernel.
 

@@ -163,3 +163,32 @@ def test_pre_load_features(tmp_path):
     np.testing.assert_array_equal(labs, labels)
     feats2, labs2 = pre_load_features(None, None, "val", cache, progress=False)
     np.testing.assert_array_equal(feats, feats2)
+
+
+def test_reference_layout_pt_when_nk_smaller_than_dim(tmp_path):
+    """Regression: reference (d, N*K) caches must transpose even when
+    N*K < d (small datasets x large backbones)."""
+    torch = pytest.importorskip("torch")
+    import os
+
+    cache = FeatureCache(str(tmp_path), "RN50", 2)
+    key_stem, value_stem = cache.visual_bank_stems(3)
+    d, nk = 64, 6  # nk < d
+    keys_ref = np.random.default_rng(0).standard_normal((d, nk)).astype(np.float32)
+    values_ref = np.eye(3, dtype=np.float32)[np.asarray([0, 0, 1, 1, 2, 2])]
+    os.makedirs(os.path.join(cache.root, "aug"), exist_ok=True)
+    torch.save(torch.from_numpy(keys_ref), os.path.join(cache.root, key_stem + ".pt"))
+    torch.save(torch.from_numpy(values_ref), os.path.join(cache.root, value_stem + ".pt"))
+    keys, values = build_visual_memory_bank(None, None, augment_epochs=3, cache=cache, progress=False)
+    assert keys.shape == (nk, d)
+    np.testing.assert_allclose(keys, keys_ref.T, atol=1e-6)
+
+    # text bank: (d, N) with N < d
+    n = 3
+    bank_ref = np.random.default_rng(1).standard_normal((d, n)).astype(np.float32)
+    import numpy as _np
+
+    cache.save(cache.text_bank_stem(), bank=bank_ref)
+    bank = build_textual_memory_bank(None, ["a", "b", "c"], ["{}"], cache=cache)
+    assert bank.shape == (n, d)
+    np.testing.assert_allclose(bank, bank_ref.T, atol=1e-6)
