@@ -6,6 +6,7 @@ from protoclip_tpu.train.optim import make_optimizer, cosine_lr
 from protoclip_tpu.train.episodic import (
     EpisodicTrainer,
     make_episode_masks,
+    make_episode_queries,
 )
 from protoclip_tpu.train.qt import QTTrainer
 
@@ -14,5 +15,6 @@ __all__ = [
     "cosine_lr",
     "EpisodicTrainer",
     "make_episode_masks",
+    "make_episode_queries",
     "QTTrainer",
 ]

@@ -8,14 +8,15 @@ the adapter, and one AdamW step minimizes L1+L2+L3 against prototypes built
 from the *trainable* banks (prototypes always use all N classes and all K
 slots, ``main.py:260-264``; queries are the frozen keys, ``main.py:267``).
 
-TPU reformulation (SURVEY.md §7 "hard parts"): episodes become dense masks —
-``class_mask (E, N)`` and ``query_mask (E, N, K)`` sampled on host with numpy
-— and one jitted ``lax.scan`` consumes all E episodes of an epoch in a single
-dispatch.  Loss/accuracy are mask-weighted over the full (N*K) query block,
-which is mathematically identical to gathering the variable-length query set
-(non-query rows carry zero weight, and adapter grads flow only through
-weighted rows).  Padded episodes (``valid = 0``) leave params and optimizer
-state untouched.
+TPU reformulation (SURVEY.md §7 "hard parts"): variable-length episodes
+become fixed-shape gather buffers — per episode a ``(Q,)`` block of query row
+indices / labels / 0-1 weights sampled on host with numpy, Q sized to the
+largest possible episode — and one jitted ``lax.scan`` consumes all E
+episodes of an epoch in a single dispatch.  Weighted loss over the padded
+buffer is mathematically identical to the reference's variable-length query
+set (padding carries zero weight); padded episodes (``valid = 0``) leave
+params and optimizer state untouched.  A dense-mask view
+(:func:`make_episode_masks`) of the same sampler exists for analysis/tests.
 
 Exact PyTorch RNG replay is impossible (different generators); the parity
 target is accuracy, not bitwise traces.
@@ -50,45 +51,89 @@ def max_episodes(n_class: int) -> int:
     return int(np.ceil(max(n_class - 1, 1) / lower))
 
 
-def make_episode_masks(
-    rng: np.random.Generator, n_class: int, k_shots: int
-) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Sample one epoch of episode masks on the host.
+def max_queries(n_class: int, k_shots: int) -> int:
+    """Fixed per-episode query-buffer size: the largest possible episode
+    (``upper`` classes, ``K-1`` queries each; K queries when K == 1)."""
+    _, upper = episode_bounds(n_class)
+    return upper * (k_shots - 1 if k_shots > 1 else 1)
 
-    Returns ``class_mask (E, N)``, ``query_mask (E, N, K)``, ``valid (E,)``
-    with E = :func:`max_episodes` (trailing episodes zero-padded).
 
-    Mirrors the reference sampler: a class permutation is chunked by
-    ``randint(lower, upper)`` sizes over positions ``[0, N-1)`` (the final
-    permutation position never participates — reference quirk,
-    ``main.py:235-239``); per chunk class, ``n = randint(1, K)`` support
-    slots, the remaining ``K - n`` are queries (all K slots when K == 1).
+def _sample_epoch(rng: np.random.Generator, n_class: int, k_shots: int):
+    """One epoch of reference-style episodes as (class, slot) index lists.
+
+    Mirrors the reference sampler (``main.py:235-258``): a class permutation
+    chunked by ``randint(lower, upper)`` sizes over positions ``[0, N-1)``
+    (the final permutation position never participates — reference quirk);
+    per chunk class, ``n = randint(1, K)`` support slots, the remaining
+    ``K - n`` are queries (all K slots when K == 1).
     """
     lower, upper = episode_bounds(n_class)
-    E = max_episodes(n_class)
-    class_mask = np.zeros((E, n_class), np.float32)
-    query_mask = np.zeros((E, n_class, k_shots), np.float32)
-    valid = np.zeros((E,), np.float32)
-
+    episodes = []
     perm = rng.permutation(n_class)
-    start, e = 0, 0
-    while start < n_class - 1 and e < E:
+    start = 0
+    while start < n_class - 1:
         num = int(rng.integers(lower, upper)) if upper > lower else lower
         chunk = perm[start : min(start + num, n_class - 1)]
         if len(chunk) == 0:
             break
+        queries = []  # (class, slot)
         for cls in chunk:
-            class_mask[e, cls] = 1.0
             if k_shots > 1:
                 n_support = int(rng.integers(1, k_shots))
                 slots = rng.permutation(k_shots)
-                query_mask[e, cls, slots[n_support:]] = 1.0
+                queries.extend((int(cls), int(s)) for s in slots[n_support:])
             else:
-                query_mask[e, cls, :] = 1.0
-        valid[e] = 1.0
+                queries.append((int(cls), 0))
+        episodes.append(queries)
         start += len(chunk)
-        e += 1
+    return episodes
+
+
+def make_episode_masks(
+    rng: np.random.Generator, n_class: int, k_shots: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Dense-mask view of one epoch of episodes (used by tests/analysis).
+
+    Returns ``class_mask (E, N)``, ``query_mask (E, N, K)``, ``valid (E,)``
+    with E = :func:`max_episodes` (trailing episodes zero-padded).
+    """
+    E = max_episodes(n_class)
+    class_mask = np.zeros((E, n_class), np.float32)
+    query_mask = np.zeros((E, n_class, k_shots), np.float32)
+    valid = np.zeros((E,), np.float32)
+    for e, queries in enumerate(_sample_epoch(rng, n_class, k_shots)[:E]):
+        for cls, slot in queries:
+            class_mask[e, cls] = 1.0
+            query_mask[e, cls, slot] = 1.0
+        valid[e] = 1.0
     return class_mask, query_mask, valid
+
+
+def make_episode_queries(
+    rng: np.random.Generator, n_class: int, k_shots: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Gather-form episodes: fixed-size query index buffers.
+
+    Returns ``query_idx (E, Q)`` (row indices into the (N*K) bank),
+    ``query_labels (E, Q)``, ``query_w (E, Q)`` (1 for real queries, 0 for
+    padding), ``valid (E,)``; Q = :func:`max_queries`.  The trainer runs the
+    adapter/classifier only on these rows instead of the full N*K block —
+    identical math (padded rows carry zero loss weight), ~2.5x less episode
+    compute at the reference's 20-40% class-sampling rate.
+    """
+    E = max_episodes(n_class)
+    Q = max_queries(n_class, k_shots)
+    query_idx = np.zeros((E, Q), np.int32)
+    query_labels = np.zeros((E, Q), np.int32)
+    query_w = np.zeros((E, Q), np.float32)
+    valid = np.zeros((E,), np.float32)
+    for e, queries in enumerate(_sample_epoch(rng, n_class, k_shots)[:E]):
+        for j, (cls, slot) in enumerate(queries[:Q]):
+            query_idx[e, j] = cls * k_shots + slot
+            query_labels[e, j] = cls
+            query_w[e, j] = 1.0
+        valid[e] = 1.0
+    return query_idx, query_labels, query_w, valid
 
 
 @dataclasses.dataclass
@@ -126,7 +171,6 @@ class EpisodicTrainer:
         self._frozen_keys = jnp.asarray(self.frozen_keys, jnp.float32)
         self.optimizer = make_optimizer(self.lr)
         self.opt_state = self.optimizer.init(self.params)
-        self._labels = jnp.repeat(jnp.arange(self.n_class), self.k_shots)
         self._np_rng = np.random.default_rng(self.seed)
         self._epoch_fn = self._build_epoch_fn()
         self.epoch = 0
@@ -135,7 +179,6 @@ class EpisodicTrainer:
 
     def _build_epoch_fn(self):
         n, k = self.n_class, self.k_shots
-        labels = self._labels
         losses = self.losses
         alpha, beta = self.alpha, self.beta
         optimizer = self.optimizer
@@ -143,27 +186,32 @@ class EpisodicTrainer:
         frozen_bank_t = self._frozen_bank_t
         vis_only = self.train_vis_mem_only
 
-        def episode_loss(params, query_mask_flat):
+        def episode_loss(params, query_idx, query_labels, query_w):
             bank_t = frozen_bank_t if vis_only else params["bank_t"]
             img_proto = class_prototypes(params["bank_v"], n, k)
             txt_proto = l2_normalize(bank_t.astype(jnp.float32))
-            zq = apply_adapter(params["adapter"], frozen_keys, self.adapter_kind)
+            # queries are the *frozen* cached features of the sampled rows
+            # (main.py:267); only those rows pass through the adapter.
+            zq = apply_adapter(
+                params["adapter"], frozen_keys[query_idx], self.adapter_kind
+            )
             zq = l2_normalize(zq.astype(jnp.float32))
             p = proto_probs(zq, img_proto, txt_proto, alpha, beta)
             terms = protoclip_loss(
-                p, labels, img_proto, txt_proto, losses, query_weights=query_mask_flat
+                p, query_labels, img_proto, txt_proto, losses, query_weights=query_w
             )
             preds = jnp.argmax(p, axis=-1)
-            matches = jnp.sum((preds == labels).astype(jnp.float32) * query_mask_flat)
+            matches = jnp.sum((preds == query_labels).astype(jnp.float32) * query_w)
             return terms["total"], (terms, matches)
 
         grad_fn = jax.value_and_grad(episode_loss, has_aux=True)
 
         def one_episode(carry, episode):
             params, opt_state = carry
-            query_mask, valid = episode  # (N, K), ()
-            qm_flat = query_mask.reshape(-1)
-            (loss, (terms, matches)), grads = grad_fn(params, qm_flat)
+            query_idx, query_labels, query_w, valid = episode
+            (loss, (terms, matches)), grads = grad_fn(
+                params, query_idx, query_labels, query_w
+            )
             updates, new_opt_state = optimizer.update(grads, opt_state, params)
             new_params = optax.apply_updates(params, updates)
             # padded episode: keep previous params/opt state
@@ -177,7 +225,7 @@ class EpisodicTrainer:
             metrics = {
                 "loss": loss * valid,
                 "matches": matches * valid,
-                "queries": jnp.sum(qm_flat) * valid,
+                "queries": jnp.sum(query_w) * valid,
                 "episodes": valid,
             }
             for term, value in terms.items():
@@ -186,10 +234,12 @@ class EpisodicTrainer:
             return (params, opt_state), metrics
 
         @jax.jit
-        def epoch_fn(params, opt_state, query_masks, valid, lr):
+        def epoch_fn(params, opt_state, query_idx, query_labels, query_w, valid, lr):
             opt_state = _set_lr(opt_state, lr)
             (params, opt_state), metrics = jax.lax.scan(
-                one_episode, (params, opt_state), (query_masks, valid)
+                one_episode,
+                (params, opt_state),
+                (query_idx, query_labels, query_w, valid),
             )
             n_ep = jnp.maximum(jnp.sum(metrics["episodes"]), 1)
             agg = {
@@ -207,13 +257,17 @@ class EpisodicTrainer:
 
     def run_epoch(self) -> Dict[str, float]:
         """Sample an epoch of episodes on host, run the jitted scan."""
-        _, query_mask, valid = make_episode_masks(self._np_rng, self.n_class, self.k_shots)
+        query_idx, query_labels, query_w, valid = make_episode_queries(
+            self._np_rng, self.n_class, self.k_shots
+        )
         t_max = self.train_epoch * self.n_class * self.k_shots
         lr = cosine_lr(self.lr, self.epoch, t_max)
         self.params, self.opt_state, agg = self._epoch_fn(
             self.params,
             self.opt_state,
-            jnp.asarray(query_mask),
+            jnp.asarray(query_idx),
+            jnp.asarray(query_labels),
+            jnp.asarray(query_w),
             jnp.asarray(valid),
             jnp.asarray(lr, jnp.float32),
         )

@@ -210,3 +210,28 @@ def test_train_state_resume(rng, tmp_path):
     )
     with pytest.raises(ValueError):
         load_train_state(path, t3)
+
+
+def test_make_episode_queries_consistent_with_masks():
+    from protoclip_tpu.train.episodic import make_episode_queries, max_queries
+
+    N, K = 20, 4
+    # same seed -> same episodes in both views
+    qi, ql, qw, valid = make_episode_queries(np.random.default_rng(7), N, K)
+    cm, qm, valid2 = make_episode_masks(np.random.default_rng(7), N, K)
+    np.testing.assert_array_equal(valid, valid2)
+    assert qi.shape == (len(valid), max_queries(N, K))
+    for e in range(len(valid)):
+        if valid[e] == 0:
+            assert qw[e].sum() == 0
+            continue
+        # index view rows == mask view nonzeros
+        rows_idx = {int(i) for i, w in zip(qi[e], qw[e]) if w > 0}
+        rows_mask = {
+            int(c * K + s) for c, s in zip(*np.nonzero(qm[e]))
+        }
+        assert rows_idx == rows_mask
+        # labels match idx // K
+        for i, l, w in zip(qi[e], ql[e], qw[e]):
+            if w > 0:
+                assert l == i // K
