@@ -91,13 +91,30 @@ class ExperimentResult:
     best_epoch: int
 
 
-def run(cfg: Config, mesh=None, progress: bool = True, logger: Optional[MetricLogger] = None) -> ExperimentResult:
-    """Run one full Proto-CLIP experiment from a config."""
-    cfg.validate()
-    logger = logger or MetricLogger(os.path.join(cfg.logs_dir_path, cfg.dataset))
+@dataclasses.dataclass
+class ExperimentSetup:
+    """Everything both trainers need: encoders, dataset, banks, features."""
+
+    encode_fn: Callable
+    text_fn: Callable
+    clip_cfg: object
+    clip_params: Dict
+    cache: FeatureCache
+    dataset: object
+    bank_v: np.ndarray
+    bank_values: np.ndarray
+    bank_t: np.ndarray
+    val_feats: np.ndarray
+    val_labels: np.ndarray
+    test_feats: np.ndarray
+    test_labels: np.ndarray
+
+
+def prepare_experiment(cfg: Config, mesh=None, progress: bool = True) -> ExperimentSetup:
+    """Shared phase of both runners: load CLIP, build the dataset and
+    loaders, and materialize memory banks + eval features (cached)."""
     encode_fn, text_fn, clip_cfg, clip_params = make_encode_fns(cfg, mesh)
     cache = FeatureCache(cfg.cache_dir, cfg.backbone, cfg.shots)
-
     dataset = build_dataset(cfg.dataset, cfg.root_path, cfg.shots, seed=cfg.seed)
     n_px = clip_cfg.image_resolution
 
@@ -123,8 +140,90 @@ def run(cfg: Config, mesh=None, progress: bool = True, logger: Optional[MetricLo
     )
     val_feats, val_labels = pre_load_features(encode_fn, val_loader, "val", cache, progress)
     test_feats, test_labels = pre_load_features(encode_fn, test_loader, "test", cache, progress)
+    return ExperimentSetup(
+        encode_fn=encode_fn,
+        text_fn=text_fn,
+        clip_cfg=clip_cfg,
+        clip_params=clip_params,
+        cache=cache,
+        dataset=dataset,
+        bank_v=bank_v,
+        bank_values=bank_values,
+        bank_t=bank_t,
+        val_feats=val_feats,
+        val_labels=val_labels,
+        test_feats=test_feats,
+        test_labels=test_labels,
+    )
 
-    n_class = dataset.num_classes
+
+def evaluate_checkpoint(
+    cfg: Config,
+    setup: ExperimentSetup,
+    ckpt_paths_vta,
+    alpha: float,
+    beta: float,
+    logger: MetricLogger,
+    progress: bool,
+) -> ExperimentResult:
+    """Shared test phase (ref ``main.py:383-458``): load the best ``_v/_t/_a``
+    triple, score at the fixed operating point, then re-search alpha/beta on
+    the adapted features (reference quirk preserved: the searched-sweep val
+    features are NOT re-normalized after the adapter, ``main.py:415``, while
+    test features are, ``main.py:407-409``)."""
+    from protoclip_tpu.io.checkpoint import load_checkpoint_triple
+
+    ckpt_v, ckpt_t, ckpt_a = ckpt_paths_vta
+    bank_v_best, bank_t_best, adapter_state = load_checkpoint_triple(ckpt_v, ckpt_t, ckpt_a)
+    model = ProtoClip(
+        bank_v=jnp.asarray(bank_v_best, jnp.float32),
+        bank_t=jnp.asarray(bank_t_best, jnp.float32),
+        adapter=adapter_from_torch_state(adapter_state, cfg.adapter),
+        adapter_kind=cfg.adapter,
+        shots=cfg.shots,
+    )
+    test_acc_fixed = accuracy(model, setup.test_feats, setup.test_labels, alpha, beta)
+    logger.scalar("Accuracy/test_fixed", test_acc_fixed, 0)
+
+    alphas, betas = default_alpha_beta_grid()
+    img_p, txt_p = jax.jit(lambda m: m.prototypes())(model)
+    adapt_j = jax.jit(lambda m, f, norm: m.adapt(f, normalize=norm), static_argnums=2)
+    val_adapted = np.asarray(adapt_j(model, jnp.asarray(setup.val_feats), False))
+    test_adapted = np.asarray(adapt_j(model, jnp.asarray(setup.test_feats), True))
+    val_grid = alpha_beta_sweep(val_adapted, setup.val_labels, img_p, txt_p, alphas, betas)
+    a_s, b_s, _ = best_operating_point(val_grid, alphas, betas)
+    test_grid = alpha_beta_sweep(test_adapted, setup.test_labels, img_p, txt_p, alphas, betas)
+    ai = int(np.where(alphas == a_s)[0][0])
+    bi = int(np.argmin(np.abs(betas - b_s)))
+    test_acc_searched = float(test_grid[ai, bi])
+    logger.scalar("Accuracy/test_searched", test_acc_searched, 0)
+    if progress:
+        print(
+            f"[test] fixed(a={alpha}, b={beta}): {test_acc_fixed*100:.2f}% | "
+            f"searched(a={a_s}, b={b_s}): {test_acc_searched*100:.2f}%"
+        )
+    return ExperimentResult(
+        zero_shot={},
+        test_acc_fixed=test_acc_fixed,
+        test_acc_searched=test_acc_searched,
+        searched_alpha=a_s,
+        searched_beta=b_s,
+        best_val_acc=0.0,
+        best_epoch=-1,
+    )
+
+
+def run(cfg: Config, mesh=None, progress: bool = True, logger: Optional[MetricLogger] = None) -> ExperimentResult:
+    """Run one full Proto-CLIP experiment from a config."""
+    cfg.validate()
+    logger = logger or MetricLogger(os.path.join(cfg.logs_dir_path, cfg.dataset))
+    setup = prepare_experiment(cfg, mesh, progress)
+    cache = setup.cache
+    bank_v, bank_values, bank_t = setup.bank_v, setup.bank_values, setup.bank_t
+    val_feats, val_labels = setup.val_feats, setup.val_labels
+    test_feats, test_labels = setup.test_feats, setup.test_labels
+
+    n_class = setup.dataset.num_classes
     k = cfg.shots
 
     # ---- zero-shot alpha/beta sweep (ref main.py:167-211) -----------------
@@ -226,48 +325,10 @@ def run(cfg: Config, mesh=None, progress: bool = True, logger: Optional[MetricLo
             print(f"Best val acc {best_val*100:.2f}% @ epoch {best_epoch}")
 
     # ---- test (ref main.py:383-458) ---------------------------------------
-    from protoclip_tpu.io.checkpoint import load_checkpoint_triple
-
-    bank_v_best, bank_t_best, adapter_state = load_checkpoint_triple(ckpt_v, ckpt_t, ckpt_a)
-    model = ProtoClip(
-        bank_v=jnp.asarray(bank_v_best, jnp.float32),
-        bank_t=jnp.asarray(bank_t_best, jnp.float32),
-        adapter=adapter_from_torch_state(adapter_state, cfg.adapter),
-        adapter_kind=cfg.adapter,
-        shots=k,
+    result = evaluate_checkpoint(
+        cfg, setup, (ckpt_v, ckpt_t, ckpt_a), alpha, beta, logger, progress
     )
-    test_acc_fixed = accuracy(model, test_feats, test_labels, alpha, beta)
-    logger.scalar("Accuracy/test_fixed", test_acc_fixed, 0)
-
-    # re-search alpha/beta on adapted features (ref main.py:407-434).
-    # Reference quirk preserved: the searched-sweep val features are NOT
-    # re-normalized after the adapter (main.py:415), while test features are
-    # (main.py:407-409) — P is not row-scale invariant, so this affects
-    # which (alpha, beta) the sweep selects.
-    img_p, txt_p = jax.jit(lambda m: m.prototypes())(model)
-    adapt_j = jax.jit(lambda m, f, norm: m.adapt(f, normalize=norm), static_argnums=2)
-    val_adapted = np.asarray(adapt_j(model, jnp.asarray(val_feats), False))
-    test_adapted = np.asarray(adapt_j(model, jnp.asarray(test_feats), True))
-    val_grid = alpha_beta_sweep(val_adapted, val_labels, img_p, txt_p, alphas, betas)
-    a_s, b_s, _ = best_operating_point(val_grid, alphas, betas)
-    test_grid = alpha_beta_sweep(test_adapted, test_labels, img_p, txt_p, alphas, betas)
-    ai = int(np.where(alphas == a_s)[0][0])
-    bi = int(np.argmin(np.abs(betas - b_s)))
-    test_acc_searched = float(test_grid[ai, bi])
-    logger.scalar("Accuracy/test_searched", test_acc_searched, 0)
-    if progress:
-        print(
-            f"[test] fixed(a={alpha}, b={beta}): {test_acc_fixed*100:.2f}% | "
-            f"searched(a={a_s}, b={b_s}): {test_acc_searched*100:.2f}%"
-        )
     logger.flush()
-
-    return ExperimentResult(
-        zero_shot=zs,
-        test_acc_fixed=test_acc_fixed,
-        test_acc_searched=test_acc_searched,
-        searched_alpha=a_s,
-        searched_beta=b_s,
-        best_val_acc=best_val,
-        best_epoch=best_epoch,
+    return dataclasses.replace(
+        result, zero_shot=zs, best_val_acc=best_val, best_epoch=best_epoch
     )
