@@ -70,12 +70,23 @@ def transformer(
         )
 
         if pallas_enabled():
+            # pad L to the sublane multiple ONCE outside the layer loop
+            # (per-block pad/slice would round-trip HBM 2x per layer)
+            length = x.shape[1]
+            lp = -(-length // 8) * 8
+            if lp != length:
+                x = jnp.pad(x, [(0, 0), (0, lp - length), (0, 0)])
 
             def body(carry, block_params):
-                return fused_transformer_block(carry, block_params, n_head, causal=causal), None
+                return (
+                    fused_transformer_block(
+                        carry, block_params, n_head, causal=causal, length=length
+                    ),
+                    None,
+                )
 
             out, _ = jax.lax.scan(body, x, stacked_blocks)
-            return out
+            return out[:, :length, :]
 
     def body(carry, block_params):
         return residual_block(carry, block_params, n_head, mask, causal=causal), None

@@ -370,15 +370,22 @@ def _fused_block_padded(
 
 def fused_transformer_block(
     x, block_params, n_head: int, causal: bool = False, interpret: bool = False,
-    group: int = 16,
+    group: int = 16, length: int | None = None,
 ):
     """Run one full residual attention block as a single Pallas kernel.
 
     ``block_params`` is the per-layer pytree used by
     :func:`protoclip_tpu.models.layers.residual_block` (keys ``ln_1``,
     ``attn``, ``ln_2``, ``mlp``).  ``x``: (B, L, D).
+
+    ``length``: number of valid (non-padded) rows when the caller already
+    padded L to a sublane multiple (hoisting the pad/slice out of a layer
+    loop); keys beyond it are masked.  Output stays padded in that case.
     """
     b, l, d = x.shape
+    already_padded = length is not None
+    if length is None:
+        length = l
     lp = -(-l // 8) * 8
     if lp != l:
         x = jnp.pad(x, [(0, 0), (0, lp - l), (0, 0)])
@@ -401,9 +408,9 @@ def fused_transformer_block(
         block_params["mlp"]["w_proj"].astype(dtype),
         block_params["mlp"]["b_proj"].astype(dtype),
         n_head=n_head,
-        length=l,
+        length=length,
         causal=causal,
         interpret=interpret,
         group=group,
     )
-    return out[:, :l, :]
+    return out if already_padded else out[:, :l, :]

@@ -112,3 +112,26 @@ def test_qt_step_grads_bypass_pallas(rng, monkeypatch):
     images = rng.integers(0, 256, (2, 32, 32, 3), dtype=np.uint8).astype(np.uint8)
     stats = trainer.train_step(images, np.asarray([0, 1], np.int32), 2)
     assert np.isfinite(stats["loss"])
+
+
+def test_fused_block_hoisted_padding(rng):
+    """length= path: caller pre-pads once, kernel masks the padded keys."""
+    from protoclip_tpu.models.layers import init_block_params, residual_block
+    from protoclip_tpu.ops.pallas_kernels import fused_transformer_block
+    import jax
+
+    B, L, D, H = 2, 13, 128, 4
+    lp = 16
+    stacked = init_block_params(jax.random.PRNGKey(0), 1, D)
+    blk = jax.tree_util.tree_map(lambda a: a[0], stacked)
+    x = rng.standard_normal((B, L, D)).astype(np.float32)
+    xp = np.pad(x, [(0, 0), (0, lp - L), (0, 0)])
+
+    out = np.asarray(
+        fused_transformer_block(
+            jnp.asarray(xp), blk, H, length=L, interpret=True
+        )
+    )
+    assert out.shape == (B, lp, D)
+    ref = np.asarray(residual_block(jnp.asarray(x), blk, H))
+    np.testing.assert_allclose(out[:, :L, :], ref, atol=5e-4)
