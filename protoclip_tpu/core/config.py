@@ -82,6 +82,8 @@ def load_config(path: Optional[str] = None, **overrides) -> Config:
         if key in valid_fields:
             merged[key] = value
         else:
-            print(f"[protoclip_tpu] ignoring unknown config key {key!r}")
+            import sys
+
+            print(f"[protoclip_tpu] ignoring unknown config key {key!r}", file=sys.stderr)
     cfg = Config(**merged)
     return cfg.validate()

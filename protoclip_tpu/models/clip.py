@@ -402,10 +402,13 @@ def load_clip(
         cfg, np_params = convert_clip_state_dict(sd)
         return cfg, jax.jit(lambda p: cast_params(p, dtype))(np_params)
 
+    import sys
+
     cfg = BACKBONE_CONFIGS[backbone]
     print(
         f"[protoclip_tpu] WARNING: no weights found for {backbone!r} "
-        f"(set ${_WEIGHT_ENV}); using random initialization."
+        f"(set ${_WEIGHT_ENV}); using random initialization.",
+        file=sys.stderr,  # keep stdout clean (bench.py emits one JSON line)
     )
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     # One fused jit: eager init would dispatch hundreds of tiny RNG ops,
