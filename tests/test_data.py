@@ -192,3 +192,19 @@ def test_batch_loader_shuffle_reproducible(image_items):
 def test_batch_loader_empty_raises():
     with pytest.raises(ValueError):
         BatchLoader([], batch_size=4)
+
+
+def test_fewsol_198_from_reference_splits(tmp_path):
+    """Build the FewSOL-198 dataset from the real reference splits file
+    (no image files needed until loading)."""
+    from tests.conftest import reference_available
+
+    if not reference_available():
+        pytest.skip("reference not mounted")
+    root = tmp_path  # dataset dir need not exist; split paths are virtual
+    (root / "fewsol").mkdir()
+    ds = build_dataset("fewsol_198", str(root), shots=2, seed=1)
+    assert ds.num_classes == 198
+    assert len(ds.train_x) == 198 * 2
+    assert ds.template == ["a photo of a {}"]
+    assert len(ds.test) > 0
