@@ -84,6 +84,31 @@ def sweep_to_triples(acc: np.ndarray, alphas: np.ndarray, betas: np.ndarray) -> 
     return np.asarray(rows, dtype=np.float32)
 
 
+def triples_to_sweep(
+    triples: np.ndarray, alphas: np.ndarray, betas: np.ndarray
+) -> np.ndarray:
+    """Inverse of :func:`sweep_to_triples`: rebuild the ``(A, B)`` accuracy
+    grid from a reference ``[alpha, beta, acc]`` row list
+    (``zero_shot_hp_search_*.pkl``, ``main.py:155-211``).
+
+    Rows are matched by their (alpha, beta) values rather than assumed
+    alpha-major, so grids written by either implementation round-trip.
+    """
+    triples = np.asarray(triples, np.float32)
+    if triples.ndim != 2 or triples.shape[1] != 3:
+        raise ValueError(f"expected (M, 3) [alpha, beta, acc] rows, got {triples.shape}")
+    acc = np.full((len(alphas), len(betas)), np.nan, np.float32)
+    ai = {round(float(a), 4): i for i, a in enumerate(alphas)}
+    bj = {round(float(b), 4): j for j, b in enumerate(betas)}
+    for a, b, v in triples:
+        i, j = ai.get(round(float(a), 4)), bj.get(round(float(b), 4))
+        if i is not None and j is not None:
+            acc[i, j] = v
+    if np.isnan(acc).any():
+        raise ValueError("cached HP grid does not cover the full alpha/beta grid")
+    return acc
+
+
 def best_operating_point(
     acc: np.ndarray, alphas: np.ndarray, betas: np.ndarray
 ) -> Tuple[float, float, float]:

@@ -92,6 +92,23 @@ class _StorageRef:
         return np.frombuffer(raw, dtype=self.dtype)
 
 
+class _InlineStorage:
+    """Storage decoded from an embedded legacy torch.save byte blob.
+
+    Raw ``pickle.dump``'d tensors (not ``torch.save``) serialize each storage
+    through ``torch.storage._load_from_bytes(b)`` where ``b`` is a complete
+    legacy-format stream; the legacy reader below turns it into an array.
+    """
+
+    __slots__ = ("arr",)
+
+    def __init__(self, arr: np.ndarray):
+        self.arr = arr
+
+    def to_numpy(self) -> np.ndarray:
+        return self.arr
+
+
 class _TorchDtypeMarker:
     def __init__(self, name: str):
         self.name = name
@@ -190,6 +207,8 @@ class _Unpickler(pickle.Unpickler):
                 return _rebuild_tensor
             if name == "_rebuild_parameter":
                 return _rebuild_parameter
+            if name == "_load_from_bytes":
+                return _load_from_bytes
             if name in ("_rebuild_parameter_with_state", "_rebuild_wrapper_subclass"):
                 return _identity_rebuild
             if module == "torch" and name in _DTYPE_NAMES or name == "bfloat16":
@@ -207,14 +226,21 @@ class _Unpickler(pickle.Unpickler):
             import collections
 
             return collections.OrderedDict
-        if module in ("numpy", "numpy.core.multiarray", "numpy._core.multiarray"):
-            import importlib
+        if module == "numpy" or module.startswith(("numpy.core", "numpy._core")):
+            # data-only numpy reconstruction symbols (no arbitrary callables)
+            if name in ("_reconstruct", "ndarray", "dtype", "scalar", "_frombuffer"):
+                import importlib
 
-            return getattr(importlib.import_module(module), name)
+                return getattr(importlib.import_module(module), name)
         if module == "builtins":
-            import builtins
+            # containers/scalars only — never exec/eval/getattr/open/...
+            if name in (
+                "list", "tuple", "dict", "set", "frozenset", "int", "float",
+                "complex", "bool", "str", "bytes", "bytearray", "slice", "range",
+            ):
+                import builtins
 
-            return getattr(builtins, name)
+                return getattr(builtins, name)
         if module == "argparse" and name == "Namespace":
             import argparse
 
@@ -290,17 +316,18 @@ def _load_legacy(fh: BinaryIO) -> Any:
     for key in key_order:
         (numel,) = struct.unpack("<q", fh.read(8))
         ref = by_key.get(str(key))
-        itemsize = (
-            2
-            if (ref is not None and ref.dtype in (np.float16, "bfloat16"))
-            else np.dtype(ref.dtype).itemsize
-            if ref is not None
-            else 8
-        )
+        if ref is None:
+            # A blob with no referencing tensor: its itemsize is unknowable,
+            # so any guess would desynchronize every subsequent storage in
+            # the stream. Fail loudly instead of corrupting the rest.
+            raise ValueError(
+                f"legacy torch stream lists storage {key!r} that no tensor "
+                "references; cannot determine its byte length"
+            )
+        itemsize = 2 if ref.dtype in (np.float16, "bfloat16") else np.dtype(ref.dtype).itemsize
         raw = fh.read(numel * itemsize)
-        if ref is not None:
-            ref._raw = raw  # type: ignore[attr-defined]
-            storages[ref.key] = ref
+        ref._raw = raw  # type: ignore[attr-defined]
+        storages[ref.key] = ref
 
     return _materialize(result)
 
@@ -344,9 +371,34 @@ def _materialize(obj: Any) -> Any:
     return obj
 
 
+def _load_from_bytes(b: bytes) -> _InlineStorage:
+    """Shim for ``torch.storage._load_from_bytes`` (raw-pickled tensors)."""
+    arr = _load_legacy(io.BytesIO(b))
+    return _InlineStorage(np.asarray(arr))
+
+
 # --------------------------------------------------------------------------
 # public API
 # --------------------------------------------------------------------------
+
+def load_pkl(path: str) -> Any:
+    """Load a reference ``pickle.dump``'d artifact into numpy containers.
+
+    The reference pickles its textual memory bank (a torch CUDA tensor,
+    ``utils.py:36-69``) and its HP-search grids (numpy ``(341, 3)`` arrays of
+    ``[alpha, beta, acc]`` rows, ``main.py:155-211``) with the plain pickle
+    module rather than ``torch.save``.  Raw-pickled tensors embed each
+    storage as a legacy torch.save byte stream, decoded by the legacy
+    reader; every symbol resolves through the same restricted allowlist as
+    :func:`load_pt`, so untrusted callables never execute.
+    """
+
+    def loader(key: str) -> bytes:
+        raise KeyError(key)
+
+    with open(path, "rb") as fh:
+        return _plainify(_materialize(_Unpickler(fh, loader).load()))
+
 
 def load_pt(path: str) -> Any:
     """Load a torch checkpoint into numpy containers.

@@ -58,6 +58,23 @@ def encode_loader(
     return np.concatenate(feats), np.concatenate(labels)
 
 
+def _orient_rows(mat: np.ndarray, n_rows: int) -> np.ndarray:
+    """Resolve the reference's transposed cache layout.
+
+    The reference stores the visual bank as ``(d, N*K)`` and the textual bank
+    as ``(d, N)`` (``utils.py:318-330, 256-273``); we consume row-major.  A
+    shape test disambiguates rectangular matrices; square ones (``N*K == d``)
+    are resolved by content — rows of the correctly-oriented bank are
+    L2-normalized, so pick the orientation whose row norms deviate least
+    from 1.
+    """
+    if mat.shape[0] != mat.shape[1]:
+        return mat if mat.shape[0] == n_rows else mat.T
+    row_dev = float(np.abs(np.linalg.norm(mat, axis=1) - 1.0).mean())
+    col_dev = float(np.abs(np.linalg.norm(mat, axis=0) - 1.0).mean())
+    return mat if row_dev <= col_dev else mat.T
+
+
 def build_visual_memory_bank(
     encode_fn,
     loader,
@@ -81,8 +98,7 @@ def build_visual_memory_bank(
                 values = np.asarray(values, np.float32)
                 # reference stores keys transposed (d, N*K); values' row count
                 # is the ground truth for N*K
-                if keys.shape[0] != values.shape[0]:
-                    keys = keys.T
+                keys = _orient_rows(keys, values.shape[0])
                 return keys, values
 
     sum_feats: Optional[np.ndarray] = None
@@ -133,8 +149,7 @@ def build_textual_memory_bank(
             if bank is not None:
                 bank = np.asarray(bank, np.float32)
                 # reference stores the bank transposed (d, N)
-                if bank.shape[0] != len(classnames):
-                    bank = bank.T
+                bank = _orient_rows(bank, len(classnames))
                 return bank
 
     prompts = [

@@ -8,8 +8,10 @@ The reference caches every expensive stage under
 - ``{val,test}_{features,labels}.pt``
 
 This cache keeps the same tree and stem names but stores ``.npz`` (torch-free,
-mmap-able).  For A/B interop it also *reads* the reference's ``.pt`` caches
-when an ``.npz`` is absent (via the pure-Python torch reader).
+mmap-able).  For A/B interop it also *reads* the reference's caches when an
+``.npz`` is absent: ``.pt`` via the pure-Python torch reader, and the
+reference's raw pickles (``text_mb_*.pkl`` textual banks, the
+``zero_shot_hp_search_*.pkl`` grids) via the restricted unpickler.
 """
 
 from __future__ import annotations
@@ -47,11 +49,19 @@ class FeatureCache:
         if os.path.exists(pt_path):
             from protoclip_tpu.io.torch_pt import load_pt
 
-            obj = load_pt(pt_path)
-            if isinstance(obj, dict):
-                return {k: np.asarray(v) for k, v in obj.items()}
-            return {"array": np.asarray(obj)}
+            return self._wrap(load_pt(pt_path))
+        pkl_path = os.path.join(self.root, f"{stem}.pkl")
+        if os.path.exists(pkl_path):
+            from protoclip_tpu.io.torch_pt import load_pkl
+
+            return self._wrap(load_pkl(pkl_path))
         return None
+
+    @staticmethod
+    def _wrap(obj) -> Dict[str, np.ndarray]:
+        if isinstance(obj, dict):
+            return {k: np.asarray(v) for k, v in obj.items()}
+        return {"array": np.asarray(obj)}
 
     def save(self, stem: str, **arrays: np.ndarray) -> None:
         if not self.enabled:

@@ -37,7 +37,7 @@ def run_qt(cfg: Config, mesh=None, progress: bool = True, logger: Optional[Metri
     # (ref main.qt.py:456-468)
     train_loader = BatchLoader(
         setup.dataset.train_x,
-        batch_size=min(cfg.batch_size, max(64, len(setup.dataset.train_x))),
+        batch_size=min(cfg.batch_size, len(setup.dataset.train_x)),
         transform=TrainTransform(n_px), shuffle=True, seed=cfg.seed, image_size=n_px,
     )
 

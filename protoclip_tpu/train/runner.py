@@ -28,6 +28,7 @@ from protoclip_tpu.eval.gridsearch import (
     best_operating_point,
     default_alpha_beta_grid,
     sweep_to_triples,
+    triples_to_sweep,
 )
 from protoclip_tpu.io.checkpoint import checkpoint_paths, save_checkpoint_triple
 from protoclip_tpu.memory import (
@@ -244,6 +245,11 @@ def run(cfg: Config, mesh=None, progress: bool = True, logger: Optional[MetricLo
         cached = cache.load(stem)
         if cached is not None and "acc" in cached:
             acc_grid = cached["acc"]
+        elif cached is not None and ("triples" in cached or "array" in cached):
+            # reference pickle format: (341, 3) [alpha, beta, acc] row list
+            acc_grid = triples_to_sweep(
+                cached.get("triples", cached.get("array")), alphas, betas
+            )
         else:
             acc_grid = alpha_beta_sweep(feats, labels, img_protos, text_protos, alphas, betas)
             cache.save(stem, acc=acc_grid, triples=sweep_to_triples(acc_grid, alphas, betas))

@@ -192,3 +192,77 @@ def test_reference_layout_pt_when_nk_smaller_than_dim(tmp_path):
     bank = build_textual_memory_bank(None, ["a", "b", "c"], ["{}"], cache=cache)
     assert bank.shape == (n, d)
     np.testing.assert_allclose(bank, bank_ref.T, atol=1e-6)
+
+
+def test_textual_bank_reads_reference_pkl(tmp_path):
+    """Reference textual banks are raw pickles of a (d, N) torch tensor
+    (utils.py:36-69); they must load without recompute."""
+    torch = pytest.importorskip("torch")
+    import os
+    import pickle
+
+    cache = FeatureCache(str(tmp_path), "RN50", 2)
+    classnames = ["a", "b", "c"]
+    d = 8
+    bank_ref = np.random.default_rng(0).standard_normal((len(classnames), d))
+    bank_ref /= np.linalg.norm(bank_ref, axis=-1, keepdims=True)
+    os.makedirs(cache.root, exist_ok=True)
+    with open(os.path.join(cache.root, cache.text_bank_stem() + ".pkl"), "wb") as f:
+        pickle.dump(torch.from_numpy(bank_ref.T.astype(np.float32)).half(), f)
+    # encode_text_fn=None: must be served from the pickle, transposed back
+    bank = build_textual_memory_bank(None, classnames, ["{}"], cache=cache)
+    np.testing.assert_allclose(bank, bank_ref, atol=2e-3)
+
+
+def test_hp_grid_reads_reference_pkl(tmp_path):
+    """Reference HP sweeps are raw pickles of (341, 3) [alpha, beta, acc]
+    rows (main.py:155-211); triples_to_sweep rebuilds the (A, B) grid."""
+    import os
+    import pickle
+
+    from protoclip_tpu.eval.gridsearch import (
+        default_alpha_beta_grid,
+        sweep_to_triples,
+        triples_to_sweep,
+    )
+
+    alphas, betas = default_alpha_beta_grid()
+    acc = np.random.default_rng(0).random((len(alphas), len(betas))).astype(np.float32)
+    triples = sweep_to_triples(acc, alphas, betas)
+
+    # round-trip through the reference pickle format + FeatureCache
+    cache = FeatureCache(str(tmp_path), "RN50", 16)
+    stem = cache.hp_search_stem("val")
+    os.makedirs(cache.root, exist_ok=True)
+    with open(os.path.join(cache.root, stem + ".pkl"), "wb") as f:
+        pickle.dump(triples, f)
+    cached = cache.load(stem)
+    assert cached is not None and "array" in cached
+    np.testing.assert_allclose(triples_to_sweep(cached["array"], alphas, betas), acc)
+
+
+def test_square_bank_orientation_by_row_norms(tmp_path):
+    """Regression (round-1 advisor): when the cached bank is square the shape
+    test is ambiguous; orientation must be resolved by which side is
+    L2-normalized."""
+    torch = pytest.importorskip("torch")
+    import os
+
+    d = 6
+    nk = 6  # N*K == d: square
+    rng = np.random.default_rng(1)
+    keys = rng.standard_normal((nk, d)).astype(np.float32) * np.asarray(
+        [1, 2, 3, 4, 5, 6], np.float32
+    )[:, None]  # distinct row norms so transposing is detectably wrong
+    keys /= np.linalg.norm(keys, axis=-1, keepdims=True)
+    values = np.eye(3, dtype=np.float32)[np.asarray([0, 0, 1, 1, 2, 2])]
+
+    for store_transposed in (False, True):
+        cache = FeatureCache(str(tmp_path / f"t{store_transposed}"), "RN50", 2)
+        key_stem, value_stem = cache.visual_bank_stems(3)
+        os.makedirs(os.path.join(cache.root, "aug"), exist_ok=True)
+        stored = keys.T if store_transposed else keys
+        torch.save(torch.from_numpy(stored), os.path.join(cache.root, key_stem + ".pt"))
+        torch.save(torch.from_numpy(values), os.path.join(cache.root, value_stem + ".pt"))
+        got_keys, _ = build_visual_memory_bank(None, None, augment_epochs=3, cache=cache, progress=False)
+        np.testing.assert_allclose(got_keys, keys, atol=1e-6)

@@ -124,3 +124,89 @@ def test_checkpoint_triple_loader():
     assert bank_v is None
     assert bank_t.shape == (198, 768) and bank_t.dtype == np.float32
     assert adapter is not None and "fc.0.weight" in adapter
+
+
+# ---------------------------------------------------------------------------
+# raw pickle.dump artifacts (reference text_mb_*.pkl / zero_shot_hp_search_*.pkl)
+# ---------------------------------------------------------------------------
+
+def test_load_pkl_numpy_grid(tmp_path):
+    """HP-search grids are pickle.dump'd numpy (M, 3) arrays (main.py:155-211)."""
+    import pickle
+
+    from protoclip_tpu.io.torch_pt import load_pkl
+
+    grid = np.stack([np.linspace(0, 1, 11)] * 3, axis=1).astype(np.float32)
+    path = tmp_path / "hp.pkl"
+    with open(path, "wb") as f:
+        pickle.dump(grid, f, protocol=pickle.HIGHEST_PROTOCOL)
+    out = load_pkl(str(path))
+    np.testing.assert_allclose(out, grid)
+
+
+@pytest.mark.parametrize("dtype", [torch.float16, torch.float32])
+def test_load_pkl_raw_tensor(tmp_path, dtype):
+    """The textual bank is a raw-pickled torch tensor (utils.py:36-69):
+    storages arrive as embedded legacy torch.save byte streams."""
+    import pickle
+
+    from protoclip_tpu.io.torch_pt import load_pkl
+
+    t = torch.randn(64, 10).to(dtype)
+    path = tmp_path / "tb.pkl"
+    with open(path, "wb") as f:
+        pickle.dump(t, f, protocol=pickle.HIGHEST_PROTOCOL)
+    out = load_pkl(str(path))
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), t.float().numpy(), rtol=0, atol=0
+    )
+
+
+def test_load_pkl_strided_view(tmp_path):
+    import pickle
+
+    from protoclip_tpu.io.torch_pt import load_pkl
+
+    base = torch.randn(10, 8)
+    view = base[2:6, 1:5]
+    path = tmp_path / "v.pkl"
+    with open(path, "wb") as f:
+        pickle.dump(view, f)
+    np.testing.assert_allclose(load_pkl(str(path)), view.numpy())
+
+
+def test_load_pkl_rejects_untrusted_symbols(tmp_path):
+    import pickle
+
+    from protoclip_tpu.io.torch_pt import load_pkl
+
+    class Evil:
+        def __reduce__(self):
+            return (print, ("pwned",))
+
+    path = tmp_path / "evil.pkl"
+    with open(path, "wb") as f:
+        pickle.dump(Evil(), f)
+    with pytest.raises(pickle.UnpicklingError):
+        load_pkl(str(path))
+
+
+def test_legacy_unreferenced_storage_fails_loudly(tmp_path):
+    """A legacy-stream storage key no tensor references has unknowable byte
+    length; guessing desynchronizes the stream, so the reader must raise."""
+    import pickle
+    import struct
+
+    from protoclip_tpu.io.torch_pt import _LEGACY_MAGIC, _LEGACY_PROTOCOL, load_pt
+
+    path = tmp_path / "bad_legacy.pt"
+    with open(path, "wb") as f:
+        pickle.dump(_LEGACY_MAGIC, f, protocol=2)
+        pickle.dump(_LEGACY_PROTOCOL, f, protocol=2)
+        pickle.dump({"little_endian": True}, f, protocol=2)
+        pickle.dump({}, f, protocol=2)  # payload references no storage
+        pickle.dump(["0"], f, protocol=2)  # ...but key_order lists one
+        f.write(struct.pack("<q", 4))
+        f.write(b"\x00" * 32)
+    with pytest.raises(ValueError, match="no tensor references"):
+        load_pt(str(path))
