@@ -14,9 +14,13 @@ Supported formats:
 - **legacy format** (torch < 1.6): magic-number pickle stream followed by raw
   storages.
 - **TorchScript archives** (e.g. OpenAI CLIP releases): detected by
-  ``constants.pkl``; extracting a state dict from these requires the
-  TorchScript module graph, so we delegate to ``torch.jit.load`` when torch is
-  importable and raise a clear error otherwise.
+  ``constants.pkl``.  The archive's ``data.pkl`` serializes the ScriptModule
+  attribute tree — ``__torch__.*`` class instances whose state dicts map
+  attribute names to tensors (standard storage persistent-ids into
+  ``data/<key>`` blobs) and child modules.  The tree is walked torch-free
+  into a flat ``name.path -> array`` state dict, matching what the reference
+  consumes via ``model.state_dict()`` after ``torch.jit.load``
+  (``clip/clip.py:92-136``).
 
 bfloat16/fp16 storages decode to ``ml_dtypes.bfloat16`` / ``np.float16``.
 """
@@ -109,6 +113,18 @@ class _InlineStorage:
         return self.arr
 
 
+class _ScriptObject:
+    """Generic stand-in for any ``__torch__.*`` TorchScript class.
+
+    TS ``data.pkl`` instantiates script classes via NEWOBJ with no args and
+    fills state via BUILD with an attribute dict; one permissive Python class
+    covers them all since only the attribute tree matters here.
+    """
+
+    def __init__(self, *args, **kwargs):  # some emitters use REDUCE
+        pass
+
+
 class _TorchDtypeMarker:
     def __init__(self, name: str):
         self.name = name
@@ -192,6 +208,17 @@ class _Unpickler(pickle.Unpickler):
         self._storage_loader = storage_loader
 
     def find_class(self, module: str, name: str):  # noqa: D102
+        if module == "__torch__" or module.startswith("__torch__."):
+            return _ScriptObject
+        if module == "torch.jit._pickle":
+            # list/dict constants in TS attribute trees
+            if name in (
+                "build_intlist", "build_doublelist", "build_boollist",
+                "build_tensorlist", "build_strlist",
+            ):
+                return lambda data: data
+            if name == "restore_type_tag":
+                return lambda value, type_str: value
         if module.startswith("torch"):
             if name in _STORAGE_DTYPES:
                 return _StorageTypeMarker(_STORAGE_DTYPES[name])
@@ -272,20 +299,45 @@ def _load_zip(zf: zipfile.ZipFile) -> Any:
     pkl_name = next((n for n in names if n.endswith("/data.pkl") or n == "data.pkl"), None)
     if pkl_name is None:
         raise ValueError("zip archive has no data.pkl")
-    if any(n.endswith("constants.pkl") for n in names):
-        # TorchScript archive — needs the TS module graph, delegate to torch.
-        raise _TorchScriptArchive()
     prefix = pkl_name[: -len("data.pkl")]
 
     def loader(key: str) -> bytes:
         return zf.read(f"{prefix}data/{key}")
 
     with zf.open(pkl_name) as fh:
-        return _Unpickler(io.BufferedReader(fh), loader).load()
+        result = _Unpickler(io.BufferedReader(fh), loader).load()
+    if isinstance(result, _ScriptObject):
+        # TorchScript archive: data.pkl holds the root ScriptModule; flatten
+        # its attribute tree into the state dict torch.jit users would get.
+        return _flatten_script_module(result)
+    return result
 
 
-class _TorchScriptArchive(Exception):
-    pass
+# non-state attributes TS serializes on every module
+_SCRIPT_META_ATTRS = frozenset(
+    {"training", "_is_full_backward_hook", "_non_persistent_buffers_set"}
+)
+
+
+def _flatten_script_module(obj: _ScriptObject, prefix: str = "") -> Dict[str, Any]:
+    """Walk a TS module tree into ``{dotted.name: array}``.
+
+    Tensor-valued attributes (parameters, buffers, and plain tensor attrs
+    like CLIP's ``attn_mask``) keep their dotted path; scalar/typed attrs
+    (ints, strs, lists) are dropped, matching ``state_dict()`` consumption in
+    the reference loader (``clip/clip.py:133``; shape-only config inference
+    at ``clip/model.py:397-434``).
+    """
+    out: Dict[str, Any] = {}
+    for name, val in vars(obj).items():
+        if name in _SCRIPT_META_ATTRS:
+            continue
+        key = f"{prefix}{name}"
+        if isinstance(val, _ScriptObject):
+            out.update(_flatten_script_module(val, key + "."))
+        elif isinstance(val, (np.ndarray, np.generic, _PendingTensor, _StorageRef)):
+            out[key] = val
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -411,25 +463,10 @@ def load_pt(path: str) -> Any:
         head = fh.read(4)
     if head[:2] == b"PK":
         with zipfile.ZipFile(path) as zf:
-            try:
-                result = _load_zip(zf)
-            except _TorchScriptArchive:
-                return _load_torchscript(path)
+            result = _load_zip(zf)
         return _plainify(result)
     with open(path, "rb") as fh:
         return _plainify(_load_legacy(fh))
-
-
-def _load_torchscript(path: str) -> Any:
-    try:
-        import torch
-    except ImportError as exc:  # pragma: no cover
-        raise RuntimeError(
-            f"{path} is a TorchScript archive; extracting its state dict "
-            "requires torch (pip install torch) or a plain state-dict export."
-        ) from exc
-    module = torch.jit.load(path, map_location="cpu")
-    return {k: v.detach().cpu().numpy() for k, v in module.state_dict().items()}
 
 
 def _plainify(obj: Any) -> Any:

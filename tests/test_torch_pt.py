@@ -210,3 +210,96 @@ def test_legacy_unreferenced_storage_fails_loudly(tmp_path):
         f.write(b"\x00" * 32)
     with pytest.raises(ValueError, match="no tensor references"):
         load_pt(str(path))
+
+
+# ---------------------------------------------------------------------------
+# TorchScript archives (OpenAI CLIP release format, clip/clip.py:92-136)
+# ---------------------------------------------------------------------------
+
+def _module_tree(sd):
+    """Build a torch module hierarchy whose state_dict() equals ``sd``."""
+
+    class Root(torch.nn.Module):
+        def forward(self, x):
+            return x
+
+    root = Root()
+    for key, arr in sd.items():
+        parts = key.split(".")
+        mod = root
+        for p in parts[:-1]:
+            if not hasattr(mod, p):
+                mod.add_module(p, torch.nn.Module())
+            mod = getattr(mod, p)
+        t = torch.from_numpy(np.atleast_1d(np.asarray(arr))).squeeze() if np.ndim(arr) == 0 else torch.from_numpy(np.asarray(arr))
+        mod.register_parameter(parts[-1], torch.nn.Parameter(t, requires_grad=False))
+    return root
+
+
+def _make_ts_clip(tmp_path):
+    from tests.test_models import _tiny_torch_style_state_dict
+
+    sd = _tiny_torch_style_state_dict(np.random.default_rng(0))
+    root = _module_tree(sd)
+    # extra non-state tensor attributes the OpenAI TS archives carry
+    root.input_resolution = torch.tensor(32)
+    root.register_buffer("attn_mask", torch.zeros(4, 4))
+    traced = torch.jit.trace(root, torch.zeros(1))
+    path = str(tmp_path / "ts_clip.pt")
+    torch.jit.save(traced, path)
+    return sd, path
+
+
+def test_torchscript_state_dict_matches_jit_load(tmp_path):
+    sd, path = _make_ts_clip(tmp_path)
+    want = {k: v.numpy() for k, v in torch.jit.load(path).state_dict().items()}
+    got = load_pt(path)
+    assert set(want) <= set(got)  # extras (input_resolution) are fine
+    for k, v in want.items():
+        np.testing.assert_allclose(np.asarray(got[k], np.float32), v, atol=0)
+
+
+def test_torchscript_loads_without_torch(tmp_path):
+    """The reader must work on a torch-less machine: a meta-path hook blocks
+    any torch import in a fresh subprocess."""
+    import subprocess
+    import sys as _sys
+
+    _, path = _make_ts_clip(tmp_path)
+    code = f"""
+import sys
+class _Block:
+    def find_spec(self, name, *a, **k):
+        if name == "torch" or name.startswith("torch."):
+            raise ImportError("torch blocked for this test")
+sys.meta_path.insert(0, _Block())
+import numpy as np
+from protoclip_tpu.io.torch_pt import load_pt
+sd = load_pt({path!r})
+assert "visual.conv1.weight" in sd, sorted(sd)[:5]
+assert np.asarray(sd["visual.conv1.weight"]).shape == (64, 3, 16, 16)
+assert "torch" not in sys.modules
+print("OK", len(sd))
+"""
+    proc = subprocess.run(
+        [_sys.executable, "-c", code], capture_output=True, text=True, timeout=300,
+        cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr
+    assert proc.stdout.startswith("OK")
+
+
+def test_load_clip_from_torchscript_archive(tmp_path):
+    """load_clip must consume a TorchScript CLIP archive end-to-end."""
+    import jax
+    import jax.numpy as jnp
+
+    from protoclip_tpu.models.clip import encode_image, load_clip
+
+    sd, path = _make_ts_clip(tmp_path)
+    cfg, params = load_clip("custom", weights_path=path, dtype=jnp.float32)
+    assert cfg.vision_width == 64 and cfg.image_resolution == 32
+    out = jax.jit(lambda p, x: encode_image(p, x, cfg))(
+        params, jnp.zeros((2, 32, 32, 3), jnp.float32)
+    )
+    assert out.shape == (2, 32) and np.isfinite(np.asarray(out)).all()
