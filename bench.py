@@ -45,7 +45,37 @@ def _enable_compilation_cache() -> None:
         pass  # older jax or unsupported backend: benign
 
 
-def bench_encode(backbone: str = "ViT-B/16", batch: int = 512, iters: int = 10):
+def measure_dispatch_overhead(iters: int = 12) -> float:
+    """Fixed per-dispatch round-trip latency of this backend (seconds).
+
+    Through the remote axon tunnel every dispatch+fetch pays a ~27 ms WAN
+    round trip that has nothing to do with chip throughput; reported
+    separately in ``bench_details.json``."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def trivial(x):
+        return jnp.sum(x)
+
+    x = jnp.ones((8, 8), jnp.float32)
+    np.asarray(trivial(x))
+    times = []
+    for _ in range(iters):
+        start = time.perf_counter()
+        np.asarray(trivial(x))
+        times.append(time.perf_counter() - start)
+    return min(times)
+
+
+def bench_encode(
+    backbone: str = "ViT-B/16", batch: int = 512, iters: int = 6, inner: int = 10
+):
+    """Sustained encode throughput: ``inner`` back-to-back batches run in one
+    dispatch (a ``lax.scan``), amortizing the fixed dispatch/fetch round trip
+    exactly as a production feature-extraction pipeline does by keeping the
+    device queue full.  Each scan step perturbs the input with the step index
+    so XLA cannot CSE the iterations."""
     import jax
     import jax.numpy as jnp
 
@@ -55,27 +85,32 @@ def bench_encode(backbone: str = "ViT-B/16", batch: int = 512, iters: int = 10):
     cfg, params = load_clip(backbone, dtype=jnp.bfloat16)
 
     @jax.jit
-    def encode_checksum(params, images_u8):
-        feats = encode_image(params, normalize_batch(images_u8, jnp.bfloat16), cfg)
+    def encode_many(params, images_u8):
+        def body(carry, i):
+            imgs = images_u8 ^ i.astype(jnp.uint8)  # defeat CSE across steps
+            feats = encode_image(params, normalize_batch(imgs, jnp.bfloat16), cfg)
+            return carry + jnp.sum(feats.astype(jnp.float32)), None
+
         # Scalar checksum: forces full execution while keeping the timed
         # device-to-host fetch negligible (remote-tunnel transfers are slow
         # and block_until_ready does not await execution there).
-        return jnp.sum(feats.astype(jnp.float32))
+        total, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(inner, dtype=jnp.int32))
+        return total
 
     res = cfg.image_resolution
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.integers(0, 256, (batch, res, res, 3)).astype(np.uint8))
 
-    np.asarray(encode_checksum(params, images))  # compile
-    np.asarray(encode_checksum(params, images))  # warm
+    np.asarray(encode_many(params, images))  # compile
+    np.asarray(encode_many(params, images))  # warm
 
     times = []
     for _ in range(iters):
         start = time.perf_counter()
-        np.asarray(encode_checksum(params, images))
+        np.asarray(encode_many(params, images))
         times.append(time.perf_counter() - start)
     best = min(times)
-    return batch / best, best
+    return batch * inner / best, best / inner
 
 
 def main() -> None:
@@ -85,16 +120,19 @@ def main() -> None:
     backend = jax.default_backend()
     if backend == "cpu":
         # CI/debug fallback: tiny run so the harness still emits a line
-        ips, step_s = bench_encode(batch=8, iters=2)
+        ips, step_s = bench_encode(batch=8, iters=2, inner=2)
     else:
         ips, step_s = bench_encode()
+    overhead_s = measure_dispatch_overhead()
 
     details = {
         "backend": backend,
         "device": str(jax.devices()[0]),
         "step_seconds": step_s,
+        "dispatch_overhead_seconds": overhead_s,
         "backbone": "ViT-B/16",
         "batch": 512 if backend != "cpu" else 8,
+        "inner_iterations_per_dispatch": 10 if backend != "cpu" else 2,
     }
     with open("bench_details.json", "w") as fh:
         json.dump(details, fh, indent=2)

@@ -1,0 +1,507 @@
+"""Measure fused-block kernel variants on the real TPU chip.
+
+Usage: python scripts/bench_block_variants.py v0 v1 v2 ...
+
+Times a 12-layer ViT-B/16-geometry stack (B=512, Lp=200, D=768, H=12) per
+variant via scalar-checksum fetch (axon tunnel: block_until_ready does not
+await remote execution).  Variants are self-contained copies of the block
+kernel so the production kernel stays untouched until a winner is ported.
+"""
+
+from __future__ import annotations
+
+import functools
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+B, L, D, H, LAYERS = 512, 197, 768, 12, 12
+LP = -(-L // 8) * 8
+DH = D // H
+G = 16
+
+
+def _enable_cache():
+    import os
+
+    cache_dir = os.path.expanduser("~/.cache/jax_comp_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def _ln(v, scale_ref, bias_ref, dtype, eps=1e-5):
+    vf = v.astype(jnp.float32)
+    mean = jnp.mean(vf, axis=-1, keepdims=True)
+    c = vf - mean
+    var = jnp.mean(c * c, axis=-1, keepdims=True)
+    normed = c * jax.lax.rsqrt(var + eps)
+    return (
+        normed * scale_ref[...].astype(jnp.float32) + bias_ref[...].astype(jnp.float32)
+    ).astype(dtype)
+
+
+def _mask(g, lp, length):
+    col = jax.lax.broadcasted_iota(jnp.int32, (g, lp, lp), 2)
+    return col >= length
+
+
+def make_kernel(variant: str, n_head: int, length: int):
+    score_bf16 = variant in ("v1", "v2", "v3", "v4", "v5", "v6", "v6g8", "v2g8", "v2g32")
+    gelu_bf16 = variant in ("v2", "v3", "v4", "v2g8", "v2g32")
+    chunked_mlp = variant == "v3"
+    batched_heads = variant == "v4"
+    transposed_heads = variant == "v5"
+    sliced_heads = variant in ("v6", "v6g8")
+
+    def kernel(
+        x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
+        ln1s_ref, ln1b_ref, ln2s_ref, ln2b_ref,
+        wfc_ref, bfc_ref, wproj_ref, bproj_ref, out_ref,
+    ):
+        x = x_ref[...]
+        g, lp, d = x.shape
+        dh = d // n_head
+        dtype = x.dtype
+
+        h1 = _ln(x, ln1s_ref, ln1b_ref, dtype).reshape(g * lp, d)
+        qkv = (
+            jax.lax.dot_general(
+                h1, wqkv_ref[...], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(dtype)
+            + bqkv_ref[...].astype(dtype)
+        ).reshape(g, lp, 3 * d)
+
+        mask = _mask(g, lp, length)
+        scale = dh ** -0.5
+
+        if sliced_heads:
+            # one (g*H) batch dim built with lane-slices + sublane concat
+            # (Mosaic rejects the 4-D reshape/transpose route)
+            qb = jnp.concatenate(
+                [qkv[:, :, h * dh : (h + 1) * dh] for h in range(n_head)], axis=0
+            )
+            kb = jnp.concatenate(
+                [qkv[:, :, d + h * dh : d + (h + 1) * dh] for h in range(n_head)],
+                axis=0,
+            )
+            vb = jnp.concatenate(
+                [qkv[:, :, 2 * d + h * dh : 2 * d + (h + 1) * dh] for h in range(n_head)],
+                axis=0,
+            )
+            s = jax.lax.dot_general(
+                qb * scale, kb, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # (g*H, lp, lp)
+            colb = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+            s = jnp.where(colb >= length, -1e30, s)
+            s = s - jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s)
+            w = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(dtype)
+            o = jax.lax.dot_general(
+                w, vb, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ).astype(dtype)  # (g*H, lp, dh)
+            attn = jnp.concatenate(
+                [o[h * g : (h + 1) * g] for h in range(n_head)], axis=-1
+            )
+        elif transposed_heads:
+            # fold (g, head) into ONE batch dim (Mosaic matmul limit) via an
+            # in-VMEM transpose; scores/weights become 2 large batched dots
+            q4 = qkv[:, :, :d].reshape(g, lp, n_head, dh)
+            k4 = qkv[:, :, d : 2 * d].reshape(g, lp, n_head, dh)
+            v4 = qkv[:, :, 2 * d :].reshape(g, lp, n_head, dh)
+            qb = q4.transpose(0, 2, 1, 3).reshape(g * n_head, lp, dh)
+            kb = k4.transpose(0, 2, 1, 3).reshape(g * n_head, lp, dh)
+            vb = v4.transpose(0, 2, 1, 3).reshape(g * n_head, lp, dh)
+            s = jax.lax.dot_general(
+                qb * scale, kb, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # (g*H, lp, lp)
+            colb = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+            s = jnp.where(colb >= length, -1e30, s)
+            s = s - jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s)
+            w = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(dtype)
+            o = jax.lax.dot_general(
+                w, vb, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # (g*H, lp, dh)
+            attn = (
+                o.astype(dtype)
+                .reshape(g, n_head, lp, dh)
+                .transpose(0, 2, 1, 3)
+                .reshape(g, lp, d)
+            )
+        elif batched_heads:
+            q4 = qkv[:, :, :d].reshape(g, lp, n_head, dh)
+            k4 = qkv[:, :, d : 2 * d].reshape(g, lp, n_head, dh)
+            v4 = qkv[:, :, 2 * d :].reshape(g, lp, n_head, dh)
+            s = jax.lax.dot_general(
+                (q4.astype(jnp.float32) * scale) if not score_bf16 else q4 * scale,
+                k4,
+                (((3,), (3,)), ((0, 2), (0, 2))),
+                preferred_element_type=jnp.float32,
+            )  # (g, H, lp, lp)
+            s = jnp.where(mask[:, None], -1e30, s)
+            s = s - jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s)
+            w = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(dtype)
+            o = jax.lax.dot_general(
+                w, v4, (((3,), (1,)), ((0, 1), (0, 2))),
+                preferred_element_type=jnp.float32,
+            )  # (g, H, lp, dh)
+            attn = o.astype(dtype).transpose(0, 2, 1, 3).reshape(g, lp, d)
+        else:
+            head_outs = []
+            for h in range(n_head):
+                if score_bf16:
+                    qh = qkv[:, :, h * dh : (h + 1) * dh] * scale
+                    kh = qkv[:, :, d + h * dh : d + (h + 1) * dh]
+                else:
+                    qh = qkv[:, :, h * dh : (h + 1) * dh].astype(jnp.float32) * scale
+                    kh = qkv[:, :, d + h * dh : d + (h + 1) * dh].astype(jnp.float32)
+                vh = qkv[:, :, 2 * d + h * dh : 2 * d + (h + 1) * dh]
+                s = jax.lax.dot_general(
+                    qh, kh, (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )
+                s = jnp.where(mask, -1e30, s)
+                s = s - jnp.max(s, axis=-1, keepdims=True)
+                e = jnp.exp(s)
+                w = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(dtype)
+                o = jax.lax.dot_general(
+                    w, vh, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )
+                head_outs.append(o.astype(dtype))
+            attn = jnp.concatenate(head_outs, axis=-1)
+
+        proj = (
+            jax.lax.dot_general(
+                attn.reshape(g * lp, d), wo_ref[...], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(dtype)
+            + bo_ref[...].astype(dtype)
+        ).reshape(g, lp, d)
+        x = x + proj
+
+        h2 = _ln(x, ln2s_ref, ln2b_ref, dtype).reshape(g * lp, d)
+        if chunked_mlp:
+            n_chunks = 4
+            cw = (4 * d) // n_chunks
+            acc = jnp.zeros((g * lp, d), jnp.float32)
+            for c in range(n_chunks):
+                hid = jax.lax.dot_general(
+                    h2, wfc_ref[:, c * cw : (c + 1) * cw], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                hid = hid + bfc_ref[c * cw : (c + 1) * cw].astype(jnp.float32)
+                if gelu_bf16:
+                    hb = hid.astype(dtype)
+                    hid = hb * (1.0 / (1.0 + jnp.exp(-(hb * 1.702))))
+                else:
+                    hid = (hid * jax.nn.sigmoid(1.702 * hid)).astype(dtype)
+                acc = acc + jax.lax.dot_general(
+                    hid.astype(dtype), wproj_ref[c * cw : (c + 1) * cw, :],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            mlp_out = (acc.astype(dtype) + bproj_ref[...].astype(dtype)).reshape(g, lp, d)
+        else:
+            hid = jax.lax.dot_general(
+                h2, wfc_ref[...], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if gelu_bf16:
+                hidb = (hid + bfc_ref[...].astype(jnp.float32)).astype(dtype)
+                hidb = hidb * (1.0 / (1.0 + jnp.exp(-(hidb * 1.702))))
+            else:
+                hidf = hid + bfc_ref[...].astype(jnp.float32)
+                hidb = (hidf * jax.nn.sigmoid(1.702 * hidf)).astype(dtype)
+            mlp_out = (
+                jax.lax.dot_general(
+                    hidb, wproj_ref[...], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(dtype)
+                + bproj_ref[...].astype(dtype)
+            ).reshape(g, lp, d)
+        out_ref[...] = x + mlp_out
+
+    return kernel
+
+
+def build_stack_fn(variant: str, g: int):
+    kernel = make_kernel(variant, H, L)
+    vm = pltpu.VMEM
+    x_spec = pl.BlockSpec((g, LP, D), lambda i: (i, 0, 0), memory_space=vm)
+
+    def w_spec(shape):
+        return pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=vm)
+
+    wshapes = [
+        (D, 3 * D), (3 * D,), (D, D), (D,), (D,), (D,), (D,), (D,),
+        (D, 4 * D), (4 * D,), (4 * D, D), (D,),
+    ]
+
+    def block(x, weights):
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((B, LP, D), x.dtype),
+            grid=(B // g,),
+            in_specs=[x_spec] + [w_spec(s) for s in wshapes],
+            out_specs=x_spec,
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        )(x, *weights)
+
+    @jax.jit
+    def stack(x, stacked_weights):
+        def body(carry, ws):
+            return block(carry, ws), None
+
+        out, _ = jax.lax.scan(body, x, stacked_weights)
+        return jnp.sum(out.astype(jnp.float32))
+
+    return stack
+
+
+def make_weights(rng):
+    def r(*shape, std=0.02, dt=jnp.bfloat16):
+        return jnp.asarray(rng.standard_normal((LAYERS,) + shape) * std, dt)
+
+    return (
+        r(D, 3 * D), r(3 * D), r(D, D), r(D),
+        r(D, dt=jnp.float32), r(D, dt=jnp.float32),
+        r(D, dt=jnp.float32), r(D, dt=jnp.float32),
+        r(D, 4 * D), r(4 * D), r(4 * D, D), r(D),
+    )
+
+
+def main():
+    _enable_cache()
+    variants = sys.argv[1:] or ["v0", "v1", "v2"]
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((B, LP, D)) * 0.1, jnp.bfloat16)
+    weights = make_weights(rng)
+    # weight layout note: ln scales/biases fp32 like production
+    for variant in variants:
+        if variant.startswith("micro:"):
+            bench_micro(variant.split(":", 1)[1])
+            continue
+        g = {"v2g8": 8, "v2g32": 32, "v6g8": 8}.get(variant, G)
+        fn = build_stack_fn(variant, g)
+        t0 = time.perf_counter()
+        cs = float(np.asarray(fn(x, weights)))
+        compile_s = time.perf_counter() - t0
+        times = []
+        for _ in range(8):
+            start = time.perf_counter()
+            np.asarray(fn(x, weights))
+            times.append(time.perf_counter() - start)
+        best = min(times)
+        print(
+            f"{variant}: {best*1000:.1f} ms/12-block-stack  "
+            f"(checksum {cs:.2f}, compile {compile_s:.0f}s, g={g})",
+            flush=True,
+        )
+
+
+
+
+# ---------------------------------------------------------------------------
+# decomposition micro-benches: where does the non-ideal time live?
+# ---------------------------------------------------------------------------
+
+def bench_micro(which: str):
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((B, LP, D)) * 0.1, jnp.bfloat16)
+
+    if which == "mlp_xla":
+        wfc = jnp.asarray(rng.standard_normal((LAYERS, D, 4 * D)) * 0.02, jnp.bfloat16)
+        bfc = jnp.zeros((LAYERS, 4 * D), jnp.bfloat16)
+        wproj = jnp.asarray(rng.standard_normal((LAYERS, 4 * D, D)) * 0.02, jnp.bfloat16)
+        bproj = jnp.zeros((LAYERS, D), jnp.bfloat16)
+
+        @jax.jit
+        def fn(x, wfc, bfc, wproj, bproj):
+            def body(carry, ws):
+                wf, bf, wp, bp = ws
+                h = carry.reshape(B * LP, D) @ wf + bf
+                h = h * jax.nn.sigmoid(1.702 * h)
+                return (carry + (h @ wp + bp).reshape(B, LP, D)), None
+
+            out, _ = jax.lax.scan(body, x, (wfc, bfc, wproj, bproj))
+            return jnp.sum(out.astype(jnp.float32))
+
+        args = (x, wfc, bfc, wproj, bproj)
+
+    elif which == "mlp_pallas":
+        wfc = jnp.asarray(rng.standard_normal((LAYERS, D, 4 * D)) * 0.02, jnp.bfloat16)
+        bfc = jnp.zeros((LAYERS, 4 * D), jnp.bfloat16)
+        wproj = jnp.asarray(rng.standard_normal((LAYERS, 4 * D, D)) * 0.02, jnp.bfloat16)
+        bproj = jnp.zeros((LAYERS, D), jnp.bfloat16)
+        g = G
+        vm = pltpu.VMEM
+        x_spec = pl.BlockSpec((g, LP, D), lambda i: (i, 0, 0), memory_space=vm)
+
+        def w_spec(shape):
+            return pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=vm)
+
+        def kernel(x_ref, wfc_ref, bfc_ref, wproj_ref, bproj_ref, out_ref):
+            xx = x_ref[...]
+            g_, lp, d = xx.shape
+            dtype = xx.dtype
+            h = jax.lax.dot_general(
+                xx.reshape(g_ * lp, d), wfc_ref[...], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            h = (h + bfc_ref[...].astype(jnp.float32)).astype(dtype)
+            # manual sigmoid: lax.logistic's bf16 Mosaic lowering is broken
+            h = h * (1.0 / (1.0 + jnp.exp(-(h * 1.702))))
+            o = jax.lax.dot_general(
+                h, wproj_ref[...], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(dtype) + bproj_ref[...].astype(dtype)
+            out_ref[...] = xx + o.reshape(g_, lp, d)
+
+        def block(xc, ws):
+            return pl.pallas_call(
+                kernel,
+                out_shape=jax.ShapeDtypeStruct((B, LP, D), xc.dtype),
+                grid=(B // g,),
+                in_specs=[x_spec, w_spec((D, 4 * D)), w_spec((4 * D,)),
+                          w_spec((4 * D, D)), w_spec((D,))],
+                out_specs=x_spec,
+                compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+            )(xc, *ws)
+
+        @jax.jit
+        def fn(x, wfc, bfc, wproj, bproj):
+            def body(carry, ws):
+                return block(carry, ws), None
+
+            out, _ = jax.lax.scan(body, x, (wfc, bfc, wproj, bproj))
+            return jnp.sum(out.astype(jnp.float32))
+
+        args = (x, wfc, bfc, wproj, bproj)
+
+    elif which in ("attn_pallas", "attn_nosm", "attn_noqkv"):
+        skip_softmax = which == "attn_nosm"
+        skip_attn = which == "attn_noqkv"
+        # LN1 + QKV + attention + proj + residual (no MLP)
+        wqkv = jnp.asarray(rng.standard_normal((LAYERS, D, 3 * D)) * 0.02, jnp.bfloat16)
+        bqkv = jnp.zeros((LAYERS, 3 * D), jnp.bfloat16)
+        wo = jnp.asarray(rng.standard_normal((LAYERS, D, D)) * 0.02, jnp.bfloat16)
+        bo = jnp.zeros((LAYERS, D), jnp.bfloat16)
+        ln1s = jnp.ones((LAYERS, D), jnp.float32)
+        ln1b = jnp.zeros((LAYERS, D), jnp.float32)
+        g = G
+        vm = pltpu.VMEM
+        x_spec = pl.BlockSpec((g, LP, D), lambda i: (i, 0, 0), memory_space=vm)
+
+        def w_spec(shape):
+            return pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=vm)
+
+        def kernel(x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, s_ref, b_ref, out_ref):
+            xx = x_ref[...]
+            g_, lp, d = xx.shape
+            dh = d // H
+            dtype = xx.dtype
+            h1 = _ln(xx, s_ref, b_ref, dtype).reshape(g_ * lp, d)
+            qkv = (
+                jax.lax.dot_general(
+                    h1, wqkv_ref[...], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(dtype)
+                + bqkv_ref[...].astype(dtype)
+            ).reshape(g_, lp, 3 * d)
+            mask = _mask(g_, lp, L)
+            scale = dh ** -0.5
+            if skip_attn:
+                # QKV + proj only; sum q+k+v so no projection is DCE'd
+                attn = qkv[:, :, :d] + qkv[:, :, d : 2 * d] + qkv[:, :, 2 * d :]
+                proj = (
+                    jax.lax.dot_general(
+                        attn.reshape(g_ * lp, d), wo_ref[...], (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ).astype(dtype)
+                    + bo_ref[...].astype(dtype)
+                ).reshape(g_, lp, d)
+                out_ref[...] = xx + proj
+                return
+            outs = []
+            for h in range(H):
+                qh = qkv[:, :, h * dh : (h + 1) * dh] * scale
+                kh = qkv[:, :, d + h * dh : d + (h + 1) * dh]
+                vh = qkv[:, :, 2 * d + h * dh : 2 * d + (h + 1) * dh]
+                s = jax.lax.dot_general(
+                    qh, kh, (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )
+                if skip_softmax:
+                    w = (s * 0.005).astype(dtype)
+                else:
+                    s = jnp.where(mask, -1e30, s)
+                    s = s - jnp.max(s, axis=-1, keepdims=True)
+                    e = jnp.exp(s)
+                    w = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(dtype)
+                o = jax.lax.dot_general(
+                    w, vh, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )
+                outs.append(o.astype(dtype))
+            attn = jnp.concatenate(outs, axis=-1)
+            proj = (
+                jax.lax.dot_general(
+                    attn.reshape(g_ * lp, d), wo_ref[...], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(dtype)
+                + bo_ref[...].astype(dtype)
+            ).reshape(g_, lp, d)
+            out_ref[...] = xx + proj
+
+        def block(xc, ws):
+            return pl.pallas_call(
+                kernel,
+                out_shape=jax.ShapeDtypeStruct((B, LP, D), xc.dtype),
+                grid=(B // g,),
+                in_specs=[x_spec, w_spec((D, 3 * D)), w_spec((3 * D,)),
+                          w_spec((D, D)), w_spec((D,)), w_spec((D,)), w_spec((D,))],
+                out_specs=x_spec,
+                compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+            )(xc, *ws)
+
+        @jax.jit
+        def fn(x, wqkv, bqkv, wo, bo, ln1s, ln1b):
+            def body(carry, ws):
+                return block(carry, ws), None
+
+            out, _ = jax.lax.scan(body, x, (wqkv, bqkv, wo, bo, ln1s, ln1b))
+            return jnp.sum(out.astype(jnp.float32))
+
+        args = (x, wqkv, bqkv, wo, bo, ln1s, ln1b)
+    else:
+        raise SystemExit(f"unknown micro {which}")
+
+    t0 = time.perf_counter()
+    cs = float(np.asarray(fn(*args)))
+    compile_s = time.perf_counter() - t0
+    times = []
+    for _ in range(8):
+        start = time.perf_counter()
+        np.asarray(fn(*args))
+        times.append(time.perf_counter() - start)
+    print(
+        f"{which}: {min(times)*1000:.1f} ms/12-layer  (checksum {cs:.2f}, compile {compile_s:.0f}s)",
+        flush=True,
+    )
+
+if __name__ == "__main__":
+    main()
