@@ -15,7 +15,7 @@ import json
 import os
 from typing import Callable, Dict, List, Optional
 
-from protoclip_tpu.data.splits import read_split
+from protoclip_tpu.data.splits import read_split, save_split
 from protoclip_tpu.data.types import Datum, FewShotDataset, generate_fewshot
 
 _ASSETS = os.path.join(os.path.dirname(os.path.abspath(__file__)), "assets")
@@ -86,6 +86,20 @@ def _build_json_dataset(
     dataset_dir = os.path.join(root, spec.dataset_dir)
     image_dir = os.path.join(dataset_dir, spec.image_subdir) if spec.image_subdir else dataset_dir
     split_path = split_path or os.path.join(dataset_dir, spec.split_file)
+    if not os.path.exists(split_path):
+        # Generate the split from raw dataset metadata (folder tree or devkit
+        # .mat files) and persist it, as the original CoOp tooling did — the
+        # reference requires the JSON to pre-exist (datasets/dtd.py:33-86,
+        # oxford_flowers.py:38-74, stanford_cars.py:28-50, eurosat.py:9-52).
+        from protoclip_tpu.data.builders import SPLIT_BUILDERS
+
+        builder = SPLIT_BUILDERS.get(alias)
+        if builder is None:
+            raise FileNotFoundError(
+                f"{split_path} not found and dataset {alias!r} has no split builder"
+            )
+        train, val, test = builder(dataset_dir, image_dir, seed)
+        save_split(train, val, test, split_path, image_dir)
     train, val, test = read_split(split_path, image_dir)
     train = generate_fewshot(train, shots, seed=seed)
     return FewShotDataset(train, val, test, spec.template, name=alias)
@@ -143,21 +157,72 @@ def imagenet_classnames_and_templates():
     return data["classnames"], data["templates"]
 
 
-def _build_imagenet(root: str, shots: int, seed: int) -> FewShotDataset:
-    """ImageNet from a class-folder tree.
+def _imagenet_flat_val(
+    val_dir: str, dataset_dir: str, classnames
+) -> List[Datum]:
+    """The standard ILSVRC2012 val download is FLAT (no wnid folders); label
+    it via the devkit metadata exactly as torchvision does
+    (ref ``datasets/imagenet.py:216-219`` via ``torchvision.datasets.ImageNet``):
+    ``ILSVRC2012_validation_ground_truth.txt`` gives the 1-based ILSVRC id of
+    the i-th val image (sorted by filename); ``meta.mat`` maps ids to wnids;
+    labels are indices into the lexicographically sorted wnid list."""
+    from protoclip_tpu.io.mat import load_mat, mat_scalar
 
-    Expects ``<root>/imagenet/images/{train,val}/<wnid>/*.JPEG``; wnids sorted
-    lexicographically define labels 0..999 (torchvision's convention).  Val
-    doubles as test, as in the reference (``datasets/imagenet.py:216-219``).
+    devkit = None
+    for base in (dataset_dir, os.path.join(dataset_dir, "images")):
+        cand = os.path.join(base, "ILSVRC2012_devkit_t12")
+        if os.path.isdir(cand):
+            devkit = cand
+            break
+    if devkit is None:
+        raise FileNotFoundError(
+            f"{val_dir} has no <wnid>/ subfolders and no ILSVRC2012_devkit_t12/ "
+            "was found to label the flat layout"
+        )
+    synsets = load_mat(os.path.join(devkit, "data", "meta.mat"))["synsets"]
+    id2wnid = {}
+    for s in synsets:
+        ilsvrc_id = int(mat_scalar(s["ILSVRC2012_ID"]))
+        if ilsvrc_id <= 1000:  # leaf classes only (ids >1000 are internal nodes)
+            id2wnid[ilsvrc_id] = str(s["WNID"])
+    wnid2label = {w: i for i, w in enumerate(sorted(id2wnid.values()))}
+    with open(
+        os.path.join(devkit, "data", "ILSVRC2012_validation_ground_truth.txt")
+    ) as fh:
+        gt = [int(line) for line in fh if line.strip()]
+    files = sorted(f for f in os.listdir(val_dir) if not f.startswith("."))
+    if len(files) != len(gt):
+        raise ValueError(
+            f"{len(files)} val images but {len(gt)} ground-truth labels"
+        )
+    items = []
+    for fname, ilsvrc_id in zip(files, gt):
+        label = wnid2label[id2wnid[ilsvrc_id]]
+        cname = classnames[label] if label < len(classnames) else id2wnid[ilsvrc_id]
+        items.append(Datum(os.path.join(val_dir, fname), label, cname))
+    return items
+
+
+def _build_imagenet(root: str, shots: int, seed: int) -> FewShotDataset:
+    """ImageNet from a class-folder tree, or the standard flat-val download.
+
+    Expects ``<root>/imagenet/images/{train,val}``; ``train/<wnid>/*`` always,
+    ``val`` either as ``<wnid>/`` folders or flat with the devkit extracted
+    alongside.  wnids sorted lexicographically define labels 0..999
+    (torchvision's convention).  Val doubles as test, as in the reference
+    (``datasets/imagenet.py:216-219``).
     """
     classnames, templates = imagenet_classnames_and_templates()
-    image_dir = os.path.join(root, "imagenet", "images")
+    dataset_dir = os.path.join(root, "imagenet")
+    image_dir = os.path.join(dataset_dir, "images")
 
     def scan(split: str) -> List[Datum]:
         split_dir = os.path.join(image_dir, split)
         wnids = sorted(
             d for d in os.listdir(split_dir) if os.path.isdir(os.path.join(split_dir, d))
         )
+        if not wnids and split == "val":
+            return _imagenet_flat_val(split_dir, dataset_dir, classnames)
         items = []
         for label, wnid in enumerate(wnids):
             cname = classnames[label] if label < len(classnames) else wnid

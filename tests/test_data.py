@@ -208,3 +208,151 @@ def test_fewsol_198_from_reference_splits(tmp_path):
     assert len(ds.train_x) == 198 * 2
     assert ds.template == ["a photo of a {}"]
     assert len(ds.test) > 0
+
+
+# ---------------------------------------------------------------------------
+# generate-if-missing split builders (round-2: dataset-layer completion)
+# ---------------------------------------------------------------------------
+
+def _folder_tree(root, classes, per_class=6):
+    img_dir = root / "images"
+    for c in classes:
+        d = img_dir / c
+        d.mkdir(parents=True)
+        for i in range(per_class):
+            Image.new("RGB", (8, 8)).save(d / f"{c}_{i}.jpg")
+    return img_dir
+
+
+def test_dtd_split_generated_and_persisted(tmp_path):
+    from protoclip_tpu.data.registry import build_dataset
+
+    root = tmp_path
+    _folder_tree(root / "dtd", ["banded", "dotted", "woven"], per_class=10)
+    ds = build_dataset("dtd", str(root), shots=2, seed=1)
+    assert ds.num_classes == 3
+    # 50/20/30 per class
+    assert len(ds.val) == 6 and len(ds.test) == 9
+    split_path = root / "dtd" / "split_zhou_DescribableTextures.json"
+    assert split_path.exists()
+    # second build consumes the persisted JSON and yields identical splits
+    ds2 = build_dataset("dtd", str(root), shots=2, seed=1)
+    assert [d.impath for d in ds2.test] == [d.impath for d in ds.test]
+
+
+def test_eurosat_split_remaps_classnames(tmp_path):
+    from protoclip_tpu.data.builders import EUROSAT_NEW_CNAMES
+    from protoclip_tpu.data.registry import build_dataset
+
+    root = tmp_path
+    img_dir = root / "eurosat" / "2750"
+    for c in ("AnnualCrop", "SeaLake"):
+        d = img_dir / c
+        d.mkdir(parents=True)
+        for i in range(10):
+            Image.new("RGB", (8, 8)).save(d / f"{c}_{i}.jpg")
+    ds = build_dataset("eurosat", str(root), shots=2, seed=1)
+    assert set(ds.classnames) == {"Annual Crop Land", "Sea or Lake"}
+    assert EUROSAT_NEW_CNAMES["AnnualCrop"] == "Annual Crop Land"
+
+
+def test_oxford_flowers_split_from_mat(tmp_path):
+    scipy_io = pytest.importorskip("scipy.io")
+    import json
+
+    from protoclip_tpu.data.registry import build_dataset
+
+    root = tmp_path
+    ds_dir = root / "oxford_flowers"
+    jpg = ds_dir / "jpg"
+    jpg.mkdir(parents=True)
+    # 2 classes x 10 images, labels 1-based in the .mat
+    labels = np.asarray([1] * 10 + [2] * 10, np.uint8).reshape(1, -1)
+    for i in range(20):
+        Image.new("RGB", (8, 8)).save(jpg / f"image_{i + 1:05d}.jpg")
+    scipy_io.savemat(str(ds_dir / "imagelabels.mat"), {"labels": labels})
+    with open(ds_dir / "cat_to_name.json", "w") as fh:
+        json.dump({"1": "pink primrose", "2": "hard-leaved pocket orchid"}, fh)
+    ds = build_dataset("oxford_flowers", str(root), shots=2, seed=1)
+    assert ds.num_classes == 2
+    assert set(ds.classnames) == {"pink primrose", "hard-leaved pocket orchid"}
+    assert len(ds.val) == 4 and len(ds.test) == 6  # 20%/30% of 10 per class
+    assert (ds_dir / "split_zhou_OxfordFlowers.json").exists()
+
+
+def test_stanford_cars_split_from_mat(tmp_path):
+    scipy_io = pytest.importorskip("scipy.io")
+
+    from protoclip_tpu.data.registry import build_dataset
+
+    root = tmp_path
+    ds_dir = root / "stanford_cars"
+    (ds_dir / "devkit").mkdir(parents=True)
+    (ds_dir / "cars_train").mkdir()
+    (ds_dir / "cars_test").mkdir()
+
+    def annos_mat(n, offset):
+        arr = np.zeros((1, n), dtype=[("fname", "O"), ("class", "O")])
+        for i in range(n):
+            arr[0, i] = (f"{offset + i:05d}.jpg", np.array([[i % 2 + 1]], np.uint16))
+        return arr
+
+    n_train, n_test = 10, 6
+    for i in range(n_train):
+        Image.new("RGB", (8, 8)).save(ds_dir / "cars_train" / f"{i:05d}.jpg")
+    for i in range(n_test):
+        Image.new("RGB", (8, 8)).save(ds_dir / "cars_test" / f"{100 + i:05d}.jpg")
+    class_names = np.zeros((1, 2), object)
+    class_names[0, 0] = "AM General Hummer SUV 2000"
+    class_names[0, 1] = "Acura RL Sedan 2012"
+    scipy_io.savemat(str(ds_dir / "devkit" / "cars_meta.mat"), {"class_names": class_names})
+    scipy_io.savemat(
+        str(ds_dir / "devkit" / "cars_train_annos.mat"), {"annotations": annos_mat(n_train, 0)}
+    )
+    scipy_io.savemat(
+        str(ds_dir / "cars_test_annos_withlabels.mat"),
+        {"annotations": annos_mat(n_test, 100)},
+    )
+    ds = build_dataset("stanford_cars", str(root), shots=2, seed=1)
+    assert ds.num_classes == 2
+    # year moved to the front (ref datasets/stanford_cars.py:40-43)
+    assert set(ds.classnames) == {"2000 AM General Hummer SUV", "2012 Acura RL Sedan"}
+    assert len(ds.test) == n_test
+    assert len(ds.val) + sum(1 for _ in ds.train_x) <= n_train  # few-shot subsample
+    assert (ds_dir / "split_zhou_StanfordCars.json").exists()
+
+
+def test_imagenet_flat_val_devkit(tmp_path):
+    scipy_io = pytest.importorskip("scipy.io")
+
+    from protoclip_tpu.data.registry import build_dataset
+
+    root = tmp_path
+    ds_dir = root / "imagenet"
+    wnids = ["n01440764", "n01443537", "n01484850"]
+    for w in wnids:
+        d = ds_dir / "images" / "train" / w
+        d.mkdir(parents=True)
+        for i in range(3):
+            Image.new("RGB", (8, 8)).save(d / f"{w}_{i}.JPEG")
+    # flat val: 6 images, ground truth via devkit (ILSVRC ids deliberately
+    # NOT in sorted-wnid order to exercise the id->wnid->label mapping)
+    val_dir = ds_dir / "images" / "val"
+    val_dir.mkdir()
+    for i in range(6):
+        Image.new("RGB", (8, 8)).save(val_dir / f"ILSVRC2012_val_{i + 1:08d}.JPEG")
+    synsets = np.zeros((4, 1), dtype=[("ILSVRC2012_ID", "O"), ("WNID", "O"), ("words", "O")])
+    synsets[0, 0] = (np.array([[1]], np.float64), "n01443537", "goldfish")
+    synsets[1, 0] = (np.array([[2]], np.float64), "n01440764", "tench")
+    synsets[2, 0] = (np.array([[3]], np.float64), "n01484850", "great white shark")
+    synsets[3, 0] = (np.array([[1001]], np.float64), "n00000000", "internal node")
+    devkit_data = ds_dir / "ILSVRC2012_devkit_t12" / "data"
+    devkit_data.mkdir(parents=True)
+    scipy_io.savemat(str(devkit_data / "meta.mat"), {"synsets": synsets})
+    with open(devkit_data / "ILSVRC2012_validation_ground_truth.txt", "w") as fh:
+        fh.write("\n".join(["1", "2", "3", "1", "2", "3"]) + "\n")
+    ds = build_dataset("imagenet", str(root), shots=1, seed=1)
+    # labels follow sorted wnids: n01440764=0, n01443537=1, n01484850=2;
+    # gt id 1 -> n01443537 -> label 1, id 2 -> n01440764 -> 0, id 3 -> 2
+    assert [d.label for d in ds.val] == [1, 0, 2, 1, 0, 2]
+    assert len(ds.val) == 6 and ds.test == ds.val
