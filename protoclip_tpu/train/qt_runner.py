@@ -72,7 +72,10 @@ def run_qt(cfg: Config, mesh=None, progress: bool = True, logger: Optional[Metri
         @jax.jit
         def val_acc_fn(model: ProtoClip):
             p = model.probs(val_j, alpha, beta)
-            return jnp.mean((jnp.argmax(p, axis=-1) == val_l).astype(jnp.float32))
+            acc = jnp.mean((jnp.argmax(p, axis=-1) == val_l).astype(jnp.float32))
+            # reference val loss: NLL of the *predicted* class (main.py:341-344)
+            val_loss = -jnp.mean(jnp.log(jnp.max(p, axis=-1) + 1e-12))
+            return acc, val_loss
 
         iterator = range(cfg.train_epoch)
         if progress:
@@ -87,8 +90,10 @@ def run_qt(cfg: Config, mesh=None, progress: bool = True, logger: Optional[Metri
                 accs.append(stats["acc"])
             trainer.finish_epoch()
             model = trainer.model()
-            va = float(val_acc_fn(model))
+            va_j, vl_j = val_acc_fn(model)
+            va = float(va_j)
             logger.scalar("Loss/train", float(np.mean(losses)), epoch)
+            logger.scalar("Loss/val", float(vl_j), epoch)
             logger.scalar("Accuracy/train", float(np.mean(accs)), epoch)
             logger.scalar("Accuracy/val", va, epoch)
             if va >= best_val:

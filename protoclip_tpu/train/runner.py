@@ -158,6 +158,45 @@ def prepare_experiment(cfg: Config, mesh=None, progress: bool = True) -> Experim
     )
 
 
+def _log_sweep_report(
+    grids: Dict[str, np.ndarray],
+    alphas: np.ndarray,
+    betas: np.ndarray,
+    cfg: Config,
+    logger: MetricLogger,
+    step: int,
+    phase: str,
+) -> None:
+    """Surface plot + best-HP report for an alpha/beta sweep
+    (ref ``utils.py:167-222``: the PNG, the HP scalars, and the
+    val-selected-test printout; called after the zero-shot sweep and again
+    after the test-phase sweep, ``main.py:207, 446-448``)."""
+    from protoclip_tpu.obs.plots import plot_alpha_beta_surface, report_best_operating_points
+
+    report = report_best_operating_points(grids, alphas, betas)
+    plot_path = os.path.join(logger.log_dir, f"alpha_beta_{phase}_{cfg.dataset}.png")
+    try:
+        plot_alpha_beta_surface(
+            grids["val"], alphas, betas, plot_path,
+            title=f"Proto-CLIP | Dataset:{cfg.dataset} ({phase})",
+            extra_grids={s: g for s, g in grids.items() if s != "val"},
+        )
+        logger.image(f"alpha-beta/{phase}", plot_path, step)
+    except ImportError:  # pragma: no cover - matplotlib ships in this env
+        pass
+    # reference HP scalars (utils.py:211-220)
+    if "val" in report:
+        logger.scalar("HP/alpha-val-test", report["val"]["alpha"], step + 1)
+        logger.scalar("HP/beta-val-test", report["val"]["beta"], step + 1)
+    if "test" in report:
+        logger.scalar("HP/alpha-val-test", report["test"]["alpha"], step + 2)
+        logger.scalar("HP/beta-val-test", report["test"]["beta"], step + 2)
+    if "test_at_val_best" in report:
+        logger.scalar(
+            "Accuracy/zsval-zstestval-zstest-3F-test", report["test_at_val_best"], step + 2
+        )
+
+
 def evaluate_checkpoint(
     cfg: Config,
     setup: ExperimentSetup,
@@ -191,13 +230,37 @@ def evaluate_checkpoint(
     adapt_j = jax.jit(lambda m, f, norm: m.adapt(f, normalize=norm), static_argnums=2)
     val_adapted = np.asarray(adapt_j(model, jnp.asarray(setup.val_feats), False))
     test_adapted = np.asarray(adapt_j(model, jnp.asarray(setup.test_feats), True))
+    # the reference also sweeps the adapted train (support) features
+    # (main.py:411-430); labels come from the one-hot bank values
+    train_adapted = np.asarray(adapt_j(model, jnp.asarray(setup.bank_v), True))
+    train_labels = np.argmax(setup.bank_values, axis=1)
     val_grid = alpha_beta_sweep(val_adapted, setup.val_labels, img_p, txt_p, alphas, betas)
-    a_s, b_s, _ = best_operating_point(val_grid, alphas, betas)
     test_grid = alpha_beta_sweep(test_adapted, setup.test_labels, img_p, txt_p, alphas, betas)
-    ai = int(np.where(alphas == a_s)[0][0])
-    bi = int(np.argmin(np.abs(betas - b_s)))
+    train_grid = alpha_beta_sweep(train_adapted, train_labels, img_p, txt_p, alphas, betas)
+    # index-based lookup: best_operating_point ties to the exact grid cell,
+    # no float round-trip
+    flat = int(np.argmax(val_grid))
+    ai, bi = np.unravel_index(flat, val_grid.shape)
+    a_s, b_s = float(alphas[ai]), float(betas[bi])
     test_acc_searched = float(test_grid[ai, bi])
     logger.scalar("Accuracy/test_searched", test_acc_searched, 0)
+    _log_sweep_report(
+        {"val": val_grid, "test": test_grid, "train": train_grid},
+        alphas, betas, cfg, logger, step=10, phase="test",
+    )
+
+    # post-test prototype t-SNE to TensorBoard (ref main.py:457-458,
+    # utils.py:125-164)
+    try:
+        from protoclip_tpu.toolkit.tsne import plot_prototype_tsne
+
+        plot_prototype_tsne(
+            np.asarray(img_p), np.asarray(txt_p), setup.dataset.classnames,
+            os.path.join(logger.log_dir, f"tsne_prototypes_{cfg.dataset}.png"),
+            logger=logger, tag="t-SNE/prototypes",
+        )
+    except ImportError:  # pragma: no cover - sklearn/matplotlib ship here
+        pass
     if progress:
         print(
             f"[test] fixed(a={alpha}, b={beta}): {test_acc_fixed*100:.2f}% | "
@@ -236,6 +299,7 @@ def run(cfg: Config, mesh=None, progress: bool = True, logger: Optional[MetricLo
     )
     text_protos = bank_t / np.linalg.norm(bank_t, axis=-1, keepdims=True)
     zs = {}
+    grids: Dict[str, np.ndarray] = {}
     for split, feats, labels in (
         ("val", val_feats, val_labels),
         ("test", test_feats, test_labels),
@@ -253,9 +317,11 @@ def run(cfg: Config, mesh=None, progress: bool = True, logger: Optional[MetricLo
         else:
             acc_grid = alpha_beta_sweep(feats, labels, img_protos, text_protos, alphas, betas)
             cache.save(stem, acc=acc_grid, triples=sweep_to_triples(acc_grid, alphas, betas))
+        grids[split] = np.asarray(acc_grid)
         a, b, best = best_operating_point(acc_grid, alphas, betas)
         zs[f"{split}_best_alpha"], zs[f"{split}_best_beta"], zs[f"{split}_best_acc"] = a, b, best
         logger.scalar(f"zero_shot/{split}_best_acc", best, 0)
+    _log_sweep_report(grids, alphas, betas, cfg, logger, step=0, phase="zero_shot")
     if progress:
         print(
             f"[zero-shot] val best {zs['val_best_acc']*100:.2f}% "
@@ -294,7 +360,10 @@ def run(cfg: Config, mesh=None, progress: bool = True, logger: Optional[MetricLo
         @jax.jit
         def val_acc_fn(model: ProtoClip):
             p = model.probs(val_j, alpha, beta)
-            return jnp.mean((jnp.argmax(p, axis=-1) == val_l).astype(jnp.float32))
+            acc = jnp.mean((jnp.argmax(p, axis=-1) == val_l).astype(jnp.float32))
+            # reference val loss: NLL of the *predicted* class (main.py:341-344)
+            val_loss = -jnp.mean(jnp.log(jnp.max(p, axis=-1) + 1e-12))
+            return acc, val_loss
 
         iterator = range(cfg.train_epoch)
         if progress:
@@ -312,8 +381,10 @@ def run(cfg: Config, mesh=None, progress: bool = True, logger: Optional[MetricLo
         for epoch in iterator:
             stats = trainer.run_epoch()
             model = trainer.model()
-            va = float(val_acc_fn(model))
+            va_j, vl_j = val_acc_fn(model)
+            va, vl = float(va_j), float(vl_j)
             logger.scalar("Loss/train", stats["loss"], epoch)
+            logger.scalar("Loss/val", vl, epoch)
             logger.scalar("Accuracy/train", stats["acc"], epoch)
             logger.scalar("Accuracy/val", va, epoch)
             logger.scalar("HP/lr", stats["lr"], epoch)

@@ -100,6 +100,17 @@ def test_full_run_and_only_test(tiny_env):
     )
     assert tuple(v.shape) == (N_CLASS * 2, 32)
 
+    # observability artifacts (ref utils.py:125-222, main.py:372,457-458):
+    # alpha/beta surfaces for both sweeps, prototype t-SNE, Loss/val scalar
+    log_dir = os.path.join(cfg.logs_dir_path, cfg.dataset)
+    assert os.path.exists(os.path.join(log_dir, "alpha_beta_zero_shot_caltech101.png"))
+    assert os.path.exists(os.path.join(log_dir, "alpha_beta_test_caltech101.png"))
+    assert os.path.exists(os.path.join(log_dir, "tsne_prototypes_caltech101.png"))
+    with open(os.path.join(log_dir, "metrics.jsonl")) as fh:
+        tags = {json.loads(line)["tag"] for line in fh}
+    assert {"Loss/val", "Loss/train", "HP/alpha-val-test",
+            "Accuracy/zsval-zstestval-zstest-3F-test"} <= tags
+
     # only_test path reloads everything from caches + checkpoint
     result2 = run(_config(tiny_env, only_test=True), progress=False)
     assert result2.test_acc_fixed == pytest.approx(result.test_acc_fixed, abs=1e-5)
