@@ -88,19 +88,21 @@ def _hf_to_openai_state_dict(model) -> dict:
             sd[f"{d}.mlp.c_proj.weight"] = hf[f"{s}.mlp.fc2.weight"]
             sd[f"{d}.mlp.c_proj.bias"] = hf[f"{s}.mlp.fc2.bias"]
 
+    n_vision_layers = model.config.vision_config.num_hidden_layers
+    n_text_layers = model.config.text_config.num_hidden_layers
     sd["visual.conv1.weight"] = hf["vision_model.embeddings.patch_embedding.weight"]
     sd["visual.class_embedding"] = hf["vision_model.embeddings.class_embedding"]
     sd["visual.positional_embedding"] = hf["vision_model.embeddings.position_embedding.weight"]
     sd["visual.ln_pre.weight"] = hf["vision_model.pre_layrnorm.weight"]
     sd["visual.ln_pre.bias"] = hf["vision_model.pre_layrnorm.bias"]
-    blocks("vision_model", "visual.transformer", LAYERS)
+    blocks("vision_model", "visual.transformer", n_vision_layers)
     sd["visual.ln_post.weight"] = hf["vision_model.post_layernorm.weight"]
     sd["visual.ln_post.bias"] = hf["vision_model.post_layernorm.bias"]
     sd["visual.proj"] = hf["visual_projection.weight"].T
 
     sd["token_embedding.weight"] = hf["text_model.embeddings.token_embedding.weight"]
     sd["positional_embedding"] = hf["text_model.embeddings.position_embedding.weight"]
-    blocks("text_model", "transformer", LAYERS)
+    blocks("text_model", "transformer", n_text_layers)
     sd["ln_final.weight"] = hf["text_model.final_layer_norm.weight"]
     sd["ln_final.bias"] = hf["text_model.final_layer_norm.bias"]
     sd["text_projection"] = hf["text_projection.weight"].T
@@ -174,3 +176,66 @@ def test_contrastive_forward_parity(hf_model, converted):
         np.asarray(ours_i), out.logits_per_image.numpy(), atol=5e-3
     )
     np.testing.assert_allclose(np.asarray(ours_t), out.logits_per_text.numpy(), atol=5e-3)
+
+
+# ---------------------------------------------------------------------------
+# real geometry: ViT-B/16 dims (768/12/12 vision, 512/12/8 text, 224px, 77ctx)
+# so layout/head-count/precision bugs can't hide at toy sizes (round-2 item).
+# ---------------------------------------------------------------------------
+
+@pytest.mark.slow
+def test_vit_b16_geometry_parity():
+    cfg_hf = transformers.CLIPConfig(
+        projection_dim=512,
+        text_config={
+            "hidden_size": 512,
+            "intermediate_size": 2048,
+            "num_hidden_layers": 12,
+            "num_attention_heads": 8,
+            "max_position_embeddings": 77,
+            "vocab_size": 49408,
+            "hidden_act": "quick_gelu",
+            "eos_token_id": 49407,
+        },
+        vision_config={
+            "hidden_size": 768,
+            "intermediate_size": 3072,
+            "num_hidden_layers": 12,
+            "num_attention_heads": 12,
+            "image_size": 224,
+            "patch_size": 16,
+            "hidden_act": "quick_gelu",
+        },
+    )
+    torch.manual_seed(0)
+    model = transformers.CLIPModel(cfg_hf)
+    model.eval()
+
+    # the width//64 head rule must reproduce the real head counts (12 and 8)
+    cfg, params = convert_clip_state_dict(_hf_to_openai_state_dict(model))
+    assert cfg.name == "ViT-B/16"
+    assert cfg.image_resolution == 224 and cfg.context_length == 77
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+
+    rng = np.random.default_rng(0)
+    images = (rng.standard_normal((2, 224, 224, 3)) * 0.5).astype(np.float32)
+    ours_i = np.asarray(jax.jit(lambda p, x: encode_image(p, x, cfg))(params, jnp.asarray(images)))
+    with torch.no_grad():
+        theirs_i = model.get_image_features(
+            pixel_values=torch.from_numpy(images.transpose(0, 3, 1, 2))
+        ).numpy()
+    np.testing.assert_allclose(ours_i, theirs_i, atol=2e-3)
+
+    tokens = np.zeros((2, 77), np.int32)
+    tokens[:, 0] = 49406  # SOT
+    tokens[0, 1:9] = rng.integers(1, 49406, 8)
+    tokens[0, 9] = 49407  # EOT
+    tokens[1, 1:40] = rng.integers(1, 49406, 39)
+    tokens[1, 40] = 49407
+    ours_t = np.asarray(jax.jit(lambda p, t: encode_text(p, t, cfg))(params, jnp.asarray(tokens)))
+    with torch.no_grad():
+        theirs_t = model.get_text_features(
+            input_ids=torch.from_numpy(tokens.astype(np.int64)),
+            attention_mask=torch.ones((2, 77), dtype=torch.int64),
+        ).numpy()
+    np.testing.assert_allclose(ours_t, theirs_t, atol=2e-3)
