@@ -171,7 +171,6 @@ class EpisodicTrainer:
         self._frozen_keys = jnp.asarray(self.frozen_keys, jnp.float32)
         self.optimizer = make_optimizer(self.lr)
         self.opt_state = self.optimizer.init(self.params)
-        self._np_rng = np.random.default_rng(self.seed)
         self._epoch_fn = self._build_epoch_fn()
         self.epoch = 0
 
@@ -256,9 +255,15 @@ class EpisodicTrainer:
     # -- public API ---------------------------------------------------------
 
     def run_epoch(self) -> Dict[str, float]:
-        """Sample an epoch of episodes on host, run the jitted scan."""
+        """Sample an epoch of episodes on host, run the jitted scan.
+
+        The episode RNG is derived from (seed, epoch index) rather than kept
+        as a continuous stream, so a run resumed from a snapshot samples the
+        exact same episodes as an uninterrupted run (replay-exact resume).
+        """
+        epoch_rng = np.random.default_rng(self.seed + self.epoch * 65537)
         query_idx, query_labels, query_w, valid = make_episode_queries(
-            self._np_rng, self.n_class, self.k_shots
+            epoch_rng, self.n_class, self.k_shots
         )
         t_max = self.train_epoch * self.n_class * self.k_shots
         lr = cosine_lr(self.lr, self.epoch, t_max)

@@ -3,7 +3,9 @@
 The reference has no optimizer-state or epoch resume — its "resume" is
 re-reading feature caches (SURVEY.md §5).  Production training needs real
 preemption recovery, so trainers can snapshot their complete state and resume
-bit-exactly (modulo the host RNG stream, which is re-seeded per epoch index).
+bit-exactly: the episodic trainer derives its episode RNG from
+``(seed, epoch index)`` inside ``run_epoch``, so a resumed run samples the
+exact same episodes as an uninterrupted one.
 """
 
 from __future__ import annotations
@@ -58,7 +60,4 @@ def load_train_state(path: str, trainer) -> int:
         lambda saved: saved, state["opt_state"]
     )
     trainer.epoch = int(state["epoch"])
-    # keep the host episode RNG deterministic across resume
-    if hasattr(trainer, "_np_rng"):
-        trainer._np_rng = np.random.default_rng(trainer.seed + trainer.epoch * 65537)
     return trainer.epoch

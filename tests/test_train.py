@@ -235,3 +235,38 @@ def test_make_episode_queries_consistent_with_masks():
         for i, l, w in zip(qi[e], ql[e], qw[e]):
             if w > 0:
                 assert l == i // K
+
+
+def test_resume_is_replay_exact(rng, tmp_path):
+    """Train 4 epochs straight == train 2, snapshot, restore, train 2
+    (identical params): the episode RNG derives from (seed, epoch), so a
+    resumed run samples the same episodes as an uninterrupted one."""
+    from protoclip_tpu.train.resume import load_train_state, save_train_state
+
+    keys, bank_t, _ = _separable_problem(rng)
+
+    def make():
+        return EpisodicTrainer(
+            frozen_keys=keys, bank_t_init=bank_t, n_class=5, k_shots=4,
+            adapter_kind="fc", alpha=0.5, beta=10.0, lr=1e-3, train_epoch=20, seed=0,
+        )
+
+    straight = make()
+    for _ in range(4):
+        straight.run_epoch()
+
+    half = make()
+    for _ in range(2):
+        half.run_epoch()
+    path = str(tmp_path / "state.pkl")
+    save_train_state(path, half)
+    resumed = make()
+    assert load_train_state(path, resumed) == 2
+    for _ in range(2):
+        resumed.run_epoch()
+
+    for a, b in zip(
+        jax.tree_util.tree_leaves(straight.params),
+        jax.tree_util.tree_leaves(resumed.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
