@@ -278,7 +278,17 @@ def evaluate_checkpoint(
 
 
 def run(cfg: Config, mesh=None, progress: bool = True, logger: Optional[MetricLogger] = None) -> ExperimentResult:
-    """Run one full Proto-CLIP experiment from a config."""
+    """Run one full Proto-CLIP experiment from a config.
+
+    Mesh semantics: with ``mesh``, the CLIP encode phases (bank build,
+    val/test feature extraction) shard their batches over the ``data`` axis.
+    Episodic training itself is DELIBERATELY single-device: each episode is
+    a sequential AdamW step over at most a few thousand d-dim rows (adapter +
+    bank gathers, no CLIP forward), far below the per-chip crossover where
+    sharding pays — a whole 2000-epoch ImageNet-scale run is ~7 min on one
+    chip (BASELINE.md).  The F-Q^T trainer (``train/qt_runner.py``), whose
+    step DOES cross the CLIP encoder, shards its batches over the mesh.
+    """
     cfg.validate()
     logger = logger or MetricLogger(os.path.join(cfg.logs_dir_path, cfg.dataset))
     setup = prepare_experiment(cfg, mesh, progress)
@@ -340,6 +350,12 @@ def run(cfg: Config, mesh=None, progress: bool = True, logger: Optional[MetricLo
 
     best_val, best_epoch = 0.0, -1
     if not cfg.only_test:
+        if mesh is not None and progress:
+            print(
+                "[mesh] episodic training runs single-device by design "
+                "(episodes are tiny adapter/bank steps); encode and eval "
+                "phases were sharded over the mesh"
+            )
         trainer = EpisodicTrainer(
             frozen_keys=bank_v,
             bank_t_init=bank_t,
