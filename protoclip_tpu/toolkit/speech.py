@@ -12,6 +12,7 @@ with any ``(word, tag)`` source; only the flair/whisper front-ends are gated.
 
 from __future__ import annotations
 
+import time
 from typing import Callable, List, Optional, Sequence, Tuple
 
 WordTags = List[Tuple[str, str]]
@@ -142,6 +143,7 @@ def transcribe_stream(
     buffer = b""
     while True:
         if data_queue.empty():
+            time.sleep(0.1)  # don't spin a core while the mic is silent
             continue
         now = datetime.utcnow()
         if phrase_time and now - phrase_time > timedelta(seconds=phrase_timeout):

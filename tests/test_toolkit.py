@@ -264,3 +264,75 @@ def test_noun_dictionary_from_splits(tmp_path):
     with open(p, "w") as fh:
         json.dump({"train": [["a", 0, "mustard_bottle"], ["b", 1, "mug"], ["c", 0, "mustard_bottle"]]}, fh)
     assert noun_dictionary_from_splits(str(p)) == {"mustard bottle", "mug"}
+
+
+# ---------------------------------------------------------------------------
+# ros_utils: marker/grasp publisher math (ref ros_utils.py:10-228)
+# ---------------------------------------------------------------------------
+
+def test_quaternion_order_converters_roundtrip():
+    from protoclip_tpu.toolkit.ros_utils import (
+        convert_rosqt_to_standard,
+        convert_standard_to_rosqt,
+        ros_quat,
+    )
+
+    pose_ros = [0.1, 0.2, 0.3, 0.0, 0.707, 0.0, 0.707]
+    std = convert_rosqt_to_standard(pose_ros)
+    assert std == [0.1, 0.2, 0.3, 0.707, 0.0, 0.707, 0.0]
+    assert convert_standard_to_rosqt(std) == pose_ros
+    np.testing.assert_allclose(ros_quat([1, 2, 3, 4]), [2, 3, 4, 1])
+
+
+def test_rt_roundtrip_and_inverse():
+    from protoclip_tpu.toolkit.ros_utils import (
+        inverse_transform,
+        ros_qt_to_rt,
+        rt_to_ros_qt,
+    )
+
+    # 90-degree rotation about z + translation
+    q = [0.0, 0.0, np.sin(np.pi / 4), np.cos(np.pi / 4)]  # xyzw
+    t = [1.0, 2.0, 3.0]
+    rt = ros_qt_to_rt(q, t)
+    np.testing.assert_allclose(rt[:3, 3], t, atol=1e-6)
+    np.testing.assert_allclose(rt[:3, :3] @ [1, 0, 0], [0, 1, 0], atol=1e-6)
+
+    q2, t2 = rt_to_ros_qt(rt)
+    np.testing.assert_allclose(np.abs(q2), np.abs(q), atol=1e-6)
+    np.testing.assert_allclose(t2, t, atol=1e-6)
+
+    inv = inverse_transform(rt)
+    np.testing.assert_allclose(inv @ rt, np.eye(4), atol=1e-6)
+
+
+def test_map_seg_image_palette():
+    from protoclip_tpu.toolkit.ros_utils import PALETTE, map_seg_image
+
+    labels = np.zeros((4, 4), np.uint8)
+    labels[0, 0] = 1  # PALETTE[0] = [0,1,0] -> BGR reversal: (0,255,0)
+    labels[1, 1] = 2  # PALETTE[1] = [0,0,1] -> (255,0,0)
+    out = map_seg_image(labels)
+    assert out.shape == (4, 4, 3)
+    assert out[0, 0].tolist() == [0, 255, 0]
+    assert out[1, 1].tolist() == [255, 0, 0]
+    assert out[2, 2].tolist() == [0, 0, 0]  # background untouched
+    assert len(PALETTE) == 8
+
+
+def test_grasp_marker_colors_ramp():
+    from protoclip_tpu.toolkit.ros_utils import grasp_marker_colors
+
+    colors = grasp_marker_colors(4, scores=None, color_alpha=0.8)
+    assert colors[0] == [1.0, 0.0, 0.0, 0.8]          # worst rank: red
+    assert colors[2] == [0.5, 0.5, 0.0, 0.8]
+    # scalar score: one uniform color (reference behavior)
+    uniform = grasp_marker_colors(3, scores=0.9, color_alpha=1.0)
+    assert all(c == [pytest.approx(0.1), 0.9, 0.0, 1.0] for c in uniform)
+
+
+def test_publish_grasps_without_ros_raises():
+    from protoclip_tpu.toolkit.ros_utils import publish_grasps
+
+    with pytest.raises(ImportError):
+        publish_grasps(None, "base_link", [np.eye(4)], 1.0)
