@@ -66,7 +66,10 @@ def transformer(
     if mask is None:
         from protoclip_tpu.ops.pallas_kernels import (
             fused_transformer_block,
+            fused_transformer_block_int8,
+            int8_enabled,
             pallas_enabled,
+            quantize_stacked_blocks,
         )
 
         if pallas_enabled():
@@ -76,6 +79,22 @@ def transformer(
             lp = -(-length // 8) * 8
             if lp != length:
                 x = jnp.pad(x, [(0, 0), (0, lp - length), (0, 0)])
+
+            if int8_enabled():
+                # W8A8 serving mode ($PROTOCLIP_INT8): quantize the stacked
+                # weights once, outside the layer scan
+                qblocks = quantize_stacked_blocks(stacked_blocks)
+
+                def body_q(carry, qblock):
+                    return (
+                        fused_transformer_block_int8(
+                            carry, qblock, n_head, causal=causal, length=length
+                        ),
+                        None,
+                    )
+
+                out, _ = jax.lax.scan(body_q, x, qblocks)
+                return out[:, :length, :]
 
             def body(carry, block_params):
                 return (

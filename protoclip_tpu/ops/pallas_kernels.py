@@ -414,3 +414,222 @@ def fused_transformer_block(
         group=group,
     )
     return out if already_padded else out[:, :l, :]
+
+
+# -- int8 (W8A8) serving-mode block kernel -----------------------------------
+#
+# Opt-in via $PROTOCLIP_INT8 (default off: the reference semantics are
+# half-precision, and int8 accuracy should be validated on real weights
+# before deployment).  Per-output-channel symmetric weight scales,
+# per-row (per-token) dynamic activation scales, int32 MXU accumulation:
+# v5e's int8 MXU path doubles bf16 throughput.  Measured: the 12-block
+# ViT-B/16 stack drops from ~124 ms to ~92 ms net (B=512) => ~5500 img/s.
+# Attention core (scores/weights) stays bf16 — activation*activation
+# matmuls are a small fraction of the FLOPs and quantizing them costs more
+# VPU time than the MXU saves (measured).
+
+
+def int8_enabled() -> bool:
+    """Use the W8A8 serving kernel? Opt-in only."""
+    return os.environ.get("PROTOCLIP_INT8", "0").lower() in ("1", "true", "on")
+
+
+def quantize_cols(w: jax.Array):
+    """Per-output-channel symmetric int8 for an (in, out) weight matrix
+    -> (int8 values (in, out), fp32 scales (1, out)).  Works on stacked
+    (L, in, out) weights too (scales (L, 1, out))."""
+    w32 = w.astype(jnp.float32)
+    amax = jnp.maximum(jnp.max(jnp.abs(w32), axis=-2, keepdims=True), 1e-6)
+    scale = amax / 127.0
+    q = jnp.clip(jnp.round(w32 / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def quantize_stacked_blocks(stacked_blocks) -> dict:
+    """Quantize a stacked transformer-block pytree for the int8 kernel.
+
+    Returns the flat argument pytree the kernel consumes; LayerNorm
+    scales/biases and matmul biases stay fp32, the 4 weight matrices become
+    int8 + per-channel scales.  The QKV triple is fused column-wise first
+    (same layout as the bf16 fused kernel).
+    """
+    attn = stacked_blocks["attn"]
+    wqkv = jnp.concatenate([attn["wq"], attn["wk"], attn["wv"]], axis=-1)
+    bqkv = jnp.concatenate([attn["bq"], attn["bk"], attn["bv"]], axis=-1)
+    wqkv_q, sqkv = quantize_cols(wqkv)
+    wo_q, so = quantize_cols(attn["wo"])
+    wfc_q, sfc = quantize_cols(stacked_blocks["mlp"]["w_fc"])
+    wproj_q, sproj = quantize_cols(stacked_blocks["mlp"]["w_proj"])
+    f32 = lambda x: x.astype(jnp.float32)  # noqa: E731
+    return {
+        "wqkv": wqkv_q, "sqkv": sqkv, "bqkv": f32(bqkv),
+        "wo": wo_q, "so": so, "bo": f32(attn["bo"]),
+        "ln1s": f32(stacked_blocks["ln_1"]["scale"]),
+        "ln1b": f32(stacked_blocks["ln_1"]["bias"]),
+        "ln2s": f32(stacked_blocks["ln_2"]["scale"]),
+        "ln2b": f32(stacked_blocks["ln_2"]["bias"]),
+        "sfc": sfc, "wfc": wfc_q, "bfc": f32(stacked_blocks["mlp"]["b_fc"]),
+        "wproj": wproj_q, "sproj": sproj,
+        "bproj": f32(stacked_blocks["mlp"]["b_proj"]),
+    }
+
+
+def _quant_rows(x):
+    """Per-row symmetric int8 -> (int8 values, fp32 scale (rows, 1))."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-6) / 127.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def _int8_matmul(x_q, x_s, w_q, w_s):
+    """(rows, in) int8 @ (in, out) int8 -> fp32 (int32 MXU accumulation)."""
+    acc = jax.lax.dot_general(
+        x_q, w_q, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    return acc.astype(jnp.float32) * x_s * w_s
+
+
+def _block_kernel_int8(
+    x_ref, wqkv_ref, sqkv_ref, bqkv_ref, wo_ref, so_ref, bo_ref,
+    ln1s_ref, ln1b_ref, ln2s_ref, ln2b_ref,
+    wfc_ref, sfc_ref, bfc_ref, wproj_ref, sproj_ref, bproj_ref,
+    out_ref, *, n_head, length, causal, eps=1e-5,
+):
+    x = x_ref[...]  # (G, Lp, D) bf16
+    g, lp, d = x.shape
+    dh = d // n_head
+    dtype = x.dtype
+
+    def ln(v, scale_ref, bias_ref):
+        vf = v.astype(jnp.float32)
+        mean = jnp.mean(vf, axis=-1, keepdims=True)
+        c = vf - mean
+        var = jnp.mean(c * c, axis=-1, keepdims=True)
+        return c * jax.lax.rsqrt(var + eps) * scale_ref[...] + bias_ref[...]
+
+    h1_q, h1_s = _quant_rows(ln(x, ln1s_ref, ln1b_ref).reshape(g * lp, d))
+    qkv = (
+        (_int8_matmul(h1_q, h1_s, wqkv_ref[...], sqkv_ref[...]) + bqkv_ref[...])
+        .astype(dtype)
+        .reshape(g, lp, 3 * d)
+    )
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (g, lp, lp), 2)
+    mask = col >= length
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, (g, lp, lp), 1)
+        mask = jnp.logical_or(mask, col > row)
+
+    scale = dh ** -0.5
+    head_outs = []
+    for h in range(n_head):
+        qh = qkv[:, :, h * dh : (h + 1) * dh].astype(jnp.float32) * scale
+        kh = qkv[:, :, d + h * dh : d + (h + 1) * dh].astype(jnp.float32)
+        vh = qkv[:, :, 2 * d + h * dh : 2 * d + (h + 1) * dh]
+        s = jax.lax.dot_general(
+            qh, kh, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        s = jnp.where(mask, -1e30, s)
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s)
+        w = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(dtype)
+        o = jax.lax.dot_general(
+            w, vh, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        head_outs.append(o.astype(dtype))
+    attn = jnp.concatenate(head_outs, axis=-1)
+
+    a_q, a_s = _quant_rows(attn.reshape(g * lp, d))
+    proj = (
+        (_int8_matmul(a_q, a_s, wo_ref[...], so_ref[...]) + bo_ref[...])
+        .astype(dtype)
+        .reshape(g, lp, d)
+    )
+    x = x + proj
+
+    h2_q, h2_s = _quant_rows(ln(x, ln2s_ref, ln2b_ref).reshape(g * lp, d))
+    hid = _int8_matmul(h2_q, h2_s, wfc_ref[...], sfc_ref[...]) + bfc_ref[...]
+    hid = hid * jax.nn.sigmoid(1.702 * hid)  # fp32 QuickGELU
+    hid_q, hid_s = _quant_rows(hid)
+    mlp_out = (
+        (_int8_matmul(hid_q, hid_s, wproj_ref[...], sproj_ref[...]) + bproj_ref[...])
+        .astype(dtype)
+        .reshape(g, lp, d)
+    )
+    out_ref[...] = x + mlp_out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_head", "length", "causal", "interpret", "group")
+)
+def _fused_block_int8_padded(
+    x, qblock, n_head: int, length: int, causal=False, interpret=False, group=16
+):
+    b, lp, d = x.shape
+    # int8 weights + fp32 hidden; same VMEM sizing approach as the bf16 path
+    weight_bytes = 12 * d * d + 4 * (3 * d + d + 4 * d + d + 8 * d)
+    per_row = lp * (2 * d + 6 * d + 4 * lp + 16 * d + 2 * d + 8)
+    budget = 85 * 1024 * 1024
+    g = next(
+        (
+            c
+            for c in (group, 16, 8, 4, 2, 1)
+            if c <= group and b % c == 0 and weight_bytes + c * per_row <= budget
+        ),
+        1,
+    )
+    kernel = functools.partial(
+        _block_kernel_int8, n_head=n_head, length=length, causal=causal
+    )
+    vm = pltpu.VMEM if _HAS_PLTPU else None
+    x_spec = pl.BlockSpec((g, lp, d), lambda i: (i, 0, 0), memory_space=vm)
+
+    def w_spec(arr):
+        return pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim, memory_space=vm)
+
+    order = (
+        "wqkv", "sqkv", "bqkv", "wo", "so", "bo",
+        "ln1s", "ln1b", "ln2s", "ln2b",
+        "wfc", "sfc", "bfc", "wproj", "sproj", "bproj",
+    )
+    weights = tuple(qblock[k] for k in order)
+    params = {}
+    if _HAS_PLTPU and not interpret:
+        params["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, lp, d), x.dtype),
+        grid=(b // g,),
+        in_specs=[x_spec] + [w_spec(w) for w in weights],
+        out_specs=x_spec,
+        interpret=interpret,
+        **params,
+    )(x, *weights)
+
+
+def fused_transformer_block_int8(
+    x, qblock: dict, n_head: int, causal: bool = False, interpret: bool = False,
+    group: int = 16, length: int | None = None,
+):
+    """Run one residual block with W8A8 int8 matmuls (serving mode).
+
+    ``qblock`` is one layer's slice of :func:`quantize_stacked_blocks`'s
+    output.  Same padding contract as :func:`fused_transformer_block`.
+    """
+    b, l, d = x.shape
+    already_padded = length is not None
+    if length is None:
+        length = l
+    lp = -(-l // 8) * 8
+    if lp != l:
+        x = jnp.pad(x, [(0, 0), (0, lp - l), (0, 0)])
+    out = _fused_block_int8_padded(
+        x, qblock, n_head=n_head, length=length, causal=causal,
+        interpret=interpret, group=group,
+    )
+    return out if already_padded else out[:, :l, :]

@@ -295,6 +295,9 @@ def main():
         if variant.startswith("micro:"):
             bench_micro(variant.split(":", 1)[1])
             continue
+        if variant.startswith("int8"):
+            bench_int8(g=16, quant_hid="h" not in variant)
+            continue
         g = {"v2g8": 8, "v2g32": 32, "v6g8": 8}.get(variant, G)
         fn = build_stack_fn(variant, g)
         t0 = time.perf_counter()
@@ -392,9 +395,10 @@ def bench_micro(which: str):
 
         args = (x, wfc, bfc, wproj, bproj)
 
-    elif which in ("attn_pallas", "attn_nosm", "attn_noqkv"):
-        skip_softmax = which == "attn_nosm"
-        skip_attn = which == "attn_noqkv"
+    elif which.split("@")[0] in ("attn_pallas", "attn_nosm", "attn_noqkv"):
+        base, _, gs = which.partition("@")
+        skip_softmax = base == "attn_nosm"
+        skip_attn = base == "attn_noqkv"
         # LN1 + QKV + attention + proj + residual (no MLP)
         wqkv = jnp.asarray(rng.standard_normal((LAYERS, D, 3 * D)) * 0.02, jnp.bfloat16)
         bqkv = jnp.zeros((LAYERS, 3 * D), jnp.bfloat16)
@@ -402,7 +406,7 @@ def bench_micro(which: str):
         bo = jnp.zeros((LAYERS, D), jnp.bfloat16)
         ln1s = jnp.ones((LAYERS, D), jnp.float32)
         ln1b = jnp.zeros((LAYERS, D), jnp.float32)
-        g = G
+        g = int(gs) if gs else G
         vm = pltpu.VMEM
         x_spec = pl.BlockSpec((g, LP, D), lambda i: (i, 0, 0), memory_space=vm)
 
@@ -475,7 +479,7 @@ def bench_micro(which: str):
                 in_specs=[x_spec, w_spec((D, 3 * D)), w_spec((3 * D,)),
                           w_spec((D, D)), w_spec((D,)), w_spec((D,)), w_spec((D,))],
                 out_specs=x_spec,
-                compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+                compiler_params=pltpu.CompilerParams(vmem_limit_bytes=124 * 1024 * 1024),
             )(xc, *ws)
 
         @jax.jit
@@ -500,6 +504,187 @@ def bench_micro(which: str):
         times.append(time.perf_counter() - start)
     print(
         f"{which}: {min(times)*1000:.1f} ms/12-layer  (checksum {cs:.2f}, compile {compile_s:.0f}s)",
+        flush=True,
+    )
+
+
+
+# ---------------------------------------------------------------------------
+# v8: W8A8 int8 matmuls (per-channel weight scales, per-row activation
+# scales, int32 MXU accumulation) — the serving-mode candidate: v5e's int8
+# path is 2x the bf16 MXU throughput.
+# ---------------------------------------------------------------------------
+
+def _quant_rows(x):
+    """Per-row symmetric int8: (values int8, scale fp32 (rows, 1)).
+
+    Measured: this plain fp32 version beats bf16-math variants (Mosaic won't
+    legalize bf16 roundeven; mixed-precision quant pipelines timed slower)."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-6) / 127.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def _quant_cols_host(w):
+    """Per-output-channel symmetric int8 for a (in, out) weight matrix."""
+    w = np.asarray(w, np.float32)
+    amax = np.maximum(np.abs(w).max(axis=0, keepdims=True), 1e-6)
+    scale = amax / 127.0
+    q = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
+    return jnp.asarray(q), jnp.asarray(scale)  # (in, out) int8, (1, out) f32
+
+
+def _int8_matmul(x_q, x_s, w_q, w_s):
+    """(rows, in) int8 @ (in, out) int8 -> fp32, rescaled."""
+    acc = jax.lax.dot_general(
+        x_q, w_q, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    return acc.astype(jnp.float32) * x_s * w_s
+
+
+def make_kernel_int8(n_head: int, length: int, quant_hid: bool = True):
+    def kernel(
+        x_ref, wqkv_ref, sqkv_ref, bqkv_ref, wo_ref, so_ref, bo_ref,
+        ln1s_ref, ln1b_ref, ln2s_ref, ln2b_ref,
+        wfc_ref, sfc_ref, bfc_ref, wproj_ref, sproj_ref, bproj_ref, out_ref,
+    ):
+        x = x_ref[...]
+        g, lp, d = x.shape
+        dh = d // n_head
+        dtype = x.dtype
+
+        h1 = _ln(x, ln1s_ref, ln1b_ref, jnp.float32).reshape(g * lp, d)
+        h1_q, h1_s = _quant_rows(h1)
+        qkv = (
+            _int8_matmul(h1_q, h1_s, wqkv_ref[...], sqkv_ref[...])
+            + bqkv_ref[...].astype(jnp.float32)
+        ).astype(dtype).reshape(g, lp, 3 * d)
+
+        mask = _mask(g, lp, length)
+        scale = dh ** -0.5
+        head_outs = []
+        for h in range(n_head):
+            qh = qkv[:, :, h * dh : (h + 1) * dh] * scale
+            kh = qkv[:, :, d + h * dh : d + (h + 1) * dh]
+            vh = qkv[:, :, 2 * d + h * dh : 2 * d + (h + 1) * dh]
+            s = jax.lax.dot_general(
+                qh, kh, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            s = jnp.where(mask, -1e30, s)
+            s = s - jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s)
+            w = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(dtype)
+            o = jax.lax.dot_general(
+                w, vh, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            head_outs.append(o.astype(dtype))
+        attn = jnp.concatenate(head_outs, axis=-1)
+
+        a_q, a_s = _quant_rows(attn.reshape(g * lp, d))
+        proj = (
+            _int8_matmul(a_q, a_s, wo_ref[...], so_ref[...])
+            + bo_ref[...].astype(jnp.float32)
+        ).astype(dtype).reshape(g, lp, d)
+        x = x + proj
+
+        h2 = _ln(x, ln2s_ref, ln2b_ref, jnp.float32).reshape(g * lp, d)
+        h2_q, h2_s = _quant_rows(h2)
+        hid = _int8_matmul(h2_q, h2_s, wfc_ref[...], sfc_ref[...]) + bfc_ref[
+            ...
+        ].astype(jnp.float32)
+        hid = hid * jax.nn.sigmoid(1.702 * hid)  # fp32 QuickGELU
+        if quant_hid:
+            hid_q, hid_s = _quant_rows(hid)
+            mlp2 = _int8_matmul(hid_q, hid_s, wproj_ref[...], sproj_ref[...])
+        else:
+            # requantizing the 4D-wide hidden costs more VPU than the int8
+            # matmul saves; run the down-projection in bf16
+            mlp2 = jax.lax.dot_general(
+                hid.astype(dtype), wproj_ref[...].astype(dtype) * sproj_ref[...].astype(dtype),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        mlp_out = (
+            mlp2 + bproj_ref[...].astype(jnp.float32)
+        ).astype(dtype).reshape(g, lp, d)
+        out_ref[...] = x + mlp_out
+
+    return kernel
+
+
+def bench_int8(g=16, check_only=False, interpret=False, quant_hid=True):
+    kernel = make_kernel_int8(H, L, quant_hid=quant_hid)
+    vm = pltpu.VMEM
+    x_spec = pl.BlockSpec((g, LP, D), lambda i: (i, 0, 0), memory_space=vm)
+
+    def w_spec(shape):
+        return pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=vm)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((B, LP, D)) * 0.1, jnp.bfloat16)
+    weights_f = make_weights(rng)
+    (wqkv, bqkv, wo, bo, ln1s, ln1b, ln2s, ln2b, wfc, bfc, wproj, bproj) = weights_f
+
+    def quant_stack(w):
+        qs, ss = zip(*[_quant_cols_host(w[i]) for i in range(LAYERS)])
+        return jnp.stack(qs), jnp.stack(ss)
+
+    wqkv_q, sqkv = quant_stack(wqkv)
+    wo_q, so = quant_stack(wo)
+    wfc_q, sfc = quant_stack(wfc)
+    wproj_q, sproj = quant_stack(wproj)
+
+    wshapes = [
+        (D, 3 * D), (1, 3 * D), (3 * D,), (D, D), (1, D), (D,),
+        (D,), (D,), (D,), (D,),
+        (D, 4 * D), (1, 4 * D), (4 * D,), (4 * D, D), (1, D), (D,),
+    ]
+
+    def block(xc, ws):
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((B, LP, D), xc.dtype),
+            grid=(B // g,),
+            in_specs=[x_spec] + [w_spec(s) for s in wshapes],
+            out_specs=x_spec,
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+            if not interpret else None,
+            interpret=interpret,
+        )(xc, *ws)
+
+    stacked = (
+        wqkv_q, sqkv, bqkv, wo_q, so, bo, ln1s, ln1b, ln2s, ln2b,
+        wfc_q, sfc, bfc, wproj_q, sproj, bproj,
+    )
+
+    @jax.jit
+    def stack_fn(x, ws):
+        def body(carry, w):
+            return block(carry, w), None
+
+        out, _ = jax.lax.scan(body, x, ws)
+        return jnp.sum(out.astype(jnp.float32))
+
+    t0 = time.perf_counter()
+    cs = float(np.asarray(stack_fn(x, stacked)))
+    compile_s = time.perf_counter() - t0
+    if check_only:
+        # compare against the bf16 v1 stack for relative error
+        ref_fn = build_stack_fn("v1", g)
+        ref = float(np.asarray(ref_fn(x, weights_f)))
+        print(f"int8 checksum {cs:.2f} vs bf16 {ref:.2f} (rel {abs(cs-ref)/abs(ref):.4f})")
+        return
+    times = []
+    for _ in range(8):
+        start = time.perf_counter()
+        np.asarray(stack_fn(x, stacked))
+        times.append(time.perf_counter() - start)
+    print(
+        f"int8(g={g}): {min(times)*1000:.1f} ms/12-block-stack "
+        f"(checksum {cs:.2f}, compile {compile_s:.0f}s)",
         flush=True,
     )
 

@@ -135,3 +135,71 @@ def test_fused_block_hoisted_padding(rng):
     assert out.shape == (B, lp, D)
     ref = np.asarray(residual_block(jnp.asarray(x), blk, H))
     np.testing.assert_allclose(out[:, :L, :], ref, atol=5e-4)
+
+
+@pytest.mark.parametrize("L,causal", [(50, False), (13, True)])
+def test_fused_block_int8_close_to_reference(rng, L, causal):
+    """W8A8 serving kernel: per-channel weight + per-row activation scales
+    keep the block output within quantization noise of the fp32 path."""
+    import jax
+
+    from protoclip_tpu.models.layers import init_block_params, residual_block
+    from protoclip_tpu.ops.pallas_kernels import (
+        fused_transformer_block_int8,
+        quantize_stacked_blocks,
+    )
+
+    B, D, H = 4, 128, 4
+    stacked = init_block_params(jax.random.PRNGKey(0), 1, D)
+    qblocks = quantize_stacked_blocks(stacked)
+    qblock = jax.tree_util.tree_map(lambda a: a[0], qblocks)
+    blk = jax.tree_util.tree_map(lambda a: a[0], stacked)
+    x = rng.standard_normal((B, L, D)).astype(np.float32)
+
+    ours = np.asarray(
+        fused_transformer_block_int8(
+            jnp.asarray(x), qblock, H, causal=causal, interpret=True
+        )
+    )
+    ref = np.asarray(residual_block(jnp.asarray(x), blk, H, causal=causal))
+    cos = float(
+        (ours.ravel() @ ref.ravel())
+        / (np.linalg.norm(ours) * np.linalg.norm(ref) + 1e-12)
+    )
+    assert cos > 0.999, f"cosine {cos}"
+    assert np.abs(ours - ref).max() / (np.abs(ref).max() + 1e-9) < 0.02
+
+
+def test_int8_transformer_wiring(rng, monkeypatch):
+    """$PROTOCLIP_INT8 routes the layer scan through the int8 kernel."""
+    import jax
+
+    from protoclip_tpu.models.layers import init_block_params, transformer
+
+    monkeypatch.setenv("PROTOCLIP_PALLAS", "1")
+    monkeypatch.setenv("PROTOCLIP_INT8", "1")
+    # interpret-mode on CPU: patch the pallas entry to force interpret
+    import protoclip_tpu.ops.pallas_kernels as pk
+
+    orig = pk.fused_transformer_block_int8
+
+    def forced(*args, **kwargs):
+        kwargs["interpret"] = True
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(pk, "fused_transformer_block_int8", forced)
+
+    D, H, L, B, layers = 128, 4, 10, 2, 2
+    stacked = init_block_params(jax.random.PRNGKey(0), layers, D)
+    x = jnp.asarray(rng.standard_normal((B, L, D)).astype(np.float32))
+    out_q = np.asarray(transformer(x, stacked, H))
+
+    monkeypatch.setenv("PROTOCLIP_PALLAS", "0")
+    monkeypatch.delenv("PROTOCLIP_INT8")
+    out_ref = np.asarray(transformer(x, stacked, H))
+    cos = float(
+        (out_q.ravel() @ out_ref.ravel())
+        / (np.linalg.norm(out_q) * np.linalg.norm(out_ref) + 1e-12)
+    )
+    assert out_q.shape == out_ref.shape
+    assert cos > 0.999, f"cosine {cos}"
