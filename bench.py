@@ -122,7 +122,7 @@ def main() -> None:
 
     _enable_compilation_cache()
     backend = jax.default_backend()
-    int8_ips = None
+    int8_ips = rn50_ips = vitl_ips = None
     if backend == "cpu":
         # CI/debug fallback: tiny run so the harness still emits a line
         ips, step_s = bench_encode(batch=8, iters=2, inner=2)
@@ -132,6 +132,10 @@ def main() -> None:
         # secondary metric — the headline stays half-precision like the
         # reference's fp16 semantics.
         int8_ips, _ = bench_encode(int8=True)
+        # breadth: the reference's default backbone and the FewSOL-198
+        # deploy backbone (configs/master.yml:6, configs/fewsol_198.yml)
+        rn50_ips, _ = bench_encode("RN50")
+        vitl_ips, _ = bench_encode("ViT-L/14", batch=128, inner=6)
     overhead_s = measure_dispatch_overhead()
 
     details = {
@@ -146,6 +150,10 @@ def main() -> None:
     if int8_ips is not None:
         details["int8_images_per_sec"] = round(int8_ips, 1)
         details["int8_vs_baseline"] = round(int8_ips / BASELINE_IMAGES_PER_SEC, 3)
+    if rn50_ips is not None:
+        details["rn50_images_per_sec"] = round(rn50_ips, 1)
+    if vitl_ips is not None:
+        details["vit_l14_images_per_sec"] = round(vitl_ips, 1)
     with open("bench_details.json", "w") as fh:
         json.dump(details, fh, indent=2)
 

@@ -188,3 +188,55 @@ def _erode(mask: np.ndarray) -> np.ndarray:
     e[:, 1:] &= mask[:, :-1]
     e[:, :-1] &= mask[:, 1:]
     return e
+
+
+def save_frame_data(
+    save_dir: str,
+    step: int,
+    rgb: np.ndarray,
+    depth: np.ndarray,
+    label: np.ndarray,
+    score: np.ndarray,
+    intrinsics: np.ndarray,
+    camera_pose: np.ndarray,
+    factor_depth: float = 1000.0,
+) -> str:
+    """Dump one camera frame to disk in the reference's training-data layout
+    (ref ``seg_image_listener.py:299-322``): ``meta-%06d.mat`` (intrinsics,
+    depth factor, camera pose), ``color-%06d.jpg``, ``depth-%06d.png``
+    (uint16, depth * factor), ``label-%06d.png``, ``gt-%06d.jpg``
+    (segmentation overlay), ``score-%06d.png``.  Returns the meta path.
+    ROS-free: callers pass plain arrays."""
+    import os
+
+    from PIL import Image
+
+    from protoclip_tpu.io.mat import save_mat
+
+    os.makedirs(save_dir, exist_ok=True)
+    meta_path = os.path.join(save_dir, f"meta-{step:06d}.mat")
+    save_mat(
+        meta_path,
+        {
+            "intrinsic_matrix": np.asarray(intrinsics, np.float64),
+            "factor_depth": float(factor_depth),
+            "camera_pose": np.asarray(camera_pose, np.float64),
+        },
+    )
+    depth_u16 = np.asarray(np.asarray(depth, np.float64) * factor_depth, np.uint16)
+    Image.fromarray(np.asarray(rgb, np.uint8)).save(
+        os.path.join(save_dir, f"color-{step:06d}.jpg")
+    )
+    Image.fromarray(depth_u16, mode="I;16").save(
+        os.path.join(save_dir, f"depth-{step:06d}.png")
+    )
+    Image.fromarray(np.asarray(label, np.uint8)).save(
+        os.path.join(save_dir, f"label-{step:06d}.png")
+    )
+    Image.fromarray(visualize_segmentation(np.asarray(rgb), np.asarray(label))).save(
+        os.path.join(save_dir, f"gt-{step:06d}.jpg")
+    )
+    Image.fromarray(np.asarray(score, np.uint8)).save(
+        os.path.join(save_dir, f"score-{step:06d}.png")
+    )
+    return meta_path

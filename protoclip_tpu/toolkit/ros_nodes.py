@@ -80,6 +80,19 @@ class SegImageListener:
         with self.lock:
             return self.rgb, self.depth, self.label, self.score
 
+    def save_data(self, save_dir: str, step: int, camera_pose=None) -> str:
+        """Dump the latest frame in the reference's training-data layout
+        (ref ``seg_image_listener.py:299-322``)."""
+        from protoclip_tpu.toolkit.robot import save_frame_data
+
+        rgb, depth, label, score = self.snapshot()
+        if rgb is None:
+            raise RuntimeError("no synchronized frame received yet")
+        return save_frame_data(
+            save_dir, step, rgb, depth, label, score, self.intrinsics,
+            np.eye(4) if camera_pose is None else camera_pose,
+        )
+
     def object_boxes(self):
         rgb, depth, label, _ = self.snapshot()
         if rgb is None:

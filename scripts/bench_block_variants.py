@@ -71,10 +71,11 @@ def make_kernel(variant: str, n_head: int, length: int):
         dtype = x.dtype
 
         h1 = _ln(x, ln1s_ref, ln1b_ref, dtype).reshape(g * lp, d)
+        qkv_pet = dtype if variant == "v9" else jnp.float32
         qkv = (
             jax.lax.dot_general(
                 h1, wqkv_ref[...], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=qkv_pet,
             ).astype(dtype)
             + bqkv_ref[...].astype(dtype)
         ).reshape(g, lp, 3 * d)

@@ -336,3 +336,35 @@ def test_publish_grasps_without_ros_raises():
 
     with pytest.raises(ImportError):
         publish_grasps(None, "base_link", [np.eye(4)], 1.0)
+
+
+def test_save_frame_data_reference_layout(tmp_path):
+    """Data dumper writes the reference's meta/color/depth/label/gt/score
+    files (ref seg_image_listener.py:299-322); the .mat round-trips."""
+    from protoclip_tpu.io.mat import load_mat, mat_scalar
+    from protoclip_tpu.toolkit.robot import save_frame_data
+
+    rng = np.random.default_rng(0)
+    rgb = rng.integers(0, 255, (32, 32, 3)).astype(np.uint8)
+    depth = rng.random((32, 32)).astype(np.float32)
+    label = np.zeros((32, 32), np.uint8)
+    label[4:10, 4:10] = 1
+    score = rng.integers(0, 255, (32, 32)).astype(np.uint8)
+    K = np.asarray([[500.0, 0, 16], [0, 500, 16], [0, 0, 1]])
+
+    meta_path = save_frame_data(
+        str(tmp_path), 7, rgb, depth, label, score, K, np.eye(4)
+    )
+    for name in (
+        "meta-000007.mat", "color-000007.jpg", "depth-000007.png",
+        "label-000007.png", "gt-000007.jpg", "score-000007.png",
+    ):
+        assert (tmp_path / name).exists(), name
+    meta = load_mat(meta_path)
+    np.testing.assert_allclose(meta["intrinsic_matrix"], K)
+    assert float(mat_scalar(meta["factor_depth"])) == 1000.0
+
+    from PIL import Image
+
+    depth_back = np.asarray(Image.open(tmp_path / "depth-000007.png"))
+    np.testing.assert_array_equal(depth_back, (depth * 1000.0).astype(np.uint16))
