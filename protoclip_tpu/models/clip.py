@@ -390,6 +390,23 @@ def load_clip(
     a warning is printed since classification then carries no semantics).
     """
     path = weights_path or find_weights(backbone)
+    if path is None and os.environ.get("PROTOCLIP_AUTO_DOWNLOAD", "0").lower() in (
+        "1", "true", "on",
+    ):
+        # opt-in: zero-egress deployments must not stall on network timeouts
+        from protoclip_tpu.io.download import MODEL_URLS, download_weights
+
+        if backbone in MODEL_URLS:
+            try:
+                path = download_weights(backbone)
+            except Exception as exc:  # pragma: no cover - network-dependent
+                import sys
+
+                print(
+                    f"[protoclip_tpu] weight download failed ({exc}); "
+                    "falling back to local lookup/random init",
+                    file=sys.stderr,
+                )
     if path is not None:
         from protoclip_tpu.io.torch_pt import load_pt
 

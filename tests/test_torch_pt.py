@@ -303,3 +303,58 @@ def test_load_clip_from_torchscript_archive(tmp_path):
         params, jnp.zeros((2, 32, 32, 3), jnp.float32)
     )
     assert out.shape == (2, 32) and np.isfinite(np.asarray(out)).all()
+
+
+# ---------------------------------------------------------------------------
+# checksum-verified downloader (ref clip/clip.py:30-70) — file:// URLs stand
+# in for the network in this zero-egress environment
+# ---------------------------------------------------------------------------
+
+def test_download_url_verifies_and_caches(tmp_path):
+    import hashlib
+
+    from protoclip_tpu.io.download import download_url
+
+    blob = b"fake clip weights " * 100
+    sha = hashlib.sha256(blob).hexdigest()
+    src_dir = tmp_path / "remote" / sha
+    src_dir.mkdir(parents=True)
+    (src_dir / "RN50.pt").write_bytes(blob)
+    url = f"file://{src_dir}/RN50.pt"
+
+    dest = tmp_path / "cache"
+    target = download_url(url, str(dest), progress=False)
+    assert open(target, "rb").read() == blob
+    assert not (dest / "RN50.pt.part").exists()
+
+    # cached reuse: corrupting the source must not matter
+    (src_dir / "RN50.pt").write_bytes(b"changed")
+    target2 = download_url(url, str(dest), progress=False)
+    assert target2 == target and open(target2, "rb").read() == blob
+
+    # corrupted cache entry is detected and re-fetched
+    (dest / "RN50.pt").write_bytes(b"corrupt")
+    (src_dir / "RN50.pt").write_bytes(blob)
+    target3 = download_url(url, str(dest), progress=False)
+    assert open(target3, "rb").read() == blob
+
+
+def test_download_url_rejects_bad_checksum(tmp_path):
+    from protoclip_tpu.io.download import download_url
+
+    src_dir = tmp_path / "remote" / ("0" * 64)
+    src_dir.mkdir(parents=True)
+    (src_dir / "x.pt").write_bytes(b"whatever")
+    with pytest.raises(RuntimeError, match="SHA-256"):
+        download_url(f"file://{src_dir}/x.pt", str(tmp_path / "cache"), progress=False)
+    assert not (tmp_path / "cache" / "x.pt").exists()
+
+
+def test_model_urls_complete():
+    from protoclip_tpu.io.download import MODEL_URLS
+    from protoclip_tpu.models.clip import BACKBONE_CONFIGS
+
+    # every reference release backbone has a pinned URL (clip/clip.py:30-39)
+    assert set(MODEL_URLS) == set(BACKBONE_CONFIGS)
+    for url in MODEL_URLS.values():
+        assert len(url.split("/")[-2]) == 64  # sha256 path segment
