@@ -57,11 +57,19 @@ def download_url(url: str, root: str, expected_sha256: Optional[str] = None,
     if os.path.isfile(target):
         if expected_sha256 is None or _sha256_of(target) == expected_sha256:
             return target
-        print(f"[protoclip_tpu] {target} checksum mismatch; re-downloading")
+        import sys
+
+        # diagnostics go to stderr (bench.py stdout must stay one JSON line)
+        print(
+            f"[protoclip_tpu] {target} checksum mismatch; re-downloading",
+            file=sys.stderr,
+        )
 
     tmp = target + ".part"
     hasher = hashlib.sha256()
-    with urllib.request.urlopen(url) as source, open(tmp, "wb") as out:
+    # timeout so an opted-in auto-download can't hang startup on a stalled
+    # connection; the caller falls back to local lookup/random init
+    with urllib.request.urlopen(url, timeout=30) as source, open(tmp, "wb") as out:
         total = source.info().get("Content-Length")
         done = 0
         while True:

@@ -87,7 +87,8 @@ def _parse_matrix(mdtype: int, data: bytes) -> Tuple[str, Any]:
     r = _Reader(data)
 
     flags_type, flags_raw = r.read_element()
-    assert flags_type == 6, f"bad array-flags element type {flags_type}"
+    if flags_type != 6:  # not assert: must survive python -O
+        raise ValueError(f"bad array-flags element type {flags_type}")
     flags = struct.unpack_from("<II", flags_raw, 0)[0]
     mxclass = flags & 0xFF
 

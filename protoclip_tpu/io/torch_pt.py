@@ -399,8 +399,12 @@ def _collect_storage_refs(obj: Any) -> list:
         elif isinstance(o, dict):
             for v in o.values():
                 walk(v)
-        elif isinstance(o, (list, tuple)):
+        elif isinstance(o, (list, tuple, set, frozenset)):
             for v in o:
+                walk(v)
+        elif hasattr(o, "__dict__") and type(o).__module__ == "argparse":
+            # find_class admits argparse.Namespace; tensors can hide in it
+            for v in vars(o).values():
                 walk(v)
 
     walk(obj)
@@ -420,6 +424,10 @@ def _materialize(obj: Any) -> Any:
         return [_materialize(v) for v in obj]
     if isinstance(obj, tuple):
         return tuple(_materialize(v) for v in obj)
+    if hasattr(obj, "__dict__") and type(obj).__module__ == "argparse":
+        for k, v in vars(obj).items():
+            setattr(obj, k, _materialize(v))
+        return obj
     return obj
 
 

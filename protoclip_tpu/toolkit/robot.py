@@ -227,7 +227,7 @@ def save_frame_data(
     Image.fromarray(np.asarray(rgb, np.uint8)).save(
         os.path.join(save_dir, f"color-{step:06d}.jpg")
     )
-    Image.fromarray(depth_u16, mode="I;16").save(
+    Image.fromarray(depth_u16).save(  # uint16 infers I;16
         os.path.join(save_dir, f"depth-{step:06d}.png")
     )
     Image.fromarray(np.asarray(label, np.uint8)).save(

@@ -70,9 +70,17 @@ class SegImageListener:
         from cv_bridge import CvBridge
 
         bridge = CvBridge()
+        depth_cv = bridge.imgmsg_to_cv2(depth)
+        # 16UC1 cameras (Fetch/RealSense depth_registered) publish
+        # millimeters; store meters like the reference
+        # (seg_image_listener.py:209-211)
+        if depth.encoding == "16UC1":
+            depth_cv = depth_cv.astype(np.float32) / 1000.0
+        elif depth.encoding != "32FC1":
+            raise RuntimeError(f"unsupported depth encoding {depth.encoding!r}")
         with self.lock:
             self.rgb = bridge.imgmsg_to_cv2(rgb, "rgb8")
-            self.depth = bridge.imgmsg_to_cv2(depth)
+            self.depth = depth_cv
             self.label = bridge.imgmsg_to_cv2(label)
             self.score = bridge.imgmsg_to_cv2(score)
 

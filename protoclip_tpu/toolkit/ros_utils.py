@@ -182,7 +182,12 @@ def publish_grasps(
     mesh_resource: str = "package://grasping_vae/panda_gripper.obj",
 ):  # pragma: no cover - needs ROS
     """Publish a MarkerArray of gripper meshes at the grasp poses
-    (4x4 transforms), colored red->green by rank (ref ros_utils.py:204-228)."""
+    (4x4 transforms), colored red->green by rank (ref ros_utils.py:204-228).
+
+    Deliberate fix vs the reference: it feeds ``mat2quat``'s (w, x, y, z)
+    output positionally into ``Quaternion(x, y, z, w)`` (ros_utils.py:221),
+    publishing component-shifted orientations; here ``rt_to_ros_qt`` emits
+    proper ROS xyzw order."""
     from geometry_msgs.msg import Point, Pose, Quaternion
     from visualization_msgs.msg import MarkerArray
 

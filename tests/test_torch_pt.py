@@ -358,3 +358,15 @@ def test_model_urls_complete():
     assert set(MODEL_URLS) == set(BACKBONE_CONFIGS)
     for url in MODEL_URLS.values():
         assert len(url.split("/")[-2]) == 64  # sha256 path segment
+
+
+def test_legacy_namespace_tensor(tmp_path):
+    """Legacy checkpoints may carry tensors inside an argparse.Namespace;
+    the fail-loudly unreferenced-storage check must still find them."""
+    import argparse
+
+    path = tmp_path / "ns_legacy.pt"
+    obj = {"cfg": argparse.Namespace(mean=torch.arange(6, dtype=torch.float32))}
+    torch.save(obj, str(path), _use_new_zipfile_serialization=False)
+    out = load_pt(str(path))
+    np.testing.assert_allclose(out["cfg"].mean, np.arange(6, dtype=np.float32))
