@@ -297,7 +297,7 @@ def main():
             bench_micro(variant.split(":", 1)[1])
             continue
         if variant.startswith("int8"):
-            bench_int8(g=16, quant_hid="h" not in variant)
+            bench_int8(g=16, quant_hid="h" not in variant, skip_attn="noattn" in variant)
             continue
         g = {"v2g8": 8, "v2g32": 32, "v6g8": 8}.get(variant, G)
         fn = build_stack_fn(variant, g)
@@ -544,7 +544,7 @@ def _int8_matmul(x_q, x_s, w_q, w_s):
     return acc.astype(jnp.float32) * x_s * w_s
 
 
-def make_kernel_int8(n_head: int, length: int, quant_hid: bool = True):
+def make_kernel_int8(n_head: int, length: int, quant_hid: bool = True, skip_attn: bool = False):
     def kernel(
         x_ref, wqkv_ref, sqkv_ref, bqkv_ref, wo_ref, so_ref, bo_ref,
         ln1s_ref, ln1b_ref, ln2s_ref, ln2b_ref,
@@ -562,6 +562,25 @@ def make_kernel_int8(n_head: int, length: int, quant_hid: bool = True):
             + bqkv_ref[...].astype(jnp.float32)
         ).astype(dtype).reshape(g, lp, 3 * d)
 
+        if skip_attn:
+            attn = qkv[:, :, :d] + qkv[:, :, d : 2 * d] + qkv[:, :, 2 * d :]
+            a_q, a_s = _quant_rows(attn.reshape(g * lp, d))
+            proj = (
+                _int8_matmul(a_q, a_s, wo_ref[...], so_ref[...])
+                + bo_ref[...].astype(jnp.float32)
+            ).astype(dtype).reshape(g, lp, d)
+            x = x + proj
+            h2 = _ln(x, ln2s_ref, ln2b_ref, jnp.float32).reshape(g * lp, d)
+            h2_q, h2_s = _quant_rows(h2)
+            hid = _int8_matmul(h2_q, h2_s, wfc_ref[...], sfc_ref[...]) + bfc_ref[...].astype(jnp.float32)
+            hid = hid * jax.nn.sigmoid(1.702 * hid)
+            hid_q, hid_s = _quant_rows(hid)
+            mlp_out = (
+                _int8_matmul(hid_q, hid_s, wproj_ref[...], sproj_ref[...])
+                + bproj_ref[...].astype(jnp.float32)
+            ).astype(dtype).reshape(g, lp, d)
+            out_ref[...] = x + mlp_out
+            return
         mask = _mask(g, lp, length)
         scale = dh ** -0.5
         head_outs = []
@@ -616,8 +635,8 @@ def make_kernel_int8(n_head: int, length: int, quant_hid: bool = True):
     return kernel
 
 
-def bench_int8(g=16, check_only=False, interpret=False, quant_hid=True):
-    kernel = make_kernel_int8(H, L, quant_hid=quant_hid)
+def bench_int8(g=16, check_only=False, interpret=False, quant_hid=True, skip_attn=False):
+    kernel = make_kernel_int8(H, L, quant_hid=quant_hid, skip_attn=skip_attn)
     vm = pltpu.VMEM
     x_spec = pl.BlockSpec((g, LP, D), lambda i: (i, 0, 0), memory_space=vm)
 
