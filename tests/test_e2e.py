@@ -159,3 +159,37 @@ def test_full_runner_with_mesh(tiny_env):
     cfg = _config(tiny_env, train_epoch=1, cache_root=os.path.join(tiny_env["tmp"], "caches_mesh"))
     result = run(cfg, mesh=mesh, progress=False)
     assert 0.0 <= result.test_acc_fixed <= 1.0
+
+
+def test_full_run_int8_serving_mode(tiny_env, monkeypatch):
+    """PROTOCLIP_INT8 runs the whole experiment through the W8A8 kernel
+    (interpret mode on CPU) and lands within noise of the XLA path."""
+    import protoclip_tpu.ops.pallas_kernels as pk
+    from protoclip_tpu.train.runner import run
+
+    monkeypatch.setenv("PROTOCLIP_PALLAS", "1")
+    monkeypatch.setenv("PROTOCLIP_INT8", "1")
+    orig = pk.fused_transformer_block_int8
+
+    def forced(*args, **kwargs):
+        kwargs["interpret"] = True
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(pk, "fused_transformer_block_int8", forced)
+
+    cfg = _config(
+        tiny_env, only_test=False, train_epoch=1,
+        cache_root=os.path.join(tiny_env["tmp"], "caches_int8"),
+    )
+    result = run(cfg, progress=False)
+    assert 0.0 <= result.test_acc_fixed <= 1.0
+    # same experiment on the XLA path: int8 quantization must not change
+    # the outcome on this trivially-separable dataset
+    monkeypatch.setenv("PROTOCLIP_PALLAS", "0")
+    monkeypatch.delenv("PROTOCLIP_INT8")
+    cfg2 = _config(
+        tiny_env, only_test=False, train_epoch=1,
+        cache_root=os.path.join(tiny_env["tmp"], "caches_int8_ref"),
+    )
+    ref = run(cfg2, progress=False)
+    assert abs(result.test_acc_fixed - ref.test_acc_fixed) <= 0.25
