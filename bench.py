@@ -108,6 +108,13 @@ def bench_encode(
     np.asarray(encode_many(params, images))  # compile
     np.asarray(encode_many(params, images))  # warm
 
+    profile_dir = os.environ.get("PROTOCLIP_PROFILE")
+    if profile_dir:
+        from protoclip_tpu.obs.profiler import trace_to
+
+        with trace_to(profile_dir):
+            np.asarray(encode_many(params, images))
+
     times = []
     for _ in range(iters):
         start = time.perf_counter()

@@ -23,6 +23,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 B, L, D, H, LAYERS = 512, 197, 768, 12, 12
 LP = -(-L // 8) * 8
+if __import__("os").environ.get("BENCH_LP16"):
+    LP = -(-L // 16) * 16  # bf16 sublane-aligned padding experiment
 DH = D // H
 G = 16
 
