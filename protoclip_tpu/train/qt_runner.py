@@ -34,10 +34,16 @@ def run_qt(cfg: Config, mesh=None, progress: bool = True, logger: Optional[Metri
     n_px = setup.clip_cfg.image_resolution
 
     # the Q^T-specific loader: shuffled + augmented, re-encoded every step
-    # (ref main.qt.py:456-468)
+    # (ref main.qt.py:456-468); batch clamped to the train-set size, then
+    # rounded up to a mesh multiple (sharded axis 0 must divide evenly —
+    # BatchLoader pads ragged batches to the fixed shape)
+    batch_size = min(cfg.batch_size, len(setup.dataset.train_x))
+    if mesh is not None:
+        n_dev = int(mesh.devices.size)
+        batch_size = -(-batch_size // n_dev) * n_dev
     train_loader = BatchLoader(
         setup.dataset.train_x,
-        batch_size=min(cfg.batch_size, len(setup.dataset.train_x)),
+        batch_size=batch_size,
         transform=TrainTransform(n_px), shuffle=True, seed=cfg.seed, image_size=n_px,
     )
 

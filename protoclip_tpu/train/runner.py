@@ -119,16 +119,22 @@ def prepare_experiment(cfg: Config, mesh=None, progress: bool = True) -> Experim
     dataset = build_dataset(cfg.dataset, cfg.root_path, cfg.shots, seed=cfg.seed)
     n_px = clip_cfg.image_resolution
 
+    # sharded batches must divide evenly over the mesh's data axis
+    batch_size = cfg.batch_size
+    if mesh is not None:
+        n_dev = int(mesh.devices.size)
+        batch_size = -(-batch_size // n_dev) * n_dev
+
     train_loader = BatchLoader(
-        dataset.train_x, batch_size=cfg.batch_size,
+        dataset.train_x, batch_size=batch_size,
         transform=TrainTransform(n_px), shuffle=False, seed=cfg.seed, image_size=n_px,
     )
     val_loader = BatchLoader(
-        dataset.val, batch_size=cfg.batch_size,
+        dataset.val, batch_size=batch_size,
         transform=EvalTransform(n_px), shuffle=False, image_size=n_px,
     )
     test_loader = BatchLoader(
-        dataset.test, batch_size=cfg.batch_size,
+        dataset.test, batch_size=batch_size,
         transform=EvalTransform(n_px), shuffle=False, image_size=n_px,
     )
 

@@ -193,3 +193,23 @@ def test_full_run_int8_serving_mode(tiny_env, monkeypatch):
     )
     ref = run(cfg2, progress=False)
     assert abs(result.test_acc_fixed - ref.test_acc_fixed) <= 0.25
+
+
+def test_qt_run_with_mesh_odd_batch(tiny_env):
+    """Q^T over the mesh with a batch size that is neither mesh-divisible
+    nor larger than the train set (regression: sharded axis 0 must divide
+    evenly, so the runner rounds the clamped batch up to a mesh multiple)."""
+    import jax
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 devices")
+    from protoclip_tpu.parallel import make_mesh
+    from protoclip_tpu.train.qt_runner import run_qt
+
+    mesh = make_mesh(8)
+    cfg = _config(
+        tiny_env, train_epoch=1, batch_size=6,
+        cache_root=os.path.join(tiny_env["tmp"], "caches_qt_mesh"),
+    )
+    result = run_qt(cfg, mesh=mesh, progress=False)
+    assert 0.0 <= result.test_acc_fixed <= 1.0
