@@ -69,7 +69,7 @@ def measure_dispatch_overhead(iters: int = 12) -> float:
 
 
 def bench_encode(
-    backbone: str = "ViT-B/16", batch: int = 512, iters: int = 6, inner: int = 10,
+    backbone: str = "ViT-B/16", batch: int = 512, iters: int = 4, inner: int = 20,
     int8: bool = False,
 ):
     """Sustained encode throughput: ``inner`` back-to-back batches run in one
@@ -142,7 +142,7 @@ def main() -> None:
         # breadth: the reference's default backbone and the FewSOL-198
         # deploy backbone (configs/master.yml:6, configs/fewsol_198.yml)
         rn50_ips, _ = bench_encode("RN50")
-        vitl_ips, _ = bench_encode("ViT-L/14", batch=128, inner=6)
+        vitl_ips, _ = bench_encode("ViT-L/14", batch=128, inner=12)
     overhead_s = measure_dispatch_overhead()
 
     details = {
@@ -152,7 +152,7 @@ def main() -> None:
         "dispatch_overhead_seconds": overhead_s,
         "backbone": "ViT-B/16",
         "batch": 512 if backend != "cpu" else 8,
-        "inner_iterations_per_dispatch": 10 if backend != "cpu" else 2,
+        "inner_iterations_per_dispatch": 20 if backend != "cpu" else 2,
     }
     if int8_ips is not None:
         details["int8_images_per_sec"] = round(int8_ips, 1)

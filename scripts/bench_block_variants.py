@@ -299,7 +299,12 @@ def main():
             bench_micro(variant.split(":", 1)[1])
             continue
         if variant.startswith("int8"):
-            bench_int8(g=16, quant_hid="h" not in variant, skip_attn="noattn" in variant)
+            bench_int8(
+                g=16,
+                quant_hid="h" not in variant,
+                skip_attn="noattn" in variant,
+                quant_scores="int8s" in variant,
+            )
             continue
         g = {"v2g8": 8, "v2g32": 32, "v6g8": 8}.get(variant, G)
         fn = build_stack_fn(variant, g)
@@ -637,8 +642,12 @@ def make_kernel_int8(n_head: int, length: int, quant_hid: bool = True, skip_attn
     return kernel
 
 
-def bench_int8(g=16, check_only=False, interpret=False, quant_hid=True, skip_attn=False):
-    kernel = make_kernel_int8(H, L, quant_hid=quant_hid, skip_attn=skip_attn)
+def bench_int8(g=16, check_only=False, interpret=False, quant_hid=True, skip_attn=False, quant_scores=False):
+    kernel = (
+        make_kernel_int8s(H, L)
+        if quant_scores
+        else make_kernel_int8(H, L, quant_hid=quant_hid, skip_attn=skip_attn)
+    )
     vm = pltpu.VMEM
     x_spec = pl.BlockSpec((g, LP, D), lambda i: (i, 0, 0), memory_space=vm)
 
@@ -709,6 +718,94 @@ def bench_int8(g=16, check_only=False, interpret=False, quant_hid=True, skip_att
         f"(checksum {cs:.2f}, compile {compile_s:.0f}s)",
         flush=True,
     )
+
+
+
+# ---------------------------------------------------------------------------
+# int8s: int8 attention core on top of the W8A8 linear stack — quantized
+# scores (per-row q/k scales over dh lanes) and weights (per-row w, per-head
+# per-tensor v).  K=64 half-fills the MXU either way, but int8 doubles the
+# per-pass throughput.
+# ---------------------------------------------------------------------------
+
+def make_kernel_int8s(n_head: int, length: int):
+    base = make_kernel_int8(n_head, length)
+
+    def kernel(
+        x_ref, wqkv_ref, sqkv_ref, bqkv_ref, wo_ref, so_ref, bo_ref,
+        ln1s_ref, ln1b_ref, ln2s_ref, ln2b_ref,
+        wfc_ref, sfc_ref, bfc_ref, wproj_ref, sproj_ref, bproj_ref, out_ref,
+    ):
+        x = x_ref[...]
+        g, lp, d = x.shape
+        dh = d // n_head
+        dtype = x.dtype
+
+        h1 = _ln(x, ln1s_ref, ln1b_ref, jnp.float32).reshape(g * lp, d)
+        h1_q, h1_s = _quant_rows(h1)
+        qkv = (
+            _int8_matmul(h1_q, h1_s, wqkv_ref[...], sqkv_ref[...])
+            + bqkv_ref[...].astype(jnp.float32)
+        ).astype(dtype).reshape(g, lp, 3 * d)
+
+        mask = _mask(g, lp, length)
+        scale = dh ** -0.5
+        head_outs = []
+        for h in range(n_head):
+            qh = qkv[:, :, h * dh : (h + 1) * dh].astype(jnp.float32)
+            kh = qkv[:, :, d + h * dh : d + (h + 1) * dh].astype(jnp.float32)
+            vh = qkv[:, :, 2 * d + h * dh : 2 * d + (h + 1) * dh].astype(jnp.float32)
+            # per-row int8 over the dh lanes
+            q_amax = jnp.maximum(jnp.max(jnp.abs(qh), axis=-1, keepdims=True), 1e-6)
+            k_amax = jnp.maximum(jnp.max(jnp.abs(kh), axis=-1, keepdims=True), 1e-6)
+            q_q = jnp.clip(jnp.round(qh * (127.0 / q_amax)), -127, 127).astype(jnp.int8)
+            k_q = jnp.clip(jnp.round(kh * (127.0 / k_amax)), -127, 127).astype(jnp.int8)
+            s_int = jax.lax.dot_general(
+                q_q, k_q, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32,
+            )
+            s = (
+                s_int.astype(jnp.float32)
+                * (q_amax * (scale / 127.0))
+                * (k_amax.transpose(0, 2, 1) * (1.0 / 127.0))
+            )
+            s = jnp.where(mask, -1e30, s)
+            s = s - jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s)
+            w = e / jnp.sum(e, axis=-1, keepdims=True)
+            # weights in [0,1]: fixed 1/127 scale, no amax pass needed
+            w_q = jnp.round(w * 127.0).astype(jnp.int8)
+            v_amax = jnp.maximum(jnp.max(jnp.abs(vh)), 1e-6)  # per-head tensor
+            v_q = jnp.clip(jnp.round(vh * (127.0 / v_amax)), -127, 127).astype(jnp.int8)
+            o_int = jax.lax.dot_general(
+                w_q, v_q, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32,
+            )
+            o = o_int.astype(jnp.float32) * (v_amax / (127.0 * 127.0))
+            head_outs.append(o.astype(dtype))
+        attn = jnp.concatenate(head_outs, axis=-1)
+
+        a_q, a_s = _quant_rows(attn.reshape(g * lp, d))
+        proj = (
+            _int8_matmul(a_q, a_s, wo_ref[...], so_ref[...])
+            + bo_ref[...].astype(jnp.float32)
+        ).astype(dtype).reshape(g, lp, d)
+        x = x + proj
+
+        h2 = _ln(x, ln2s_ref, ln2b_ref, jnp.float32).reshape(g * lp, d)
+        h2_q, h2_s = _quant_rows(h2)
+        hid = _int8_matmul(h2_q, h2_s, wfc_ref[...], sfc_ref[...]) + bfc_ref[
+            ...
+        ].astype(jnp.float32)
+        hid = hid * jax.nn.sigmoid(1.702 * hid)
+        hid_q, hid_s = _quant_rows(hid)
+        mlp_out = (
+            _int8_matmul(hid_q, hid_s, wproj_ref[...], sproj_ref[...])
+            + bproj_ref[...].astype(jnp.float32)
+        ).astype(dtype).reshape(g, lp, d)
+        out_ref[...] = x + mlp_out
+
+    return kernel
 
 if __name__ == "__main__":
     main()
