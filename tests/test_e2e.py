@@ -213,3 +213,51 @@ def test_qt_run_with_mesh_odd_batch(tiny_env):
     )
     result = run_qt(cfg, mesh=mesh, progress=False)
     assert 0.0 <= result.test_acc_fixed <= 1.0
+
+
+def test_cli_main_end_to_end(tiny_env, monkeypatch, capsys):
+    """The CLI entry point drives a full experiment from a YAML config +
+    flag overrides (ref main.py:474-552 surface)."""
+    import yaml
+
+    from protoclip_tpu.cli.main import main as cli_main
+
+    cfg_path = os.path.join(tiny_env["tmp"], "cli_config.yml")
+    with open(cfg_path, "w") as fh:
+        yaml.safe_dump(
+            dict(
+                dataset="caltech101",
+                root_path=tiny_env["root"],
+                shots=2,
+                backbone="tiny",
+                weights_path=tiny_env["weights"],
+                lr=1e-3,
+                augment_epoch=2,
+                train_epoch=2,
+                alpha=0.5,
+                beta=5.0,
+                adapter="fc",
+                batch_size=8,
+                cache_root=os.path.join(tiny_env["tmp"], "caches_cli"),
+                logs_dir_path=os.path.join(tiny_env["tmp"], "logs_cli"),
+                compute_dtype="float32",
+                search_scale=7,  # vestigial reference key: ignored with warning
+            ),
+            fh,
+        )
+    monkeypatch.setattr(
+        "sys.argv",
+        ["prog", "--config", cfg_path, "--train_epoch", "1", "--only_test"],
+        raising=False,
+    )
+    # only_test without a checkpoint must fail loudly (ref main.py:392-398)
+    with pytest.raises(FileNotFoundError):
+        cli_main()
+
+    monkeypatch.setattr(
+        "sys.argv", ["prog", "--config", cfg_path, "--train_epoch", "1"], raising=False
+    )
+    cli_main()
+    out = capsys.readouterr().out
+    assert "RESULT dataset=caltech101" in out
+    assert "test_acc_fixed=" in out
