@@ -1,4 +1,4 @@
-"""Dataset layer: 12 few-shot benchmarks + the CLIP image pipeline.
+"""Dataset layer: 13 few-shot benchmarks + the CLIP image pipeline.
 
 Re-implements the reference's ``datasets/`` package (13 adapters, few-shot
 sampling, transforms, loaders — SURVEY.md §2) without torch/torchvision:

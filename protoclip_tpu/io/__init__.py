@@ -1,7 +1,10 @@
-"""Checkpoint I/O: torch ``.pt`` reading without torch, CLIP weight mapping,
+"""File I/O: torch ``.pt``/raw-pickle/TorchScript reading without torch,
+MAT5 read/write, checksum-verified weight download, CLIP weight mapping,
 and Proto-CLIP ``_v/_t/_a`` checkpoint triples."""
 
-from protoclip_tpu.io.torch_pt import load_pt
+from protoclip_tpu.io.torch_pt import load_pkl, load_pt
+from protoclip_tpu.io.mat import load_mat, save_mat
+from protoclip_tpu.io.download import download_weights
 from protoclip_tpu.io.checkpoint import (
     load_checkpoint_triple,
     save_checkpoint_triple,
@@ -10,6 +13,10 @@ from protoclip_tpu.io.checkpoint import (
 
 __all__ = [
     "load_pt",
+    "load_pkl",
+    "load_mat",
+    "save_mat",
+    "download_weights",
     "load_checkpoint_triple",
     "save_checkpoint_triple",
     "checkpoint_paths",
