@@ -61,6 +61,8 @@ def make_kernel(variant: str, n_head: int, length: int):
     batched_heads = variant == "v4"
     transposed_heads = variant == "v5"
     sliced_heads = variant in ("v6", "v6g8")
+    pipelined_heads = variant == "v7"
+    folded_ln = variant == "v10"  # LN affine folded into wqkv/wfc on the host
 
     def kernel(
         x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
@@ -72,7 +74,17 @@ def make_kernel(variant: str, n_head: int, length: int):
         dh = d // n_head
         dtype = x.dtype
 
-        h1 = _ln(x, ln1s_ref, ln1b_ref, dtype).reshape(g * lp, d)
+        def ln_noaffine(v, eps=1e-5):
+            vf = v.astype(jnp.float32)
+            mean = jnp.mean(vf, axis=-1, keepdims=True)
+            c = vf - mean
+            var = jnp.mean(c * c, axis=-1, keepdims=True)
+            return (c * jax.lax.rsqrt(var + eps)).astype(dtype)
+
+        if folded_ln:
+            h1 = ln_noaffine(x).reshape(g * lp, d)
+        else:
+            h1 = _ln(x, ln1s_ref, ln1b_ref, dtype).reshape(g * lp, d)
         qkv_pet = dtype if variant == "v9" else jnp.float32
         qkv = (
             jax.lax.dot_general(
@@ -162,6 +174,34 @@ def make_kernel(variant: str, n_head: int, length: int):
                 preferred_element_type=jnp.float32,
             )  # (g, H, lp, dh)
             attn = o.astype(dtype).transpose(0, 2, 1, 3).reshape(g, lp, d)
+        elif pipelined_heads:
+            # software-pipeline the per-head loop: issue head h+1's score
+            # matmul (MXU) before head h's softmax (VPU) so Mosaic's
+            # scheduler can overlap the two units
+            def score(h):
+                qh = qkv[:, :, h * dh : (h + 1) * dh].astype(jnp.float32) * scale
+                kh = qkv[:, :, d + h * dh : d + (h + 1) * dh].astype(jnp.float32)
+                return jax.lax.dot_general(
+                    qh, kh, (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )
+
+            head_outs = []
+            s_cur = score(0)
+            for h in range(n_head):
+                s_next = score(h + 1) if h + 1 < n_head else None
+                s = jnp.where(mask, -1e30, s_cur)
+                s = s - jnp.max(s, axis=-1, keepdims=True)
+                e = jnp.exp(s)
+                w = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(dtype)
+                vh = qkv[:, :, 2 * d + h * dh : 2 * d + (h + 1) * dh]
+                o = jax.lax.dot_general(
+                    w, vh, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )
+                head_outs.append(o.astype(dtype))
+                s_cur = s_next
+            attn = jnp.concatenate(head_outs, axis=-1)
         else:
             head_outs = []
             for h in range(n_head):
@@ -196,7 +236,10 @@ def make_kernel(variant: str, n_head: int, length: int):
         ).reshape(g, lp, d)
         x = x + proj
 
-        h2 = _ln(x, ln2s_ref, ln2b_ref, dtype).reshape(g * lp, d)
+        if folded_ln:
+            h2 = ln_noaffine(x).reshape(g * lp, d)
+        else:
+            h2 = _ln(x, ln2s_ref, ln2b_ref, dtype).reshape(g * lp, d)
         if chunked_mlp:
             n_chunks = 4
             cw = (4 * d) // n_chunks
@@ -287,6 +330,21 @@ def make_weights(rng):
     )
 
 
+def fold_ln_into_weights(weights):
+    """Fold the LN affine (scale s, bias b) into the following matmul:
+    (norm(x)*s + b) @ W + c == norm(x) @ (s[:,None]*W) + (b @ W + c)."""
+    (wqkv, bqkv, wo, bo, ln1s, ln1b, ln2s, ln2b, wfc, bfc, wproj, bproj) = weights
+    f32 = jnp.float32
+    wqkv32, wfc32 = wqkv.astype(f32), wfc.astype(f32)
+    wqkv_f = (ln1s[:, :, None] * wqkv32).astype(wqkv.dtype)
+    bqkv_f = (
+        bqkv.astype(f32) + jnp.einsum("li,lio->lo", ln1b, wqkv32)
+    ).astype(bqkv.dtype)
+    wfc_f = (ln2s[:, :, None] * wfc32).astype(wfc.dtype)
+    bfc_f = (bfc.astype(f32) + jnp.einsum("li,lio->lo", ln2b, wfc32)).astype(bfc.dtype)
+    return (wqkv_f, bqkv_f, wo, bo, ln1s, ln1b, ln2s, ln2b, wfc_f, bfc_f, wproj, bproj)
+
+
 def main():
     _enable_cache()
     variants = sys.argv[1:] or ["v0", "v1", "v2"]
@@ -300,13 +358,18 @@ def main():
             continue
         if variant.startswith("int8"):
             bench_int8(
-                g=16,
-                quant_hid="h" not in variant,
+                g=32 if "g32" in variant else 16,
+                quant_hid="h" not in variant.replace("g32", "").replace(
+                    "noattn", ""
+                ).replace("gb", ""),
                 skip_attn="noattn" in variant,
-                quant_scores="int8s" in variant,
+                quant_scores=variant.startswith("int8s"),
+                gelu_bf16="gb" in variant,
             )
             continue
         g = {"v2g8": 8, "v2g32": 32, "v6g8": 8}.get(variant, G)
+        if variant == "v10":
+            weights = fold_ln_into_weights(weights)
         fn = build_stack_fn(variant, g)
         t0 = time.perf_counter()
         cs = float(np.asarray(fn(x, weights)))
@@ -551,7 +614,10 @@ def _int8_matmul(x_q, x_s, w_q, w_s):
     return acc.astype(jnp.float32) * x_s * w_s
 
 
-def make_kernel_int8(n_head: int, length: int, quant_hid: bool = True, skip_attn: bool = False):
+def make_kernel_int8(
+    n_head: int, length: int, quant_hid: bool = True, skip_attn: bool = False,
+    gelu_bf16: bool = False,
+):
     def kernel(
         x_ref, wqkv_ref, sqkv_ref, bqkv_ref, wo_ref, so_ref, bo_ref,
         ln1s_ref, ln1b_ref, ln2s_ref, ln2b_ref,
@@ -622,7 +688,13 @@ def make_kernel_int8(n_head: int, length: int, quant_hid: bool = True, skip_attn
         hid = _int8_matmul(h2_q, h2_s, wfc_ref[...], sfc_ref[...]) + bfc_ref[
             ...
         ].astype(jnp.float32)
-        hid = hid * jax.nn.sigmoid(1.702 * hid)  # fp32 QuickGELU
+        if gelu_bf16:
+            # GELU + hidden requant in bf16: halves VPU traffic on the
+            # widest (4D) tensor of the block
+            hb = hid.astype(dtype)
+            hid = hb * (1.0 / (1.0 + jnp.exp(-(hb * 1.702))))
+        else:
+            hid = hid * jax.nn.sigmoid(1.702 * hid)  # fp32 QuickGELU
         if quant_hid:
             hid_q, hid_s = _quant_rows(hid)
             mlp2 = _int8_matmul(hid_q, hid_s, wproj_ref[...], sproj_ref[...])
@@ -642,11 +714,13 @@ def make_kernel_int8(n_head: int, length: int, quant_hid: bool = True, skip_attn
     return kernel
 
 
-def bench_int8(g=16, check_only=False, interpret=False, quant_hid=True, skip_attn=False, quant_scores=False):
+def bench_int8(g=16, check_only=False, interpret=False, quant_hid=True, skip_attn=False, quant_scores=False, gelu_bf16=False):
     kernel = (
         make_kernel_int8s(H, L)
         if quant_scores
-        else make_kernel_int8(H, L, quant_hid=quant_hid, skip_attn=skip_attn)
+        else make_kernel_int8(
+            H, L, quant_hid=quant_hid, skip_attn=skip_attn, gelu_bf16=gelu_bf16
+        )
     )
     vm = pltpu.VMEM
     x_spec = pl.BlockSpec((g, LP, D), lambda i: (i, 0, 0), memory_space=vm)

@@ -203,3 +203,55 @@ def test_int8_transformer_wiring(rng, monkeypatch):
     )
     assert out_q.shape == out_ref.shape
     assert cos > 0.999, f"cosine {cos}"
+
+
+@pytest.mark.slow
+def test_int8_encode_parity_real_geometry(rng, monkeypatch):
+    """W8A8 serving mode at real ViT-B/16 geometry (768/12/12, 224px) and
+    text geometry (512/12/8, 77ctx): full-tower int8 features must stay
+    within quantization noise of the fp32 XLA path — the evidence behind
+    serving the encode in int8 (BASELINE.md headline)."""
+    import jax
+
+    import protoclip_tpu.ops.pallas_kernels as pk
+    from protoclip_tpu.models.clip import (
+        BACKBONE_CONFIGS,
+        encode_image,
+        encode_text,
+        init_clip_params,
+    )
+
+    cfg = BACKBONE_CONFIGS["ViT-B/16"]
+    params = init_clip_params(jax.random.PRNGKey(0), cfg)
+    images = jnp.asarray(
+        (rng.standard_normal((2, 224, 224, 3)) * 0.5).astype(np.float32)
+    )
+    tokens = np.zeros((2, 77), np.int32)
+    tokens[:, 0] = 49406
+    tokens[0, 1:9] = rng.integers(1, 49406, 8)
+    tokens[0, 9] = 49407
+    tokens[1, 1:40] = rng.integers(1, 49406, 39)
+    tokens[1, 40] = 49407
+    tokens = jnp.asarray(tokens)
+
+    monkeypatch.setenv("PROTOCLIP_PALLAS", "0")
+    ref_i = np.asarray(encode_image(params, images, cfg))
+    ref_t = np.asarray(encode_text(params, tokens, cfg))
+
+    monkeypatch.setenv("PROTOCLIP_PALLAS", "1")
+    monkeypatch.setenv("PROTOCLIP_INT8", "1")
+    orig = pk.fused_transformer_block_int8
+
+    def forced(*args, **kwargs):
+        kwargs["interpret"] = True
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(pk, "fused_transformer_block_int8", forced)
+    ours_i = np.asarray(encode_image(params, images, cfg))
+    ours_t = np.asarray(encode_text(params, tokens, cfg))
+
+    for ours, ref in ((ours_i, ref_i), (ours_t, ref_t)):
+        on = ours / np.linalg.norm(ours, axis=-1, keepdims=True)
+        rn = ref / np.linalg.norm(ref, axis=-1, keepdims=True)
+        cos = np.sum(on * rn, axis=-1)
+        assert cos.min() > 0.995, f"per-feature cosine {cos}"
