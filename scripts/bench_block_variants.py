@@ -363,8 +363,9 @@ def main():
                     "noattn", ""
                 ).replace("gb", ""),
                 skip_attn="noattn" in variant,
-                quant_scores=variant.startswith("int8s"),
+                quant_scores=variant.startswith("int8s") and "static" not in variant,
                 gelu_bf16="gb" in variant,
+                static_scales="static" in variant,
             )
             continue
         g = {"v2g8": 8, "v2g32": 32, "v6g8": 8}.get(variant, G)
@@ -616,8 +617,18 @@ def _int8_matmul(x_q, x_s, w_q, w_s):
 
 def make_kernel_int8(
     n_head: int, length: int, quant_hid: bool = True, skip_attn: bool = False,
-    gelu_bf16: bool = False,
+    gelu_bf16: bool = False, static_scales: bool = False,
 ):
+    if static_scales:
+        # bound the cost of dynamic per-row quantization: pretend a
+        # calibration pass fixed every activation scale to a constant
+        def _qr(x):
+            q = jnp.clip(jnp.round(x.astype(jnp.float32) * 32.0), -127, 127).astype(
+                jnp.int8
+            )
+            return q, jnp.float32(1.0 / 32.0)
+    else:
+        _qr = _quant_rows
     def kernel(
         x_ref, wqkv_ref, sqkv_ref, bqkv_ref, wo_ref, so_ref, bo_ref,
         ln1s_ref, ln1b_ref, ln2s_ref, ln2b_ref,
@@ -629,7 +640,7 @@ def make_kernel_int8(
         dtype = x.dtype
 
         h1 = _ln(x, ln1s_ref, ln1b_ref, jnp.float32).reshape(g * lp, d)
-        h1_q, h1_s = _quant_rows(h1)
+        h1_q, h1_s = _qr(h1)
         qkv = (
             _int8_matmul(h1_q, h1_s, wqkv_ref[...], sqkv_ref[...])
             + bqkv_ref[...].astype(jnp.float32)
@@ -637,17 +648,17 @@ def make_kernel_int8(
 
         if skip_attn:
             attn = qkv[:, :, :d] + qkv[:, :, d : 2 * d] + qkv[:, :, 2 * d :]
-            a_q, a_s = _quant_rows(attn.reshape(g * lp, d))
+            a_q, a_s = _qr(attn.reshape(g * lp, d))
             proj = (
                 _int8_matmul(a_q, a_s, wo_ref[...], so_ref[...])
                 + bo_ref[...].astype(jnp.float32)
             ).astype(dtype).reshape(g, lp, d)
             x = x + proj
             h2 = _ln(x, ln2s_ref, ln2b_ref, jnp.float32).reshape(g * lp, d)
-            h2_q, h2_s = _quant_rows(h2)
+            h2_q, h2_s = _qr(h2)
             hid = _int8_matmul(h2_q, h2_s, wfc_ref[...], sfc_ref[...]) + bfc_ref[...].astype(jnp.float32)
             hid = hid * jax.nn.sigmoid(1.702 * hid)
-            hid_q, hid_s = _quant_rows(hid)
+            hid_q, hid_s = _qr(hid)
             mlp_out = (
                 _int8_matmul(hid_q, hid_s, wproj_ref[...], sproj_ref[...])
                 + bproj_ref[...].astype(jnp.float32)
@@ -676,7 +687,7 @@ def make_kernel_int8(
             head_outs.append(o.astype(dtype))
         attn = jnp.concatenate(head_outs, axis=-1)
 
-        a_q, a_s = _quant_rows(attn.reshape(g * lp, d))
+        a_q, a_s = _qr(attn.reshape(g * lp, d))
         proj = (
             _int8_matmul(a_q, a_s, wo_ref[...], so_ref[...])
             + bo_ref[...].astype(jnp.float32)
@@ -684,7 +695,7 @@ def make_kernel_int8(
         x = x + proj
 
         h2 = _ln(x, ln2s_ref, ln2b_ref, jnp.float32).reshape(g * lp, d)
-        h2_q, h2_s = _quant_rows(h2)
+        h2_q, h2_s = _qr(h2)
         hid = _int8_matmul(h2_q, h2_s, wfc_ref[...], sfc_ref[...]) + bfc_ref[
             ...
         ].astype(jnp.float32)
@@ -696,7 +707,7 @@ def make_kernel_int8(
         else:
             hid = hid * jax.nn.sigmoid(1.702 * hid)  # fp32 QuickGELU
         if quant_hid:
-            hid_q, hid_s = _quant_rows(hid)
+            hid_q, hid_s = _qr(hid)
             mlp2 = _int8_matmul(hid_q, hid_s, wproj_ref[...], sproj_ref[...])
         else:
             # requantizing the 4D-wide hidden costs more VPU than the int8
@@ -714,12 +725,13 @@ def make_kernel_int8(
     return kernel
 
 
-def bench_int8(g=16, check_only=False, interpret=False, quant_hid=True, skip_attn=False, quant_scores=False, gelu_bf16=False):
+def bench_int8(g=16, check_only=False, interpret=False, quant_hid=True, skip_attn=False, quant_scores=False, gelu_bf16=False, static_scales=False):
     kernel = (
         make_kernel_int8s(H, L)
         if quant_scores
         else make_kernel_int8(
-            H, L, quant_hid=quant_hid, skip_attn=skip_attn, gelu_bf16=gelu_bf16
+            H, L, quant_hid=quant_hid, skip_attn=skip_attn, gelu_bf16=gelu_bf16,
+            static_scales=static_scales,
         )
     )
     vm = pltpu.VMEM
