@@ -104,9 +104,15 @@ def _read_cars_annos(
     items = []
     for anno in annos:
         label = int(mat_scalar(anno["class"])) - 1  # 1-based in the .mat
+        fname = anno["fname"]
+        if not isinstance(fname, str):  # (R>1, C) char matrix -> list[str]
+            raise ValueError(
+                f"expected a single-row char fname, got {type(fname).__name__}: "
+                f"{fname!r}"
+            )
         items.append(
             Datum(
-                os.path.join(dataset_dir, image_subdir, str(anno["fname"])),
+                os.path.join(dataset_dir, image_subdir, fname),
                 label,
                 _cars_classname(class_names[label]),
             )

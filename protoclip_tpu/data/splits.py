@@ -65,12 +65,22 @@ def save_split(
 
 
 def listdir_nohidden(path: str, sort: bool = False) -> List[str]:
-    """Non-hidden entries, excluding names containing 'sh'
-    (quirk preserved from ``datasets/utils.py:57-68``)."""
-    items = [f for f in os.listdir(path) if not f.startswith(".") and "sh" not in f]
+    """Non-hidden entries (ref ``datasets/utils.py:57-68``).
+
+    Deliberate deviation: the reference additionally drops every name
+    containing the substring ``'sh'`` — presumably to skip stray ``*.sh``
+    scripts — but its only call site is DTD split *generation*
+    (``datasets/dtd.py:47,69``), where that filter silently deletes the
+    real DTD classes ``crosshatched`` and ``meshed`` and persists a
+    45-class split.  We filter only dotfiles; shell scripts are excluded
+    by the extension check below instead."""
+    items = [f for f in os.listdir(path) if not f.startswith(".")]
     if sort:
         items.sort()
     return items
+
+
+_IMAGE_EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".gif", ".tif", ".tiff", ".webp")
 
 
 def read_and_split_folder_dataset(
@@ -84,14 +94,22 @@ def read_and_split_folder_dataset(
     """Split an ``images/<class>/*`` tree into train/val/test
     (ref ``datasets/dtd.py:33-86``)."""
     rng = _random.Random(seed) if seed is not None else _random
-    categories = sorted(c for c in listdir_nohidden(image_dir) if c not in ignored)
+    categories = sorted(
+        c
+        for c in listdir_nohidden(image_dir)
+        if c not in ignored and os.path.isdir(os.path.join(image_dir, c))
+    )
 
     train: List[Datum] = []
     val: List[Datum] = []
     test: List[Datum] = []
     for label, category in enumerate(categories):
         cat_dir = os.path.join(image_dir, category)
-        images = [os.path.join(cat_dir, im) for im in listdir_nohidden(cat_dir)]
+        images = [
+            os.path.join(cat_dir, im)
+            for im in listdir_nohidden(cat_dir)
+            if im.lower().endswith(_IMAGE_EXTS)
+        ]
         rng.shuffle(images)
         n_total = len(images)
         n_train = round(n_total * p_trn)

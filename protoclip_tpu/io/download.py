@@ -29,6 +29,14 @@ MODEL_URLS = {
 }
 
 
+class ChecksumError(RuntimeError):
+    """A downloaded artifact failed SHA-256 verification.
+
+    Deliberately NOT a subclass of OSError: callers that tolerate network
+    failures (e.g. ``load_clip``'s opt-in auto-download) must still treat
+    an integrity failure as fatal rather than fall back to random init."""
+
+
 def _sha256_of(path: str) -> str:
     h = hashlib.sha256()
     with open(path, "rb") as fh:
@@ -91,7 +99,7 @@ def download_url(url: str, root: str, expected_sha256: Optional[str] = None,
             print(file=sys.stderr)
     if expected_sha256 is not None and hasher.hexdigest() != expected_sha256:
         os.remove(tmp)
-        raise RuntimeError(
+        raise ChecksumError(
             f"downloaded {url} but SHA-256 {hasher.hexdigest()} != {expected_sha256}"
         )
     os.replace(tmp, target)  # atomic: no torn cache entries

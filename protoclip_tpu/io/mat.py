@@ -10,7 +10,9 @@ via torchvision).  No scipy dependency; values come back in a canonical
 Python form:
 
 - numeric array  -> ``np.ndarray`` (as stored, column-major reshaped)
-- char array     -> ``str`` (row-joined for multi-row arrays)
+- char array     -> ``str`` for a single row; ``list[str]`` (one
+  right-trimmed string per row) for an (R>1, C) char matrix — MATLAB's
+  padded string-array form, matching scipy's row-wise reading
 - cell array     -> ``list`` (flattened in column-major order)
 - struct array   -> ``list[dict]`` (one dict per element)
 """

@@ -330,13 +330,17 @@ def convert_clip_state_dict(
 
 def cast_params(params: Params, dtype) -> Params:
     """Cast weight leaves to a compute dtype, keeping LayerNorm/BN affine and
-    logit_scale in fp32 (they are consumed in fp32 anyway)."""
+    logit_scale in fp32 (they are consumed in fp32 anyway).  A pre-quantized
+    ``blocks_q`` subtree (see :func:`quantize_for_serving`) passes through
+    untouched — its int8 values / fp32 scales are dtype-exact by design."""
 
     def walk(tree, path=()):
         if isinstance(tree, dict):
             return {k: walk(v, path + (k,)) for k, v in tree.items()}
         if tree is None:
             return None
+        if "blocks_q" in path:
+            return jnp.asarray(tree)
         keep_f32 = any(p in ("ln_1", "ln_2", "ln_pre", "ln_post", "ln_final") for p in path)
         keep_f32 |= any(p.startswith("bn") or p == "bn" for p in path if isinstance(p, str))
         keep_f32 |= bool(path) and path[-1] == "logit_scale"
@@ -344,6 +348,29 @@ def cast_params(params: Params, dtype) -> Params:
         return arr if keep_f32 else arr.astype(dtype)
 
     return walk(params)
+
+
+def quantize_for_serving(params: Params) -> Params:
+    """Pre-quantize the transformer stacks for the W8A8 serving mode.
+
+    Returns ``params`` with a ``blocks_q`` subtree next to each tower's
+    ``blocks`` (ViT vision tower and the text tower; ResNet towers have no
+    stacked blocks and pass through).  The apply paths pick ``blocks_q`` up
+    automatically when ``$PROTOCLIP_INT8`` is on, so quantization runs once
+    at load time instead of inside every jitted forward.  ``load_clip``
+    calls this when the serving mode is enabled; callers managing params
+    manually can invoke it directly."""
+    from protoclip_tpu.ops.pallas_kernels import quantize_stacked_blocks
+
+    quant = jax.jit(quantize_stacked_blocks)
+    out = dict(params)
+    for tower in ("visual", "text"):
+        sub = params.get(tower)
+        if isinstance(sub, dict) and "blocks" in sub:
+            sub = dict(sub)
+            sub["blocks_q"] = quant(sub["blocks"])
+            out[tower] = sub
+    return out
 
 
 # -- weight files -----------------------------------------------------------
@@ -397,8 +424,12 @@ def load_clip(
         from protoclip_tpu.io.download import MODEL_URLS, download_weights
 
         if backbone in MODEL_URLS:
+            from protoclip_tpu.io.download import ChecksumError
+
             try:
                 path = download_weights(backbone)
+            except ChecksumError:
+                raise  # tampered/corrupt artifact: never serve random weights
             except Exception as exc:  # pragma: no cover - network-dependent
                 import sys
 
@@ -417,7 +448,7 @@ def load_clip(
         if any(k.startswith("module.") for k in sd):
             sd = {k[len("module.") :]: v for k, v in sd.items()}
         cfg, np_params = convert_clip_state_dict(sd)
-        return cfg, jax.jit(lambda p: cast_params(p, dtype))(np_params)
+        return cfg, _maybe_quantize(jax.jit(lambda p: cast_params(p, dtype))(np_params))
 
     import sys
 
@@ -431,4 +462,13 @@ def load_clip(
     # One fused jit: eager init would dispatch hundreds of tiny RNG ops,
     # which is pathologically slow on remote-compile TPU backends.
     init = jax.jit(lambda r: cast_params(init_clip_params(r, cfg, jnp.float32), dtype))
-    return cfg, init(rng)
+    return cfg, _maybe_quantize(init(rng))
+
+
+def _maybe_quantize(params: Params) -> Params:
+    """Attach the serving-mode int8 weights at load time when enabled."""
+    from protoclip_tpu.ops.pallas_kernels import int8_enabled, pallas_enabled
+
+    if int8_enabled() and pallas_enabled():
+        return quantize_for_serving(params)
+    return params

@@ -52,12 +52,19 @@ def transformer(
     n_head: int,
     mask: Optional[jax.Array] = None,
     causal: bool = False,
+    qblocks: Optional[Params] = None,
 ) -> jax.Array:
     """Run ``L`` stacked residual blocks with ``lax.scan``.
 
     ``stacked_blocks`` is a block-param pytree whose leaves carry a leading
     layer axis.  ``causal=True`` applies the causal mask via the attention
     fast path (no materialized (L, L) mask on the Pallas route).
+
+    ``qblocks``: pre-quantized weights for the W8A8 serving mode (from
+    :func:`protoclip_tpu.ops.pallas_kernels.quantize_stacked_blocks`, e.g.
+    via ``models.clip.quantize_for_serving``).  When absent and
+    ``$PROTOCLIP_INT8`` is on, the weights are quantized in-trace as a
+    fallback — correct, but re-runs the quantization on every dispatch.
 
     On TPU (``PROTOCLIP_PALLAS`` auto/on) each block runs as one fused
     Pallas kernel — LN/QKV/attention/projection/MLP with the layer weights
@@ -81,9 +88,11 @@ def transformer(
                 x = jnp.pad(x, [(0, 0), (0, lp - length), (0, 0)])
 
             if int8_enabled():
-                # W8A8 serving mode ($PROTOCLIP_INT8): quantize the stacked
-                # weights once, outside the layer scan
-                qblocks = quantize_stacked_blocks(stacked_blocks)
+                # W8A8 serving mode ($PROTOCLIP_INT8): use the load-time
+                # quantized weights when provided, else quantize here
+                # (once per trace, outside the layer scan)
+                if qblocks is None:
+                    qblocks = quantize_stacked_blocks(stacked_blocks)
 
                 def body_q(carry, qblock):
                     return (

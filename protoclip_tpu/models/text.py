@@ -23,7 +23,10 @@ def apply_text(params: Params, tokens: jax.Array, cfg) -> jax.Array:
     dtype = params["token_embedding"].dtype
     x = params["token_embedding"][tokens]  # (B, 77, width)
     x = x + params["positional_embedding"].astype(dtype)
-    x = transformer(x, params["blocks"], cfg.transformer_heads, causal=True)
+    x = transformer(
+        x, params["blocks"], cfg.transformer_heads, causal=True,
+        qblocks=params.get("blocks_q"),
+    )
     x = layer_norm(x, params["ln_final"]["scale"], params["ln_final"]["bias"])
 
     eot = jnp.argmax(tokens, axis=-1)

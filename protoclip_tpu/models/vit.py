@@ -49,7 +49,9 @@ def apply_vit(params: Params, images: jax.Array, cfg) -> jax.Array:
     x = x + params["positional_embedding"].astype(dtype)
     x = layer_norm(x, params["ln_pre"]["scale"], params["ln_pre"]["bias"])
 
-    x = transformer(x, params["blocks"], cfg.vision_heads)
+    x = transformer(
+        x, params["blocks"], cfg.vision_heads, qblocks=params.get("blocks_q")
+    )
 
     cls_out = layer_norm(
         x[:, 0, :], params["ln_post"]["scale"], params["ln_post"]["bias"]

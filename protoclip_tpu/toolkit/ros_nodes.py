@@ -77,7 +77,15 @@ class SegImageListener:
         if depth.encoding == "16UC1":
             depth_cv = depth_cv.astype(np.float32) / 1000.0
         elif depth.encoding != "32FC1":
-            raise RuntimeError(f"unsupported depth encoding {depth.encoding!r}")
+            # log-and-skip like the reference (seg_image_listener.py:216):
+            # raising here would spam a traceback at frame rate and leave
+            # the node permanently frameless
+            import rospy
+
+            rospy.logerr_throttle(
+                1.0, f"unsupported depth encoding {depth.encoding!r}; skipping frame"
+            )
+            return
         with self.lock:
             self.rgb = bridge.imgmsg_to_cv2(rgb, "rgb8")
             self.depth = depth_cv

@@ -23,6 +23,7 @@ from protoclip_tpu.train.qt import QTTrainer
 from protoclip_tpu.train.runner import (
     ExperimentResult,
     evaluate_checkpoint,
+    make_val_metrics_fn,
     prepare_experiment,
 )
 
@@ -73,15 +74,9 @@ def run_qt(cfg: Config, mesh=None, progress: bool = True, logger: Optional[Metri
             seed=cfg.seed,
             mesh=mesh,
         )
-        val_j, val_l = jnp.asarray(setup.val_feats), jnp.asarray(setup.val_labels)
-
-        @jax.jit
-        def val_acc_fn(model: ProtoClip):
-            p = model.probs(val_j, alpha, beta)
-            acc = jnp.mean((jnp.argmax(p, axis=-1) == val_l).astype(jnp.float32))
-            # reference val loss: NLL of the *predicted* class (main.py:341-344)
-            val_loss = -jnp.mean(jnp.log(jnp.max(p, axis=-1) + 1e-12))
-            return acc, val_loss
+        val_acc_fn = make_val_metrics_fn(
+            setup.val_feats, setup.val_labels, alpha, beta
+        )
 
         iterator = range(cfg.train_epoch)
         if progress:

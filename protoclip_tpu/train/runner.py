@@ -111,6 +111,24 @@ class ExperimentSetup:
     test_labels: np.ndarray
 
 
+def make_val_metrics_fn(val_feats, val_labels, alpha, beta):
+    """Jitted (val accuracy, val loss) of a ProtoClip model at fixed α/β.
+
+    The val loss matches the reference: NLL of the *predicted* class
+    (``main.py:341-344``), not of the true class.  Shared by the episodic
+    and Q^T runners so the definition cannot diverge."""
+    val_j, val_l = jnp.asarray(val_feats), jnp.asarray(val_labels)
+
+    @jax.jit
+    def val_acc_fn(model):
+        p = model.probs(val_j, alpha, beta)
+        acc = jnp.mean((jnp.argmax(p, axis=-1) == val_l).astype(jnp.float32))
+        val_loss = -jnp.mean(jnp.log(jnp.max(p, axis=-1) + 1e-12))
+        return acc, val_loss
+
+    return val_acc_fn
+
+
 def prepare_experiment(cfg: Config, mesh=None, progress: bool = True) -> ExperimentSetup:
     """Shared phase of both runners: load CLIP, build the dataset and
     loaders, and materialize memory banks + eval features (cached)."""
@@ -376,16 +394,7 @@ def run(cfg: Config, mesh=None, progress: bool = True, logger: Optional[MetricLo
             train_vis_mem_only=cfg.train_vis_mem_only,
             seed=cfg.seed,
         )
-        val_j = jnp.asarray(val_feats)
-        val_l = jnp.asarray(val_labels)
-
-        @jax.jit
-        def val_acc_fn(model: ProtoClip):
-            p = model.probs(val_j, alpha, beta)
-            acc = jnp.mean((jnp.argmax(p, axis=-1) == val_l).astype(jnp.float32))
-            # reference val loss: NLL of the *predicted* class (main.py:341-344)
-            val_loss = -jnp.mean(jnp.log(jnp.max(p, axis=-1) + 1e-12))
-            return acc, val_loss
+        val_acc_fn = make_val_metrics_fn(val_feats, val_labels, alpha, beta)
 
         iterator = range(cfg.train_epoch)
         if progress:

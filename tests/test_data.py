@@ -85,6 +85,26 @@ def test_folder_splitter(tmp_path):
     assert {d.classname for d in train} == {"alpha", "beta"}
 
 
+def test_folder_splitter_keeps_sh_classes(tmp_path):
+    """Regression: the reference's listdir_nohidden drops every name
+    containing 'sh' (datasets/utils.py:57-68), which would delete DTD's
+    real classes 'crosshatched' and 'meshed' from a generated split.  Our
+    generator must keep them, while still skipping dotfiles and stray
+    non-image files (e.g. download scripts)."""
+    classes = ["banded", "crosshatched", "meshed"]
+    for cls in classes:
+        d = tmp_path / "images" / cls
+        d.mkdir(parents=True)
+        for i in range(10):
+            Image.new("RGB", (8, 8)).save(d / f"{i}.jpg")
+    (tmp_path / "images" / ".hidden").mkdir()
+    (tmp_path / "images" / "fetch.sh").write_text("#!/bin/sh\n")
+    (tmp_path / "images" / "meshed" / "notes.txt").write_text("not an image")
+    train, val, test = read_and_split_folder_dataset(str(tmp_path / "images"), seed=0)
+    assert {d.classname for d in train} == set(classes)
+    assert len(train) + len(val) + len(test) == 30  # txt/sh/dotfile excluded
+
+
 def test_registry_lists_all():
     expected = {
         "caltech101", "dtd", "eurosat", "fgvc", "food101", "imagenet",

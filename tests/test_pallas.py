@@ -255,3 +255,50 @@ def test_int8_encode_parity_real_geometry(rng, monkeypatch):
         rn = ref / np.linalg.norm(ref, axis=-1, keepdims=True)
         cos = np.sum(on * rn, axis=-1)
         assert cos.min() > 0.995, f"per-feature cosine {cos}"
+
+
+def test_int8_load_time_quantization(rng, monkeypatch):
+    """quantize_for_serving attaches blocks_q once at load; the apply path
+    consumes it and matches the quantize-in-trace fallback exactly."""
+    import jax
+
+    import protoclip_tpu.ops.pallas_kernels as pk
+    from protoclip_tpu.models.clip import (
+        BACKBONE_CONFIGS, cast_params, init_clip_params, quantize_for_serving,
+    )
+    from protoclip_tpu.models.vit import apply_vit
+
+    cfg = BACKBONE_CONFIGS["ViT-B/32"]
+    params = init_clip_params(jax.random.PRNGKey(0), cfg)
+    qparams = quantize_for_serving(params)
+    assert "blocks_q" in qparams["visual"] and "blocks_q" in qparams["text"]
+    assert qparams["visual"]["blocks_q"]["wqkv"].dtype == jnp.int8
+    # cast_params must pass the quantized subtree through untouched
+    casted = cast_params(qparams, jnp.bfloat16)
+    assert casted["visual"]["blocks_q"]["wqkv"].dtype == jnp.int8
+    assert casted["visual"]["blocks_q"]["sqkv"].dtype == jnp.float32
+
+    monkeypatch.setenv("PROTOCLIP_PALLAS", "1")
+    monkeypatch.setenv("PROTOCLIP_INT8", "1")
+    orig = pk.fused_transformer_block_int8
+
+    def forced(*args, **kwargs):
+        kwargs["interpret"] = True
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(pk, "fused_transformer_block_int8", forced)
+    images = jnp.asarray(
+        (rng.standard_normal((2, 224, 224, 3)) * 0.5).astype(np.float32)
+    )
+    out_pre = np.asarray(apply_vit(qparams["visual"], images, cfg))
+    out_trace = np.asarray(apply_vit(params["visual"], images, cfg))
+    # the two int8 paths may differ by +-1 quantization step at exact
+    # rounding ties (different compilation contexts), not more
+    np.testing.assert_allclose(out_pre, out_trace, atol=0.1)
+
+    monkeypatch.setenv("PROTOCLIP_PALLAS", "0")
+    monkeypatch.delenv("PROTOCLIP_INT8")
+    ref = np.asarray(apply_vit(params["visual"], images, cfg))
+    on = out_pre / np.linalg.norm(out_pre, axis=-1, keepdims=True)
+    rn = ref / np.linalg.norm(ref, axis=-1, keepdims=True)
+    assert np.sum(on * rn, axis=-1).min() > 0.995
