@@ -21,6 +21,8 @@ from protoclip_tpu.models.clip import (
     encode_text,
     clip_forward,
     load_clip,
+    cast_params,
+    quantize_for_serving,
 )
 from protoclip_tpu.models.adapters import (
     init_adapter,
@@ -38,6 +40,8 @@ __all__ = [
     "encode_text",
     "clip_forward",
     "load_clip",
+    "cast_params",
+    "quantize_for_serving",
     "init_adapter",
     "apply_adapter",
     "adapter_from_torch_state",
