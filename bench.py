@@ -133,12 +133,56 @@ def bench_encode(
     return batch * inner / best, best / inner
 
 
+def bench_text_encode(
+    backbone: str = "ViT-B/16", batch: int = 1024, iters: int = 4, inner: int = 20,
+):
+    """Sustained text-encode throughput (prompts/sec) — the textual memory
+    bank builder's workload (one batched encode of the whole N x ensemble
+    prompt set, ref ``utils.py:54-69``)."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from protoclip_tpu.models.clip import encode_text, load_clip
+
+    os.environ["PROTOCLIP_INT8"] = "0"
+    cfg, params = load_clip(backbone, dtype=jnp.bfloat16)
+
+    @jax.jit
+    def encode_many(params, tokens):
+        def body(carry, i):
+            # perturb a middle token id per step so XLA cannot CSE; SOT/EOT
+            # positions stay fixed so the argmax pooling is stable
+            t = tokens.at[:, 1].set((tokens[:, 1] + i) % 49000 + 1)
+            feats = encode_text(params, t, cfg)
+            return carry + jnp.sum(feats.astype(jnp.float32)), None
+
+        total, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(inner, dtype=jnp.int32))
+        return total
+
+    rng = np.random.default_rng(0)
+    tokens = np.zeros((batch, cfg.context_length), np.int32)
+    tokens[:, 0] = 49406
+    tokens[:, 1:20] = rng.integers(1, 49000, (batch, 19))
+    tokens[:, 20] = 49407
+    tokens = jnp.asarray(tokens)
+
+    np.asarray(encode_many(params, tokens))  # compile
+    times = []
+    for _ in range(iters):
+        start = time.perf_counter()
+        np.asarray(encode_many(params, tokens))
+        times.append(time.perf_counter() - start)
+    return batch * inner / min(times)
+
+
 def main() -> None:
     import jax
 
     _enable_compilation_cache()
     backend = jax.default_backend()
-    int8_ips = rn50_ips = vitl_ips = vitl_int8_ips = None
+    int8_ips = rn50_ips = vitl_ips = vitl_int8_ips = text_pps = None
     if backend == "cpu":
         # CI/debug fallback: tiny run so the harness still emits a line
         ips, step_s = bench_encode(batch=8, iters=2, inner=2)
@@ -158,6 +202,10 @@ def main() -> None:
             vitl_int8_ips, _ = bench_encode("ViT-L/14", batch=128, inner=12, int8=True)
         except Exception:
             vitl_int8_ips = None
+        try:
+            text_pps = bench_text_encode()
+        except Exception:
+            text_pps = None
     overhead_s = measure_dispatch_overhead()
 
     headline = ips if int8_ips is None or int8_ips < ips else int8_ips
@@ -184,6 +232,8 @@ def main() -> None:
         details["vit_l14_images_per_sec"] = round(vitl_ips, 1)
     if vitl_int8_ips is not None:
         details["vit_l14_int8_images_per_sec"] = round(vitl_int8_ips, 1)
+    if text_pps is not None:
+        details["text_encode_prompts_per_sec"] = round(text_pps, 1)
     with open("bench_details.json", "w") as fh:
         json.dump(details, fh, indent=2)
 

@@ -82,15 +82,25 @@ def load_checkpoint_triple(
     bank_t = _load_bank(path_t)
     adapter = None
     if path_a:
-        state = load_pt(path_a)
+        state = _read_any(path_a)
         if not isinstance(state, dict):
             raise ValueError(f"{path_a} is not an adapter state dict")
         adapter = {k: _as_f32(v) for k, v in state.items()}
     return bank_v, bank_t, adapter
 
 
+def _read_any(path: str):
+    """Read ``path`` as a torch file, falling back to the ``<path>.npz``
+    sidecar that :func:`save_checkpoint_triple` writes on torch-less hosts."""
+    npz_path = path + ".npz"
+    if not os.path.exists(path) and os.path.exists(npz_path):
+        with np.load(npz_path) as z:
+            return {k: z[k] for k in z.files}
+    return load_pt(path)
+
+
 def _load_bank(path: str) -> np.ndarray:
-    obj = load_pt(path)
+    obj = _read_any(path)
     if isinstance(obj, dict):
         # allow state-dict style {'weight': tensor}
         if "weight" in obj:
@@ -116,7 +126,8 @@ def save_checkpoint_triple(
     The reference stores fp16 tensors (model runs half precision on GPU);
     ``dtype`` controls the stored precision.
     """
-    os.makedirs(os.path.dirname(path_v), exist_ok=True)
+    for p in (path_v, path_t, path_a):
+        os.makedirs(os.path.dirname(p) or ".", exist_ok=True)
     np_dtype = np.dtype(dtype)
     bank_v = np.asarray(bank_v, dtype=np_dtype)
     bank_t = np.asarray(bank_t, dtype=np_dtype)

@@ -93,6 +93,11 @@ def _parse_matrix(mdtype: int, data: bytes) -> Tuple[str, Any]:
         raise ValueError(f"bad array-flags element type {flags_type}")
     flags = struct.unpack_from("<II", flags_raw, 0)[0]
     mxclass = flags & 0xFF
+    if flags & 0x0800:  # mxCOMPLEX: a second (imaginary) data element follows
+        raise ValueError(
+            "complex matrices are not supported (none of the benchmark "
+            "datasets ship them); refusing to silently drop the imaginary part"
+        )
 
     _, dims_raw = r.read_element()
     dims = np.frombuffer(dims_raw, np.int32).tolist()

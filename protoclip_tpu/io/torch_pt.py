@@ -185,8 +185,12 @@ def _rebuild_tensor_v3(storage, storage_offset, size, stride, requires_grad,
         if name == "bfloat16":
             storage = _StorageRef(storage.key, "bfloat16", storage.numel, storage.loader)
         else:
+            if name not in _DTYPE_NAMES:
+                # Guessing an itemsize would decode the bytes as garbage;
+                # fail loudly like the other unsupported-symbol paths.
+                raise ValueError(f"unsupported torch tensor dtype {name!r}")
             storage = _StorageRef(
-                storage.key, _DTYPE_NAMES.get(name, np.float32), storage.numel, storage.loader
+                storage.key, _DTYPE_NAMES[name], storage.numel, storage.loader
             )
     return _rebuild_tensor(storage, storage_offset, size, stride)
 
@@ -302,7 +306,15 @@ def _load_zip(zf: zipfile.ZipFile) -> Any:
     prefix = pkl_name[: -len("data.pkl")]
 
     def loader(key: str) -> bytes:
-        return zf.read(f"{prefix}data/{key}")
+        try:
+            return zf.read(f"{prefix}data/{key}")
+        except KeyError as exc:
+            # Raise a non-KeyError so _rebuild_tensor doesn't mistake a
+            # truncated/corrupt archive for the legacy deferred-bytes case
+            # and return silent _PendingTensor sentinels.
+            raise ValueError(
+                f"zip checkpoint is missing storage blob {key!r}"
+            ) from exc
 
     with zf.open(pkl_name) as fh:
         result = _Unpickler(io.BufferedReader(fh), loader).load()
@@ -344,14 +356,31 @@ def _flatten_script_module(obj: _ScriptObject, prefix: str = "") -> Dict[str, An
 # legacy format (torch < 1.6)
 # --------------------------------------------------------------------------
 
+class _PrimitiveUnpickler(pickle.Unpickler):
+    """For the legacy preamble/trailer streams (magic, protocol, sys_info,
+    key order): pure primitives only.  Any GLOBAL opcode — the vector for
+    arbitrary code execution — is rejected outright, upholding the module's
+    'untrusted callables never execute' contract on every stream."""
+
+    def find_class(self, module, name):  # noqa: D102
+        raise pickle.UnpicklingError(
+            f"legacy torch preamble must contain only primitives, "
+            f"got {module}.{name}"
+        )
+
+
+def _load_primitive(fh: BinaryIO) -> Any:
+    return _PrimitiveUnpickler(fh).load()
+
+
 def _load_legacy(fh: BinaryIO) -> Any:
-    magic = pickle.load(fh)
+    magic = _load_primitive(fh)
     if magic != _LEGACY_MAGIC:
         raise ValueError("not a legacy torch file")
-    protocol = pickle.load(fh)
+    protocol = _load_primitive(fh)
     if protocol != _LEGACY_PROTOCOL:
         raise ValueError(f"unsupported legacy protocol {protocol}")
-    _sys_info = pickle.load(fh)
+    _sys_info = _load_primitive(fh)
 
     storages: Dict[str, _StorageRef] = {}
 
@@ -362,7 +391,7 @@ def _load_legacy(fh: BinaryIO) -> Any:
     result = unpickler.load()
 
     # Deserialize raw storages that follow the pickle payload.
-    key_order = pickle.load(fh)
+    key_order = _load_primitive(fh)
     refs = _collect_storage_refs(result)
     by_key = {r.key: r for r in refs}
     for key in key_order:

@@ -28,7 +28,6 @@ import numpy as np
 import jax.numpy as jnp
 
 from protoclip_tpu.memory.cache import FeatureCache
-from protoclip_tpu.ops.proto import l2_normalize
 from protoclip_tpu.tokenizer import tokenize
 
 
@@ -50,10 +49,14 @@ def encode_loader(
         except ImportError:  # pragma: no cover
             pass
     for images, batch_labels, n_valid in iterator:
-        batch = encode_fn(images)
+        batch = np.asarray(encode_fn(images), np.float32)[:n_valid]
         if normalize:
-            batch = l2_normalize(batch.astype(jnp.float32))
-        feats.append(np.asarray(batch, np.float32)[:n_valid])
+            # host-side numpy on the already-fetched features: an eager
+            # jnp op here would trigger a remote compile per dtype/shape on
+            # the TPU backend (CLAUDE.md: jit everything on the hot path).
+            # Same math as ops.proto.l2_normalize (x / ||x||, no eps).
+            batch = batch / np.linalg.norm(batch, axis=-1, keepdims=True)
+        feats.append(batch)
         labels.append(np.asarray(batch_labels[:n_valid]))
     return np.concatenate(feats), np.concatenate(labels)
 
@@ -163,8 +166,11 @@ def build_textual_memory_bank(
     n_total = tokens.shape[0]
     n_pad = (-n_total) % batch_size
     if n_pad:
+        from protoclip_tpu.tokenizer.bpe import _default_tokenizer
+
         tokens = np.concatenate([tokens, np.zeros((n_pad, tokens.shape[1]), tokens.dtype)])
-        tokens[n_total:, 0] = 49407  # EOT so argmax gather stays in range
+        # EOT in column 0 so the argmax gather stays in range for pad rows
+        tokens[n_total:, 0] = _default_tokenizer().eot_id
     for start in range(0, tokens.shape[0], batch_size):
         feats.append(np.asarray(encode_text_fn(tokens[start : start + batch_size]), np.float32))
     flat = np.concatenate(feats)[:n_total]

@@ -56,8 +56,12 @@ def load_train_state(path: str, trainer) -> int:
     trainer.params = jax.tree_util.tree_unflatten(
         treedef_cur, [np.asarray(x) for x in flat_saved]
     )
-    trainer.opt_state = jax.tree_util.tree_map(
-        lambda saved: saved, state["opt_state"]
-    )
+    opt_saved = jax.tree_util.tree_structure(state["opt_state"])
+    opt_cur = jax.tree_util.tree_structure(trainer.opt_state)
+    if opt_saved != opt_cur:
+        raise ValueError(
+            "optimizer-state tree structure mismatch (different optimizer config?)"
+        )
+    trainer.opt_state = state["opt_state"]
     trainer.epoch = int(state["epoch"])
     return trainer.epoch

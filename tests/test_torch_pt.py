@@ -1,6 +1,8 @@
 """Pure-python .pt reader: round-trips against torch and the reference's
 pretrained checkpoints."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -370,3 +372,49 @@ def test_legacy_namespace_tensor(tmp_path):
     torch.save(obj, str(path), _use_new_zipfile_serialization=False)
     out = load_pt(str(path))
     np.testing.assert_allclose(out["cfg"].mean, np.arange(6, dtype=np.float32))
+
+
+def test_checkpoint_triple_npz_roundtrip(tmp_path, monkeypatch):
+    """Torch-less hosts: save_checkpoint_triple writes .npz sidecars and
+    load_checkpoint_triple reads them back (regression: the fallback used
+    to be write-only)."""
+    import builtins
+
+    from protoclip_tpu.io.checkpoint import (
+        load_checkpoint_triple,
+        save_checkpoint_triple,
+    )
+
+    real_import = builtins.__import__
+
+    def no_torch(name, *args, **kwargs):
+        if name == "torch":
+            raise ImportError("torch disabled for test")
+        return real_import(name, *args, **kwargs)
+
+    monkeypatch.setattr(builtins, "__import__", no_torch)
+    bank_v = np.random.default_rng(0).standard_normal((6, 4)).astype(np.float32)
+    bank_t = np.random.default_rng(1).standard_normal((3, 4)).astype(np.float32)
+    adapter = {"fc.weight": np.ones((4, 4), np.float32)}
+    pv, pt, pa = (str(tmp_path / f"ck_{s}.pt") for s in "vta")
+    save_checkpoint_triple(pv, pt, pa, bank_v, bank_t, adapter)
+    assert not os.path.exists(pv) and os.path.exists(pv + ".npz")
+    lv, lt, la = load_checkpoint_triple(pv, pt, pa)
+    np.testing.assert_allclose(lv, bank_v, atol=2e-3)  # fp16 storage
+    np.testing.assert_allclose(lt, bank_t, atol=2e-3)
+    np.testing.assert_allclose(la["fc.weight"], adapter["fc.weight"])
+
+
+def test_legacy_preamble_rejects_globals(tmp_path):
+    """The legacy preamble streams are primitives-only: a GLOBAL opcode in
+    the very first pickle (the classic RCE vector) must be rejected."""
+    import pickle as _pickle
+
+    path = tmp_path / "evil.pt"
+    with open(path, "wb") as fh:
+        # a pickle whose payload is a global lookup (os.system ref)
+        fh.write(b"\x80\x02cos\nsystem\nq\x00.")
+    from protoclip_tpu.io.torch_pt import load_pt
+
+    with pytest.raises((_pickle.UnpicklingError, ValueError)):
+        load_pt(str(path))
