@@ -13,7 +13,7 @@ from typing import Dict, Optional
 import jax
 import jax.numpy as jnp
 
-from protoclip_tpu.ops.attention import multi_head_attention
+from protoclip_tpu.ops.attention import _causal_mask, multi_head_attention
 from protoclip_tpu.ops.activations import quick_gelu
 from protoclip_tpu.ops.layernorm import layer_norm
 
@@ -167,5 +167,4 @@ def init_block_params(
 
 def causal_mask(length: int) -> jax.Array:
     """Additive causal mask (ref ``clip/model.py:326-332``)."""
-    mask = jnp.full((length, length), -jnp.inf, dtype=jnp.float32)
-    return jnp.triu(mask, k=1)
+    return _causal_mask(length)

@@ -89,6 +89,8 @@ def multi_head_attention(
                 )
             )
     else:
+        if causal:  # combine: additive masks compose by summation
+            mask = mask + _causal_mask(x.shape[1])
         out = _merge_heads(
             attention_core(
                 _split_heads(q, n_head), _split_heads(k, n_head), _split_heads(v, n_head), mask

@@ -300,6 +300,10 @@ class EpisodicTrainer:
             self.params["bank_t"] = jnp.asarray(model.bank_t, jnp.float32)
         else:
             self._frozen_bank_t = jnp.asarray(model.bank_t, jnp.float32)
+            # the jitted epoch fn closed over the previous frozen bank;
+            # rebuild so training uses the restored one (it would otherwise
+            # silently keep optimizing against the stale prototypes)
+            self._epoch_fn = self._build_epoch_fn()
         self.params["adapter"] = jax.tree_util.tree_map(
             lambda x: jnp.asarray(x, jnp.float32), model.adapter
         )

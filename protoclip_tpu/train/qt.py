@@ -50,6 +50,7 @@ class QTTrainer:
     train_vis_mem_only: bool = False
     seed: int = 1
     mesh: Optional[object] = None  # jax.sharding.Mesh for batch sharding
+    compute_dtype: str = "bfloat16"  # pixel-normalize dtype, matches encode
 
     def __post_init__(self):
         d = self.bank_v_init.shape[1]
@@ -89,9 +90,14 @@ class QTTrainer:
 
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
+        norm_dtype = jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
+
         def step(params, opt_state, images_u8, labels, n_valid, lr):
             opt_state.hyperparams["learning_rate"] = lr
-            images = normalize_batch(images_u8, jnp.bfloat16)
+            # same normalize dtype as the bank/eval encode path
+            # (runner.py::make_encode_fns) so query features match the
+            # cached features of the same images
+            images = normalize_batch(images_u8, norm_dtype)
             zq_frozen = jax.lax.stop_gradient(
                 encode_image(clip_params, images, clip_cfg)
             ).astype(jnp.float32)

@@ -88,14 +88,17 @@ def run_qt(cfg: Config, mesh=None, progress: bool = True, logger: Optional[Metri
             for images, labels, n_valid in train_loader:
                 stats = trainer.train_step(images, labels, n_valid)
                 losses.append(stats["loss"])
-                accs.append(stats["acc"])
+                # weight by valid samples: epoch accuracy is correct/all
+                # like the reference, not a mean over ragged batches
+                accs.append((stats["acc"] * n_valid, n_valid))
             trainer.finish_epoch()
             model = trainer.model()
             va_j, vl_j = val_acc_fn(model)
             va = float(va_j)
             logger.scalar("Loss/train", float(np.mean(losses)), epoch)
             logger.scalar("Loss/val", float(vl_j), epoch)
-            logger.scalar("Accuracy/train", float(np.mean(accs)), epoch)
+            epoch_acc = sum(c for c, _ in accs) / max(sum(n for _, n in accs), 1)
+            logger.scalar("Accuracy/train", float(epoch_acc), epoch)
             logger.scalar("Accuracy/val", va, epoch)
             if va >= best_val:
                 best_val, best_epoch = va, epoch

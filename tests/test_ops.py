@@ -239,3 +239,25 @@ def test_l2_normalize(rng):
     x = rng.standard_normal((5, 8)).astype(np.float32)
     out = np.asarray(l2_normalize(jnp.asarray(x)))
     np.testing.assert_allclose(np.linalg.norm(out, axis=-1), 1.0, atol=1e-6)
+
+
+def test_mha_explicit_mask_plus_causal(rng):
+    """Regression: causal=True must still apply when an explicit additive
+    mask is passed (it used to be silently dropped on that branch)."""
+    from protoclip_tpu.models.layers import causal_mask
+    from protoclip_tpu.ops.attention import multi_head_attention
+
+    B, L, D, H = 2, 9, 64, 4
+    x = rng.standard_normal((B, L, D)).astype(np.float32)
+    r = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32) * 0.1)  # noqa: E731
+    params = {
+        "wq": r(D, D), "wk": r(D, D), "wv": r(D, D), "wo": r(D, D),
+        "bq": r(D), "bk": r(D), "bv": r(D), "bo": r(D),
+    }
+    # key-padding mask: last 3 keys masked out
+    pad = np.zeros((L, L), np.float32)
+    pad[:, -3:] = -np.inf
+    combined = jnp.asarray(pad) + causal_mask(L)
+    want = multi_head_attention(jnp.asarray(x), params, H, combined)
+    got = multi_head_attention(jnp.asarray(x), params, H, jnp.asarray(pad), causal=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
