@@ -195,9 +195,16 @@ def main() -> None:
         except Exception:
             int8_ips = None
         # breadth: the reference's default backbone and the FewSOL-198
-        # deploy backbone (configs/master.yml:6, configs/fewsol_198.yml)
-        rn50_ips, _ = bench_encode("RN50")
-        vitl_ips, _ = bench_encode("ViT-L/14", batch=128, inner=12)
+        # deploy backbone (configs/master.yml:6, configs/fewsol_198.yml) —
+        # guarded so a secondary failure never kills the headline line
+        try:
+            rn50_ips, _ = bench_encode("RN50")
+        except Exception:
+            rn50_ips = None
+        try:
+            vitl_ips, _ = bench_encode("ViT-L/14", batch=128, inner=12)
+        except Exception:
+            vitl_ips = None
         try:
             vitl_int8_ips, _ = bench_encode("ViT-L/14", batch=128, inner=12, int8=True)
         except Exception:

@@ -29,14 +29,18 @@ def main() -> None:
 
     cfg = load_config(args.config)
     from protoclip_tpu.io.checkpoint import load_checkpoint_triple
-    from protoclip_tpu.ops.proto import class_prototypes, l2_normalize
     from protoclip_tpu.toolkit.tsne import plot_prototype_tsne
-    import jax.numpy as jnp
 
     bank_v, bank_t, _ = load_checkpoint_triple(args.memory_bank_v, args.memory_bank_t, None)
     n_class = bank_t.shape[0]
-    img_protos = np.asarray(class_prototypes(jnp.asarray(bank_v), n_class, cfg.shots))
-    text_protos = np.asarray(l2_normalize(jnp.asarray(bank_t)))
+    # host numpy: trivial math, and eager jnp ops on the remote-TPU backend
+    # each cost a 30-300s compile (CLAUDE.md environment rules)
+    zs = np.asarray(bank_v, np.float32).reshape(n_class, cfg.shots, -1)
+    zs /= np.maximum(np.linalg.norm(zs, axis=-1, keepdims=True), 1e-12)
+    img_protos = zs.mean(axis=1)
+    img_protos /= np.maximum(np.linalg.norm(img_protos, axis=-1, keepdims=True), 1e-12)
+    text_protos = np.asarray(bank_t, np.float32)
+    text_protos /= np.linalg.norm(text_protos, axis=-1, keepdims=True)
 
     with open(args.splits) as fh:
         data = json.load(fh)

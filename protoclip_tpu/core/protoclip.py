@@ -50,8 +50,15 @@ class ProtoClip:
         return img, txt
 
     def adapt(self, features: jax.Array, normalize: bool = True) -> jax.Array:
-        """Adapter forward on (B, d) features, optional L2-normalize."""
-        out = apply_adapter(self.adapter, features.astype(jnp.float32), self.adapter_kind)
+        """Adapter forward on (B, d) features, optional L2-normalize.
+
+        An empty adapter (no ``_a`` checkpoint, e.g. zero-shot operation)
+        is the identity — the pytree's emptiness is structural, so this
+        branch resolves at trace time."""
+        if not self.adapter:
+            out = features.astype(jnp.float32)
+        else:
+            out = apply_adapter(self.adapter, features.astype(jnp.float32), self.adapter_kind)
         return l2_normalize(out) if normalize else out
 
     def probs(self, features: jax.Array, alpha, beta, adapt: bool = True) -> jax.Array:
@@ -94,16 +101,23 @@ def from_arrays(
     adapter_kind: str,
     shots: int,
 ) -> ProtoClip:
-    """Build a ProtoClip from host arrays (bank_v may be absent for
-    text-only operation, e.g. partial pretrained_ckpt snapshots — a zero
-    bank keeps shapes valid; use alpha=0 in that case)."""
+    """Build a ProtoClip from host arrays.
+
+    ``bank_v`` may be absent for text-only operation (e.g. partial
+    pretrained_ckpt snapshots): the zero placeholder bank yields *uniform*
+    visual probabilities (zero prototypes — ``class_prototypes`` guards the
+    division), so use alpha=0 for exact text-only semantics.
+    ``adapter_params`` may be ``None``/empty (no ``_a`` checkpoint): the
+    adapter is then the identity."""
     bank_t = jnp.asarray(bank_t, jnp.float32)
     if bank_v is None:
         bank_v = jnp.zeros((bank_t.shape[0] * shots, bank_t.shape[1]), jnp.float32)
     return ProtoClip(
         bank_v=jnp.asarray(bank_v, jnp.float32),
         bank_t=bank_t,
-        adapter=jax.tree_util.tree_map(lambda x: jnp.asarray(x, jnp.float32), adapter_params),
+        adapter=jax.tree_util.tree_map(
+            lambda x: jnp.asarray(x, jnp.float32), adapter_params or {}
+        ),
         adapter_kind=adapter_kind,
         shots=shots,
     )

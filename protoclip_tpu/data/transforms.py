@@ -37,19 +37,25 @@ def load_image(path: str) -> Image.Image:
 
 
 def resize_shorter(img: Image.Image, size: int) -> Image.Image:
-    """Resize so the shorter side equals ``size`` (aspect preserved)."""
+    """Resize so the shorter side equals ``size`` (aspect preserved).
+
+    Pixel-exact with torchvision ``Resize(size)`` as used by the reference's
+    CLIP preprocess: the long side is ``int(size * long / short)``
+    (truncation, not rounding)."""
     w, h = img.size
     if w <= h:
-        new_w, new_h = size, max(1, round(h * size / w))
+        new_w, new_h = size, max(1, int(size * h / w))
     else:
-        new_w, new_h = max(1, round(w * size / h)), size
+        new_w, new_h = max(1, int(size * w / h)), size
     return img.resize((new_w, new_h), Image.BICUBIC)
 
 
 def center_crop(img: Image.Image, size: int) -> Image.Image:
+    """Pixel-exact with torchvision ``CenterCrop``: offsets are
+    ``int(round((dim - size) / 2))``."""
     w, h = img.size
-    left = (w - size) // 2
-    top = (h - size) // 2
+    left = int(round((w - size) / 2.0))
+    top = int(round((h - size) / 2.0))
     return img.crop((left, top, left + size, top + size))
 
 

@@ -36,9 +36,12 @@ def class_prototypes(bank: jax.Array, n_class: int, k_shots: int) -> jax.Array:
     Matches ``main.py:260-264``: per-row L2-normalize, mean over the K shots,
     then re-normalize, all in fp32.
     """
-    zs = l2_normalize(bank.astype(jnp.float32).reshape(n_class, k_shots, -1))
+    # eps guards the all-zero placeholder bank of text-only operation
+    # (core.protoclip.from_arrays): real banks have unit-norm rows, for
+    # which max(norm, eps) == norm exactly — bit-identical to the reference.
+    zs = l2_normalize(bank.astype(jnp.float32).reshape(n_class, k_shots, -1), eps=1e-12)
     proto = zs.mean(axis=1)
-    return l2_normalize(proto)
+    return l2_normalize(proto, eps=1e-12)
 
 
 def squared_euclidean(q: jax.Array, protos: jax.Array) -> jax.Array:

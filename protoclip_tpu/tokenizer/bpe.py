@@ -91,9 +91,7 @@ except ImportError:  # pragma: no cover - `regex` ships with transformers
                 i += 1
                 continue
             j = i + 1
-            while j < n and cat(text[j]) == k and (k != "N"):
-                if k == "O" and text[j] == "'":
-                    pass
+            while j < n and cat(text[j]) == k:  # k != "N" here (handled above)
                 j += 1
             words.append(text[i:j])
             i = j

@@ -25,7 +25,7 @@ import numpy as np
 from PIL import Image
 
 from protoclip_tpu.core.config import Config
-from protoclip_tpu.core.protoclip import ProtoClip
+from protoclip_tpu.core.protoclip import from_arrays
 from protoclip_tpu.data.transforms import clip_preprocess, normalize_batch
 from protoclip_tpu.io.checkpoint import checkpoint_paths, load_checkpoint_triple
 from protoclip_tpu.models import encode_image, load_clip
@@ -69,16 +69,14 @@ class ProtoClipClassifier:
         bank_v, bank_t, adapter_state = load_checkpoint_triple(
             memory_bank_v_path, memory_bank_t_path, adapter_weights_path
         )
-        if bank_v is None:
-            bank_v = np.zeros((bank_t.shape[0] * cfg.shots, bank_t.shape[1]), np.float32)
-        self.model = ProtoClip(
-            bank_v=jnp.asarray(bank_v, jnp.float32),
-            bank_t=jnp.asarray(bank_t, jnp.float32),
-            adapter=adapter_from_torch_state(adapter_state, cfg.adapter)
+        self.model = from_arrays(
+            bank_v,
+            bank_t,
+            adapter_from_torch_state(adapter_state, cfg.adapter)
             if adapter_state
             else {},
-            adapter_kind=cfg.adapter,
-            shots=cfg.shots,
+            cfg.adapter,
+            cfg.shots,
         )
         self._infer = self._build_infer()
 
@@ -93,10 +91,13 @@ class ProtoClipClassifier:
         clip_cfg, clip_params, model = self.clip_cfg, self._clip_params, self.model
         top_k = max(1, self.cfg.top_k)
         alpha, beta = self.cfg.alpha, self.cfg.beta
+        norm_dtype = (
+            jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16" else jnp.float32
+        )
 
         @jax.jit
         def infer(images_u8):
-            images = normalize_batch(images_u8, jnp.bfloat16)
+            images = normalize_batch(images_u8, norm_dtype)
             feats = encode_image(clip_params, images, clip_cfg).astype(jnp.float32)
             feats = l2_normalize(feats)
             p = model.probs(feats, alpha, beta)

@@ -11,7 +11,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from protoclip_tpu.core.config import Config
-from protoclip_tpu.core.protoclip import ProtoClip, accuracy
+from protoclip_tpu.core.protoclip import accuracy, from_arrays
 from protoclip_tpu.data import BatchLoader
 from protoclip_tpu.data.transforms import EvalTransform
 from protoclip_tpu.data.types import Datum
@@ -82,13 +82,11 @@ def test_ood_performance(
     bank_v, bank_t, adapter_state = load_checkpoint_triple(
         memory_bank_v_path, memory_bank_t_path, adapter_weights_path
     )
-    if bank_v is None:
-        bank_v = np.zeros((bank_t.shape[0] * cfg.shots, bank_t.shape[1]), np.float32)
-    model = ProtoClip(
-        bank_v=jnp.asarray(bank_v, jnp.float32),
-        bank_t=jnp.asarray(bank_t, jnp.float32),
-        adapter=adapter_from_torch_state(adapter_state, cfg.adapter) if adapter_state else {},
-        adapter_kind=cfg.adapter,
-        shots=cfg.shots,
+    model = from_arrays(
+        bank_v,
+        bank_t,
+        adapter_from_torch_state(adapter_state, cfg.adapter) if adapter_state else {},
+        cfg.adapter,
+        cfg.shots,
     )
     return accuracy(model, feats, labels, cfg.alpha, cfg.beta) * 100.0

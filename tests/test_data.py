@@ -376,3 +376,24 @@ def test_imagenet_flat_val_devkit(tmp_path):
     # gt id 1 -> n01443537 -> label 1, id 2 -> n01440764 -> 0, id 3 -> 2
     assert [d.label for d in ds.val] == [1, 0, 2, 1, 0, 2]
     assert len(ds.val) == 6 and ds.test == ds.val
+
+
+def test_resize_crop_torchvision_pixel_parity():
+    """resize_shorter/center_crop must use torchvision's exact arithmetic
+    (long side truncates, crop offset rounds half-to-even): the reference's
+    CLIP preprocess is torchvision Resize+CenterCrop and cached features
+    must be pixel-identical."""
+    from protoclip_tpu.data.transforms import center_crop, resize_shorter
+
+    img = Image.new("RGB", (500, 375))
+    out = resize_shorter(img, 224)
+    assert out.size == (298, 224)  # int(224*500/375)=298, NOT round()=299
+
+    img = Image.new("RGB", (375, 500))
+    assert resize_shorter(img, 224).size == (224, 298)
+
+    # odd leftover: (299-224)/2 = 37.5 -> torchvision round() -> 38
+    marked = np.zeros((224, 299, 3), np.uint8)
+    marked[:, 38, 0] = 255  # first column of the expected crop window
+    cropped = np.asarray(center_crop(Image.fromarray(marked), 224))
+    assert cropped[:, 0, 0].min() == 255

@@ -261,3 +261,28 @@ def test_mha_explicit_mask_plus_causal(rng):
     want = multi_head_attention(jnp.asarray(x), params, H, combined)
     got = multi_head_attention(jnp.asarray(x), params, H, jnp.asarray(pad), causal=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
+def test_text_only_and_adapterless_operation(rng):
+    """Partial pretrained_ckpt snapshots: no visual bank and/or no adapter.
+    Regression: the zero placeholder bank used to produce NaN prototypes
+    (0-norm division), poisoning predictions even at alpha=0."""
+    from protoclip_tpu.core.protoclip import accuracy, from_arrays, predict
+
+    N, K, d = 5, 2, 16
+    bank_t = rng.standard_normal((N, d)).astype(np.float32)
+    bank_t /= np.linalg.norm(bank_t, axis=-1, keepdims=True)
+    model = from_arrays(None, bank_t, None, "fc", K)
+
+    q = rng.standard_normal((8, d)).astype(np.float32)
+    labels, conf = predict(model, q, alpha=0.0, beta=5.0)
+    assert np.isfinite(np.asarray(conf)).all()
+    # alpha=0 must be exact text-only: argmax over the text head alone
+    qn = q / np.linalg.norm(q, axis=-1, keepdims=True)
+    d2 = ((qn[:, None, :] - bank_t[None]) ** 2).sum(-1)
+    expect = np.exp(-5.0 * d2)
+    expect /= expect.sum(-1, keepdims=True)
+    np.testing.assert_array_equal(np.asarray(labels), expect.argmax(-1))
+    # and a mixed alpha stays finite (uniform visual head)
+    acc = accuracy(model, q, np.zeros(8, np.int64), alpha=0.5, beta=5.0)
+    assert 0.0 <= acc <= 1.0
