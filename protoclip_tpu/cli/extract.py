@@ -1,0 +1,102 @@
+"""Standalone CLIP feature extraction: image folder -> features ``.npz``.
+
+The deployment/serving counterpart of the reference's uncached encode
+(``toolkit/.../model_utils.py:69-82``) and of the feature pre-loader
+(``utils.py:335-361``), exposed as a CLI so features can be produced
+without running an experiment:
+
+    python -m protoclip_tpu.cli.extract --backbone ViT-B/16 \
+        --input path/to/images --out feats.npz [--int8] [--batch 512]
+
+Walks ``--input`` recursively for image files (sorted, stable order),
+encodes them batched through one jitted program (the W8A8 serving kernel
+when ``--int8``), L2-normalizes, and writes ``{"files": [...],
+"features": (N, d) fp32}``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+_IMAGE_EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".gif", ".tif", ".tiff", ".webp")
+
+
+def _find_images(root: str) -> list:
+    out = []
+    for dirpath, dirnames, filenames in os.walk(root):
+        dirnames.sort()
+        for name in sorted(filenames):
+            if name.lower().endswith(_IMAGE_EXTS):
+                out.append(os.path.join(dirpath, name))
+    return out
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--backbone", default="ViT-B/16")
+    parser.add_argument("--weights", help="CLIP weights .pt (default: discovery)")
+    parser.add_argument("--input", required=True, help="image file or directory")
+    parser.add_argument("--out", required=True, help="output .npz path")
+    parser.add_argument("--batch", type=int, default=256)
+    parser.add_argument(
+        "--int8", action="store_true",
+        help="W8A8 serving kernel (sets $PROTOCLIP_INT8)",
+    )
+    parser.add_argument(
+        "--no-normalize", action="store_true", help="skip output L2-normalization"
+    )
+    args = parser.parse_args()
+
+    if args.int8:
+        os.environ["PROTOCLIP_INT8"] = "1"
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from PIL import Image
+
+    from protoclip_tpu.data.transforms import clip_preprocess, normalize_batch
+    from protoclip_tpu.models import encode_image, load_clip
+
+    files = (
+        [args.input] if os.path.isfile(args.input) else _find_images(args.input)
+    )
+    if not files:
+        sys.exit(f"no images found under {args.input!r}")
+
+    cfg, params = load_clip(args.backbone, args.weights, dtype=jnp.bfloat16)
+    n_px = cfg.image_resolution
+
+    @jax.jit
+    def encode(params, images_u8):
+        feats = encode_image(params, normalize_batch(images_u8, jnp.bfloat16), cfg)
+        feats = feats.astype(jnp.float32)
+        if not args.no_normalize:
+            feats = feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
+        return feats
+
+    feats_out = []
+    batch = np.zeros((args.batch, n_px, n_px, 3), np.uint8)
+    for start in range(0, len(files), args.batch):
+        chunk = files[start : start + args.batch]
+        for i, path in enumerate(chunk):
+            batch[i] = clip_preprocess(Image.open(path).convert("RGB"), n_px)
+        # fixed batch shape: one compiled program regardless of the tail
+        feats_out.append(np.asarray(encode(params, jnp.asarray(batch)))[: len(chunk)])
+        print(
+            f"\r[extract] {min(start + args.batch, len(files))}/{len(files)}",
+            end="", file=sys.stderr,
+        )
+    print(file=sys.stderr)
+
+    features = np.concatenate(feats_out)
+    os.makedirs(os.path.dirname(os.path.abspath(args.out)) or ".", exist_ok=True)
+    np.savez(args.out, files=np.asarray(files), features=features)
+    print(f"Wrote {args.out}: {features.shape[0]} x {features.shape[1]} fp32")
+
+
+if __name__ == "__main__":
+    main()

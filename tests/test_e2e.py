@@ -261,3 +261,28 @@ def test_cli_main_end_to_end(tiny_env, monkeypatch, capsys):
     out = capsys.readouterr().out
     assert "RESULT dataset=caltech101" in out
     assert "test_acc_fixed=" in out
+
+
+def test_extract_cli(tiny_env, tmp_path, monkeypatch):
+    """Feature-extraction CLI: folder -> .npz of L2-normalized features."""
+    from protoclip_tpu.cli.extract import main as extract_main
+
+    img_dir = os.path.join(tiny_env["root"], "caltech-101", "101_ObjectCategories")
+    out_path = str(tmp_path / "feats.npz")
+    monkeypatch.setattr(
+        "sys.argv",
+        [
+            "extract", "--backbone", "tiny", "--weights", tiny_env["weights"],
+            "--input", img_dir, "--out", out_path, "--batch", "8",
+        ],
+    )
+    extract_main()
+    with np.load(out_path) as z:
+        files, feats = z["files"], z["features"]
+    n_images = len(
+        [f for root, _, fs in os.walk(img_dir) for f in fs if f.endswith(".jpg")]
+    )
+    assert feats.shape == (n_images, 32) and len(files) == n_images
+    np.testing.assert_allclose(np.linalg.norm(feats, axis=-1), 1.0, atol=1e-5)
+    # stable order: a re-run lists the same files in the same order
+    assert list(files) == sorted(files)
