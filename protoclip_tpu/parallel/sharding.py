@@ -36,10 +36,22 @@ def shard_batch(arr, mesh: Mesh):
 def make_sharded_encode(
     encode_fn: Callable, mesh: Mesh
 ) -> Callable:
-    """jit ``encode_fn(params, images) -> features`` with images/features
-    sharded over ``data`` and params replicated."""
+    """``encode_fn(params, images) -> features`` with images/features
+    sharded over ``data`` and params replicated.
+
+    Uses ``shard_map`` (not bare jit partitioning): each device runs the
+    whole encode — including the Pallas fused-block kernels, which are
+    opaque custom calls the SPMD partitioner cannot split — on its local
+    batch shard.  Encode has no cross-device math, so per-shard execution
+    is exact; XLA still fuses across the shard_map boundary."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    local = shard_map(
+        encode_fn, mesh=mesh, in_specs=(P(), P("data")), out_specs=P("data")
+    )
     return jax.jit(
-        encode_fn,
+        local,
         in_shardings=(replicated(mesh), batch_sharding(mesh)),
         out_shardings=batch_sharding(mesh),
     )

@@ -92,6 +92,26 @@ class QTTrainer:
 
         norm_dtype = jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
 
+        if self.mesh is not None:
+            # the frozen encode runs the Pallas fused-block kernels — opaque
+            # custom calls the SPMD partitioner cannot split — so pin it to
+            # per-device batch shards with shard_map (params replicated);
+            # everything downstream (loss/grads over tiny banks) partitions
+            # fine under plain jit and the psum falls out of the reduction
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            def encode_sharded(cp, images):
+                return shard_map(
+                    lambda c, im: encode_image(c, im, clip_cfg),
+                    mesh=self.mesh,
+                    in_specs=(P(), P("data")),
+                    out_specs=P("data"),
+                )(cp, images)
+        else:
+            def encode_sharded(cp, images):
+                return encode_image(cp, images, clip_cfg)
+
         def step(params, opt_state, images_u8, labels, n_valid, lr):
             opt_state.hyperparams["learning_rate"] = lr
             # same normalize dtype as the bank/eval encode path
@@ -99,7 +119,7 @@ class QTTrainer:
             # cached features of the same images
             images = normalize_batch(images_u8, norm_dtype)
             zq_frozen = jax.lax.stop_gradient(
-                encode_image(clip_params, images, clip_cfg)
+                encode_sharded(clip_params, images)
             ).astype(jnp.float32)
             weights = (jnp.arange(labels.shape[0]) < n_valid).astype(jnp.float32)
             (loss, matches), grads = grad_fn(params, zq_frozen, labels, weights)
