@@ -47,6 +47,10 @@ def get_arguments() -> argparse.Namespace:
 
 def main() -> None:
     args = get_arguments()
+    # Deliberate fix vs the reference: populate_cfg_using_args (main.py:56-63)
+    # filters overrides by TRUTHINESS, so an explicit `--alpha 0` or
+    # `--shots 0` is silently dropped and the YAML value wins.  We filter by
+    # `is not None`: every explicitly passed flag applies, including zeros.
     overrides = {
         k: v
         for k, v in vars(args).items()

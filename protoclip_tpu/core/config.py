@@ -46,7 +46,14 @@ class Config:
 
     @property
     def cache_dir(self) -> str:
-        return os.path.join(self.cache_root, self.dataset)
+        # fewsol_198 is OUR alias for the 198-class split selection; the
+        # reference runs it as dataset 'fewsol' (configs/fewsol_198.yml in
+        # /root/reference sets dataset: 'fewsol'), so its cache/checkpoint
+        # tree lives under caches/fewsol — map the alias there for artifact
+        # interop (the reference's 52- and 198-class runs share that tree
+        # too, disambiguated by backbone/shots in the stems).
+        name = "fewsol" if self.dataset == "fewsol_198" else self.dataset
+        return os.path.join(self.cache_root, name)
 
     def validate(self) -> "Config":
         if self.adapter not in _ALLOWED_ADAPTERS:

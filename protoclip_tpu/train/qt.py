@@ -86,7 +86,7 @@ class QTTrainer:
             matches = jnp.sum(
                 (jnp.argmax(p, axis=-1) == labels).astype(jnp.float32) * weights
             )
-            return terms["total"], matches
+            return terms["total"], (matches, terms)
 
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
@@ -122,10 +122,13 @@ class QTTrainer:
                 encode_sharded(clip_params, images)
             ).astype(jnp.float32)
             weights = (jnp.arange(labels.shape[0]) < n_valid).astype(jnp.float32)
-            (loss, matches), grads = grad_fn(params, zq_frozen, labels, weights)
+            (loss, (matches, terms)), grads = grad_fn(params, zq_frozen, labels, weights)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return params, opt_state, {"loss": loss, "matches": matches, "n": jnp.sum(weights)}
+            stats = {"loss": loss, "matches": matches, "n": jnp.sum(weights)}
+            # per-term breakdown for the reference's TensorBoard tags
+            stats.update({f"term_{k}": v for k, v in terms.items() if k != "total"})
+            return params, opt_state, stats
 
         if self.mesh is not None:
             from protoclip_tpu.parallel.sharding import shard_qt_step
@@ -144,11 +147,15 @@ class QTTrainer:
             jnp.asarray(n_valid, jnp.int32),
             jnp.asarray(lr, jnp.float32),
         )
-        return {
+        out = {
             "loss": float(m["loss"]),
             "acc": float(m["matches"]) / max(float(m["n"]), 1.0),
             "lr": lr,
         }
+        for key, value in m.items():
+            if key.startswith("term_"):
+                out[key.removeprefix("term_")] = float(value)
+        return out
 
     def finish_epoch(self) -> None:
         self.epoch += 1

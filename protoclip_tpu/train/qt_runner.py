@@ -25,6 +25,7 @@ from protoclip_tpu.train.runner import (
     evaluate_checkpoint,
     make_val_metrics_fn,
     prepare_experiment,
+    zero_shot_sweep_phase,
 )
 
 
@@ -33,6 +34,11 @@ def run_qt(cfg: Config, mesh=None, progress: bool = True, logger: Optional[Metri
     logger = logger or MetricLogger(os.path.join(cfg.logs_dir_path, f"{cfg.dataset}-qt"))
     setup = prepare_experiment(cfg, mesh, progress)
     n_px = setup.clip_cfg.image_resolution
+
+    # zero-shot alpha/beta sweep — the reference's Q^T flow performs the
+    # identical phase (incl. pkl caches and HP report) before training
+    # (main.qt.py:109-183)
+    zero_shot = zero_shot_sweep_phase(cfg, setup, logger, progress)
 
     # the Q^T-specific loader: shuffled + augmented, re-encoded every step
     # (ref main.qt.py:456-468); batch clamped to the train-set size, then
@@ -83,14 +89,26 @@ def run_qt(cfg: Config, mesh=None, progress: bool = True, logger: Optional[Metri
             from tqdm import tqdm
 
             iterator = tqdm(iterator, desc=f"train-qt {cfg.dataset}")
+        # per-term TensorBoard tags matching the reference (main.qt.py:227-243)
+        term_tags = {
+            "L1": "Loss/train/L1-negLog",
+            "L2": "Loss/train/L2-img2txt_align",
+            "L3": "Loss/train/L3-txt2img_align",
+            "L4": "Loss/train/L4-img_inter_cluster",
+            "L5": "Loss/train/L5-txt_inter_cluster",
+        }
         for epoch in iterator:
             losses, accs = [], []
+            term_sums: dict = {}
             for images, labels, n_valid in train_loader:
                 stats = trainer.train_step(images, labels, n_valid)
                 losses.append(stats["loss"])
                 # weight by valid samples: epoch accuracy is correct/all
                 # like the reference, not a mean over ragged batches
                 accs.append((stats["acc"] * n_valid, n_valid))
+                for term in term_tags:
+                    if term in stats:
+                        term_sums.setdefault(term, []).append(stats[term])
             trainer.finish_epoch()
             model = trainer.model()
             va_j, vl_j = val_acc_fn(model)
@@ -100,6 +118,10 @@ def run_qt(cfg: Config, mesh=None, progress: bool = True, logger: Optional[Metri
             epoch_acc = sum(c for c, _ in accs) / max(sum(n for _, n in accs), 1)
             logger.scalar("Accuracy/train", float(epoch_acc), epoch)
             logger.scalar("Accuracy/val", va, epoch)
+            logger.scalar("HP/lr", stats["lr"], epoch)
+            for term, tag in term_tags.items():
+                if term in term_sums:
+                    logger.scalar(tag, float(np.mean(term_sums[term])), epoch)
             if va >= best_val:
                 best_val, best_epoch = va, epoch
                 save_checkpoint_triple(
@@ -116,4 +138,6 @@ def run_qt(cfg: Config, mesh=None, progress: bool = True, logger: Optional[Metri
         cfg, setup, (ckpt_v, ckpt_t, ckpt_a), alpha, beta, logger, progress
     )
     logger.flush()
-    return dataclasses.replace(result, best_val_acc=best_val, best_epoch=best_epoch)
+    return dataclasses.replace(
+        result, best_val_acc=best_val, best_epoch=best_epoch, zero_shot=zero_shot
+    )

@@ -111,6 +111,54 @@ class ExperimentSetup:
     test_labels: np.ndarray
 
 
+def zero_shot_sweep_phase(cfg, setup, logger, progress: bool) -> Dict[str, float]:
+    """The zero-shot alpha/beta sweep over val/test/train with pickle-cache
+    interop, surface plot + best-HP report (ref ``main.py:167-211``; the Q^T
+    flow performs the identical phase before training, ``main.qt.py:109-183``).
+    Shared by both runners."""
+    cache = setup.cache
+    bank_v, bank_values, bank_t = setup.bank_v, setup.bank_values, setup.bank_t
+    alphas, betas = default_alpha_beta_grid()
+    img_protos = np.asarray(
+        jax.jit(lambda b: ProtoClip(
+            bank_v=b, bank_t=jnp.asarray(bank_t), adapter={}, adapter_kind="fc",
+            shots=cfg.shots,
+        ).prototypes()[0])(jnp.asarray(bank_v))
+    )
+    text_protos = bank_t / np.linalg.norm(bank_t, axis=-1, keepdims=True)
+    zs: Dict[str, float] = {}
+    grids: Dict[str, np.ndarray] = {}
+    for split, feats, labels in (
+        ("val", setup.val_feats, setup.val_labels),
+        ("test", setup.test_feats, setup.test_labels),
+        ("train", bank_v, np.argmax(bank_values, axis=1)),
+    ):
+        stem = cache.hp_search_stem(split)
+        cached = cache.load(stem)
+        if cached is not None and "acc" in cached:
+            acc_grid = cached["acc"]
+        elif cached is not None and ("triples" in cached or "array" in cached):
+            # reference pickle format: (341, 3) [alpha, beta, acc] row list
+            acc_grid = triples_to_sweep(
+                cached.get("triples", cached.get("array")), alphas, betas
+            )
+        else:
+            acc_grid = alpha_beta_sweep(feats, labels, img_protos, text_protos, alphas, betas)
+            cache.save(stem, acc=acc_grid, triples=sweep_to_triples(acc_grid, alphas, betas))
+        grids[split] = np.asarray(acc_grid)
+        a, b, best = best_operating_point(acc_grid, alphas, betas)
+        zs[f"{split}_best_alpha"], zs[f"{split}_best_beta"], zs[f"{split}_best_acc"] = a, b, best
+        logger.scalar(f"zero_shot/{split}_best_acc", best, 0)
+    _log_sweep_report(grids, alphas, betas, cfg, logger, step=0, phase="zero_shot")
+    if progress:
+        print(
+            f"[zero-shot] val best {zs['val_best_acc']*100:.2f}% "
+            f"(a={zs['val_best_alpha']}, b={zs['val_best_beta']}) | "
+            f"test best {zs['test_best_acc']*100:.2f}%"
+        )
+    return zs
+
+
 def make_val_metrics_fn(val_feats, val_labels, alpha, beta):
     """Jitted (val accuracy, val loss) of a ProtoClip model at fixed α/β.
 
@@ -324,44 +372,7 @@ def run(cfg: Config, mesh=None, progress: bool = True, logger: Optional[MetricLo
     n_class = setup.dataset.num_classes
     k = cfg.shots
 
-    # ---- zero-shot alpha/beta sweep (ref main.py:167-211) -----------------
-    alphas, betas = default_alpha_beta_grid()
-    img_protos = np.asarray(
-        jax.jit(lambda b: ProtoClip(
-            bank_v=b, bank_t=jnp.asarray(bank_t), adapter={}, adapter_kind="fc", shots=k
-        ).prototypes()[0])(jnp.asarray(bank_v))
-    )
-    text_protos = bank_t / np.linalg.norm(bank_t, axis=-1, keepdims=True)
-    zs = {}
-    grids: Dict[str, np.ndarray] = {}
-    for split, feats, labels in (
-        ("val", val_feats, val_labels),
-        ("test", test_feats, test_labels),
-        ("train", bank_v, np.argmax(bank_values, axis=1)),
-    ):
-        stem = cache.hp_search_stem(split)
-        cached = cache.load(stem)
-        if cached is not None and "acc" in cached:
-            acc_grid = cached["acc"]
-        elif cached is not None and ("triples" in cached or "array" in cached):
-            # reference pickle format: (341, 3) [alpha, beta, acc] row list
-            acc_grid = triples_to_sweep(
-                cached.get("triples", cached.get("array")), alphas, betas
-            )
-        else:
-            acc_grid = alpha_beta_sweep(feats, labels, img_protos, text_protos, alphas, betas)
-            cache.save(stem, acc=acc_grid, triples=sweep_to_triples(acc_grid, alphas, betas))
-        grids[split] = np.asarray(acc_grid)
-        a, b, best = best_operating_point(acc_grid, alphas, betas)
-        zs[f"{split}_best_alpha"], zs[f"{split}_best_beta"], zs[f"{split}_best_acc"] = a, b, best
-        logger.scalar(f"zero_shot/{split}_best_acc", best, 0)
-    _log_sweep_report(grids, alphas, betas, cfg, logger, step=0, phase="zero_shot")
-    if progress:
-        print(
-            f"[zero-shot] val best {zs['val_best_acc']*100:.2f}% "
-            f"(a={zs['val_best_alpha']}, b={zs['val_best_beta']}) | "
-            f"test best {zs['test_best_acc']*100:.2f}%"
-        )
+    zs = zero_shot_sweep_phase(cfg, setup, logger, progress)
 
     # The reference overrides the searched HPs with the config's
     # (main.py:213-214); training runs at the tuned operating point.

@@ -1,6 +1,8 @@
 """Trainers: episode sampling, episodic training convergence, Q^T step,
 config system, checkpoint round-trip."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -154,6 +156,11 @@ def test_config_load_and_validation(tmp_path):
         Config(alpha=1.5).validate()
     with pytest.raises(ValueError):
         Config(losses=["L9"]).validate()
+
+    # fewsol_198 is our alias; the reference runs it as dataset 'fewsol',
+    # so its cache/checkpoint tree must map there for artifact interop
+    assert Config(dataset="fewsol_198").cache_dir.endswith(os.sep + "fewsol")
+    assert Config(dataset="fewsol").cache_dir.endswith(os.sep + "fewsol")
 
 
 def test_all_reference_configs_load():
