@@ -34,14 +34,23 @@ def checksum_for(backbone: str):
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.integers(0, 256, (4, res, res, 3)).astype(np.uint8))
 
+    # same fixed projection as tests/test_golden.py: permutation-sensitive
+    proj = jnp.asarray(
+        np.random.default_rng(1234).standard_normal(cfg.embed_dim).astype(np.float32)
+    )
+
     @jax.jit
     def run(params, images):
         feats = encode_image(params, normalize_batch(images, jnp.float32), cfg)
         feats = feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
-        return jnp.sum(feats.astype(jnp.float32), axis=-1)
+        feats = feats.astype(jnp.float32)
+        return jnp.sum(feats, axis=-1), feats @ proj
 
-    per_image = np.asarray(run(params, images), np.float64)
-    return {"per_image_sums": [round(float(v), 4) for v in per_image]}
+    sums_j, dots_j = run(params, images)
+    return {
+        "per_image_sums": [round(float(v), 4) for v in np.asarray(sums_j)],
+        "per_image_proj": [round(float(v), 4) for v in np.asarray(dots_j)],
+    }
 
 
 def main() -> None:

@@ -129,7 +129,10 @@ def test_qt_run(tiny_env):
 
 
 def test_sharded_encode_on_cpu_mesh(tiny_env):
-    """Batch-sharded encode over the 8-device virtual mesh."""
+    """Batch-sharded encode over the 8-device virtual mesh is
+    VALUE-identical to single-device encode: a shard_map out_specs bug,
+    shard-order permutation, or stray collective would silently corrupt
+    every multi-chip deployment while shapes stay right."""
     import jax
 
     if jax.device_count() < 2:
@@ -140,9 +143,16 @@ def test_sharded_encode_on_cpu_mesh(tiny_env):
     mesh = make_mesh(8)
     cfg = _config(tiny_env)
     encode_fn, _, clip_cfg, _ = make_encode_fns(cfg, mesh)
-    images = np.zeros((16, 32, 32, 3), np.uint8)
-    feats = encode_fn(images)
+    rng = np.random.default_rng(7)
+    images = rng.integers(0, 256, (16, 32, 32, 3)).astype(np.uint8)
+    feats = np.asarray(encode_fn(images))
     assert feats.shape == (16, clip_cfg.embed_dim)
+
+    encode_single, _, _, _ = make_encode_fns(cfg, mesh=None)
+    ref = np.asarray(encode_single(images))
+    np.testing.assert_allclose(feats, ref, atol=1e-5)
+    # distinct inputs -> distinct rows (guards a broadcast-one-shard bug)
+    assert not np.allclose(feats[0], feats[1])
 
 
 def test_full_runner_with_mesh(tiny_env):
@@ -192,7 +202,9 @@ def test_full_run_int8_serving_mode(tiny_env, monkeypatch):
         cache_root=os.path.join(tiny_env["tmp"], "caches_int8_ref"),
     )
     ref = run(cfg2, progress=False)
-    assert abs(result.test_acc_fixed - ref.test_acc_fixed) <= 0.25
+    # 12 test images -> accuracy granularity 1/12; int8 quantization noise
+    # on this trivially-separable dataset may flip at most ONE prediction
+    assert abs(result.test_acc_fixed - ref.test_acc_fixed) <= 1.0 / 12 + 1e-9
 
 
 def test_qt_run_with_mesh_odd_batch(tiny_env):

@@ -266,3 +266,32 @@ def test_square_bank_orientation_by_row_norms(tmp_path):
         torch.save(torch.from_numpy(values), os.path.join(cache.root, value_stem + ".pt"))
         got_keys, _ = build_visual_memory_bank(None, None, augment_epochs=3, cache=cache, progress=False)
         np.testing.assert_allclose(got_keys, keys, atol=1e-6)
+
+
+def test_visual_bank_averages_over_augment_epochs(tmp_path):
+    """The bank is mean-then-normalize over augment passes (utils.py:284-332).
+    A pass-varying encoder makes the aggregation observable: the previous
+    deterministic-encoder test passed even if only one pass were used."""
+    images = np.stack([np.full((8, 8, 3), v, np.uint8) for v in (10, 200)])
+    labels = np.asarray([0, 1], np.int32)
+    loader = ArrayLoader(images, labels, batch_size=2)
+    calls = {"n": 0}
+
+    def varying_encode(images_u8):
+        # per-pass direction: pass 0 -> e0, pass 1 -> e1, pass 2 -> e2
+        i = calls["n"]
+        calls["n"] += 1
+        b = np.asarray(images_u8).shape[0]
+        out = np.zeros((b, 4), np.float32)
+        out[:, i % 4] = 1.0 + np.arange(b)  # distinct per row too
+        return jnp.asarray(out)
+
+    keys, values = build_visual_memory_bank(
+        varying_encode, loader, augment_epochs=3, cache=None, progress=False
+    )
+    assert calls["n"] == 3  # one encode per augment pass
+    # mean of (e0-ish, e1-ish, e2-ish) normalized: all three dims present
+    expect0 = np.array([1.0, 1.0, 1.0, 0.0]) / np.sqrt(3.0)
+    np.testing.assert_allclose(keys[0], expect0, atol=1e-6)
+    expect1 = np.array([2.0, 2.0, 2.0, 0.0]) / np.linalg.norm([2.0, 2.0, 2.0, 0.0])
+    np.testing.assert_allclose(keys[1], expect1, atol=1e-6)

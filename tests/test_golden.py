@@ -47,12 +47,27 @@ def test_golden_encode_checksum(backbone):
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.integers(0, 256, (4, res, res, 3)).astype(np.uint8))
 
+    # fixed random projection: sensitive to feature-dimension permutations
+    # (a head-order/projection-column layout bug reorders the embedding but
+    # leaves the plain component sum unchanged)
+    proj = jnp.asarray(
+        np.random.default_rng(1234).standard_normal(cfg.embed_dim).astype(np.float32)
+    )
+
     @jax.jit
     def run(params, images):
         feats = encode_image(params, normalize_batch(images, jnp.float32), cfg)
         feats = feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
-        return jnp.sum(feats.astype(jnp.float32), axis=-1)
+        feats = feats.astype(jnp.float32)
+        return jnp.sum(feats, axis=-1), feats @ proj
 
-    per_image = np.asarray(run(params, images), np.float64)
+    sums_j, dots_j = run(params, images)
+    per_image = np.asarray(sums_j, np.float64)
     want = np.asarray(goldens[backbone]["per_image_sums"], np.float64)
     np.testing.assert_allclose(per_image, want, atol=5e-3)
+    if "per_image_proj" in goldens[backbone]:
+        np.testing.assert_allclose(
+            np.asarray(dots_j, np.float64),
+            np.asarray(goldens[backbone]["per_image_proj"], np.float64),
+            atol=5e-3,
+        )

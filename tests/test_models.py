@@ -207,3 +207,40 @@ def test_backbone_registry_complete():
     }
     for cfg in BACKBONE_CONFIGS.values():
         assert cfg.context_length == 77 and cfg.vocab_size == 49408
+
+
+def test_cast_params_contract(rng):
+    """bf16 cast keeps LayerNorm/BN affine + logit_scale fp32 (the
+    reference's fp16/fp32 split, CLAUDE.md convention) and the bf16 tower
+    stays feature-equivalent to fp32."""
+    import jax
+
+    from protoclip_tpu.models.clip import cast_params, encode_image, init_clip_params
+
+    cfg = TINY_VIT
+    params = init_clip_params(jax.random.PRNGKey(0), cfg)
+    casted = cast_params(params, jnp.bfloat16)
+    vis = casted["visual"]
+    assert vis["blocks"]["attn"]["wq"].dtype == jnp.bfloat16
+    assert vis["blocks"]["mlp"]["w_fc"].dtype == jnp.bfloat16
+    assert vis["patch_embed"].dtype == jnp.bfloat16
+    assert vis["proj"].dtype == jnp.bfloat16
+    assert vis["blocks"]["ln_1"]["scale"].dtype == jnp.float32
+    assert vis["blocks"]["ln_2"]["bias"].dtype == jnp.float32
+    assert vis["ln_pre"]["scale"].dtype == jnp.float32
+    assert vis["ln_post"]["scale"].dtype == jnp.float32
+    assert casted["text"]["ln_final"]["scale"].dtype == jnp.float32
+    assert casted["logit_scale"].dtype == jnp.float32
+
+    images = jnp.asarray(
+        (np.random.default_rng(0).standard_normal((2, 32, 32, 3)) * 0.4).astype(
+            np.float32
+        )
+    )
+    f32 = np.asarray(encode_image(params, images, cfg))
+    bf16 = np.asarray(
+        encode_image(casted, images.astype(jnp.bfloat16), cfg), np.float32
+    )
+    a = f32 / np.linalg.norm(f32, axis=-1, keepdims=True)
+    b = bf16 / np.linalg.norm(bf16, axis=-1, keepdims=True)
+    assert np.sum(a * b, axis=-1).min() > 0.98

@@ -20,11 +20,22 @@ def test_metric_logger_jsonl(tmp_path):
 
 
 def test_metric_logger_tensorboard(tmp_path):
+    # torch (-> tensorboard SummaryWriter) is installed in the test env, so
+    # the tfevents file must actually be written — the jsonl fallback alone
+    # would hide a broken SummaryWriter integration
+    import importlib.util
+
     logger = MetricLogger(str(tmp_path / "tb"))
     logger.scalar("x", 1.0, 0)
     logger.close()
     files = os.listdir(tmp_path / "tb")
-    assert any("tfevents" in f for f in files) or "metrics.jsonl" in files
+    assert "metrics.jsonl" in files
+    has_tb = (
+        importlib.util.find_spec("torch") is not None
+        or importlib.util.find_spec("tensorboard") is not None
+    )
+    if has_tb:
+        assert any("tfevents" in f for f in files), files
 
 
 def test_timed():

@@ -233,6 +233,34 @@ def test_protoclip_loss_terms(rng):
     )
     total = terms["L1"] + terms["L2"] + terms["L3"] + terms["L4"] + terms["L5"]
     np.testing.assert_allclose(float(terms["total"]), float(total), rtol=1e-6)
+    # each term against its independent formula (not the module's own sum):
+    # L1 = NLL of the true class, L2/L3 the two InfoNCE directions, L4/L5
+    # the intra-modality alignments (utils.py:80-109)
+    np.testing.assert_allclose(
+        float(terms["L1"]),
+        float(-np.mean(np.log(p[np.arange(Q), labels] + 1e-12))),
+        rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        float(terms["L2"]), float(info_nce(jnp.asarray(img_p), jnp.asarray(text_p))), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(terms["L3"]), float(info_nce(jnp.asarray(text_p), jnp.asarray(img_p))), rtol=1e-6
+    )
+    assert float(terms["L2"]) != float(terms["L3"])  # directions differ
+    np.testing.assert_allclose(
+        float(terms["L4"]), float(info_nce(jnp.asarray(img_p), jnp.asarray(img_p))), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(terms["L5"]), float(info_nce(jnp.asarray(text_p), jnp.asarray(text_p))), rtol=1e-6
+    )
+    # a disabled term is absent and excluded from the total
+    sub = protoclip_loss(
+        jnp.asarray(p), jnp.asarray(labels), jnp.asarray(img_p), jnp.asarray(text_p),
+        losses=("L1",),
+    )
+    assert "L2" not in sub and "L4" not in sub
+    np.testing.assert_allclose(float(sub["total"]), float(sub["L1"]), rtol=1e-6)
 
 
 def test_l2_normalize(rng):

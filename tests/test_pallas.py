@@ -93,9 +93,19 @@ def test_fused_transformer_block_matches_reference(rng, L, causal):
 def test_qt_step_grads_bypass_pallas(rng, monkeypatch):
     """The QT trainer differentiates only through adapter/banks; the frozen
     CLIP encode (the only pallas consumer) is stop-gradient'd.  Force the
-    pallas path on (interpret mode) and check a step still runs."""
-    import os
-    monkeypatch.setenv("PROTOCLIP_PALLAS", "0")  # CPU: keep XLA for speed
+    pallas path on (interpret mode on CPU) and check value_and_grad still
+    compiles and runs — if the stop_gradient were dropped, jax would try to
+    differentiate through the Pallas custom call and fail."""
+    import protoclip_tpu.ops.pallas_kernels as pk
+
+    monkeypatch.setenv("PROTOCLIP_PALLAS", "1")
+    orig = pk.fused_transformer_block
+
+    def forced(*args, **kwargs):
+        kwargs["interpret"] = True
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(pk, "fused_transformer_block", forced)
     from protoclip_tpu.train.qt import QTTrainer
     from tests.test_models import TINY_VIT
     from protoclip_tpu.models.clip import init_clip_params
@@ -112,6 +122,35 @@ def test_qt_step_grads_bypass_pallas(rng, monkeypatch):
     images = rng.integers(0, 256, (2, 32, 32, 3), dtype=np.uint8).astype(np.uint8)
     stats = trainer.train_step(images, np.asarray([0, 1], np.int32), 2)
     assert np.isfinite(stats["loss"])
+
+
+def test_fp_transformer_pallas_wiring(rng, monkeypatch):
+    """$PROTOCLIP_PALLAS routes the bf16/fp layer scan through the fused
+    block kernel (pad-hoist -> scan -> slice) and matches the XLA path —
+    the exact route of the headline TPU serving path, at a non-multiple-of-8
+    sequence length."""
+    import jax
+
+    import protoclip_tpu.ops.pallas_kernels as pk
+    from protoclip_tpu.models.layers import init_block_params, transformer
+
+    monkeypatch.setenv("PROTOCLIP_PALLAS", "1")
+    orig = pk.fused_transformer_block
+
+    def forced(*args, **kwargs):
+        kwargs["interpret"] = True
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(pk, "fused_transformer_block", forced)
+    D, H, L, B, layers = 128, 4, 13, 2, 3  # L=13: pad/slice path active
+    stacked = init_block_params(jax.random.PRNGKey(0), layers, D)
+    x = jnp.asarray(rng.standard_normal((B, L, D)).astype(np.float32))
+    out_pallas = np.asarray(transformer(x, stacked, H))
+
+    monkeypatch.setenv("PROTOCLIP_PALLAS", "0")
+    out_xla = np.asarray(transformer(x, stacked, H))
+    assert out_pallas.shape == (B, L, D)
+    np.testing.assert_allclose(out_pallas, out_xla, atol=2e-3)
 
 
 def test_fused_block_hoisted_padding(rng):

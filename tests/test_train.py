@@ -117,6 +117,18 @@ def test_episodic_trainer_losses_subset(rng):
     )
     stats = trainer.run_epoch()
     assert np.isfinite(stats["loss"])
+    # the subset is honored: only L1 in the breakdown, and it IS the total
+    assert "L1" in stats and "L2" not in stats and "L3" not in stats
+    assert stats["loss"] == pytest.approx(stats["L1"], rel=1e-5)
+
+    full = EpisodicTrainer(
+        frozen_keys=keys, bank_t_init=bank_t, n_class=5, k_shots=4,
+        adapter_kind="conv-2x", alpha=0.3, beta=8.0,
+        losses=("L1", "L2", "L3"), seed=0,
+    )
+    full_stats = full.run_epoch()
+    assert "L2" in full_stats and "L3" in full_stats
+    assert full_stats["loss"] != pytest.approx(stats["loss"], rel=1e-6)
 
 
 def test_qt_trainer_step(rng):
