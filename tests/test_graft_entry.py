@@ -48,3 +48,33 @@ def test_dryrun_multichip_inprocess():
         g.dryrun_multichip(8)
     finally:
         sys.path.remove(REPO)
+
+
+def test_bench_emits_one_json_line_on_cpu(tmp_path):
+    """The driver parses bench.py's stdout as ONE JSON line; the CPU
+    fallback must uphold that contract (diagnostics go to stderr).
+    Runs in a temp cwd so the repo's real bench_details.json (a TPU
+    artifact) is not clobbered by CPU numbers."""
+    import json
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.update({
+        "PALLAS_AXON_POOL_IPS": "",
+        "JAX_PLATFORMS": "cpu",
+        "PROTOCLIP_PALLAS": "0",
+    })
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "bench.py")],
+        capture_output=True, text=True, timeout=420, env=env,
+        cwd=str(tmp_path),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = [l for l in proc.stdout.strip().splitlines() if l.strip()]
+    assert len(lines) == 1, proc.stdout
+    row = json.loads(lines[0])
+    assert row["metric"] == "vit_b16_encode_images_per_sec_per_chip"
+    assert set(row) == {"metric", "value", "unit", "vs_baseline"}
+    assert row["value"] > 0
