@@ -137,3 +137,44 @@ def test_imagenet_ensemble_tokenizes_within_context():
     arr = tokenize(prompts)
     assert arr.shape == (7, 77)
     assert (arr.argmax(axis=1) > 0).all()
+
+
+def test_encode_matches_hf_fuzz(hf_tokenizer):
+    """Randomized parity sweep: 300 strings mixing words, digits,
+    punctuation, unicode, contractions, whitespace runs and case — the
+    classic sources of silent BPE drift."""
+    import random
+
+    rng = random.Random(0)
+    words = [
+        "cat", "Dog", "AIRplane", "sub-zero", "it's", "they'll", "we've",
+        "x86_64", "3.14", "100", "7", "naive", "cafe", "uber",
+        "hello,world", "a.b.c", "!?!", "(nested)", "[ok]", "end.",
+        "éclair", "naïve", "über", "straße", "—dash",
+        "emoji\U0001f600", "mixEDcase", "'quoted'",
+        # NOTE: CJK text is deliberately absent: transformers' CLIPTokenizer
+        # splits Chinese characters (BasicTokenizer behavior) while the
+        # OpenAI reference regex keeps a \p{L}+ run as ONE word — we match
+        # the reference (see test_cjk_matches_reference_not_hf).
+    ]
+    ours_tok = ClipTokenizer(VOCAB)
+    for _ in range(300):
+        n = rng.randint(1, 8)
+        sep = rng.choice([" ", "  ", "\t", " \n ", ""])
+        text = sep.join(rng.choice(words) for _ in range(n))
+        ours = ours_tok.encode(text)
+        theirs = hf_tokenizer(text)["input_ids"][1:-1]
+        assert ours == theirs, f"{text!r}: {ours} != {theirs}"
+
+
+def test_cjk_matches_reference_not_hf():
+    """The reference regex ([\p{L}]+, clip/simple_tokenizer.py) keeps a
+    letter run like 'cjk中文' as ONE word: only the final byte-token carries
+    the </w> marker.  transformers' CLIPTokenizer deliberately diverges
+    (it splits CJK chars); we follow the reference."""
+    tok = ClipTokenizer(VOCAB)
+    ids = tok.encode("CJK中文")
+    dec = {v: k for k, v in tok.encoder.items()}
+    pieces = [dec[i] for i in ids]
+    assert pieces[-1].endswith("</w>")
+    assert not any(p.endswith("</w>") for p in pieces[:-1]), pieces
