@@ -176,8 +176,17 @@ def test_fused_block_hoisted_padding(rng):
     np.testing.assert_allclose(out[:, :L, :], ref, atol=5e-4)
 
 
-@pytest.mark.parametrize("L,causal", [(50, False), (13, True)])
-def test_fused_block_int8_close_to_reference(rng, L, causal):
+@pytest.mark.parametrize(
+    "L,causal,D,H,B",
+    [
+        (50, False, 128, 4, 4),
+        (13, True, 128, 4, 4),
+        # ViT-L/14 vision-block geometry (D=1024, H=16, L=257): the FewSOL-198
+        # deploy backbone's serving shape
+        (257, False, 1024, 16, 1),
+    ],
+)
+def test_fused_block_int8_close_to_reference(rng, L, causal, D, H, B):
     """W8A8 serving kernel: per-channel weight + per-row activation scales
     keep the block output within quantization noise of the fp32 path."""
     import jax
@@ -188,7 +197,6 @@ def test_fused_block_int8_close_to_reference(rng, L, causal):
         quantize_stacked_blocks,
     )
 
-    B, D, H = 4, 128, 4
     stacked = init_block_params(jax.random.PRNGKey(0), 1, D)
     qblocks = quantize_stacked_blocks(stacked)
     qblock = jax.tree_util.tree_map(lambda a: a[0], qblocks)
