@@ -418,3 +418,42 @@ def test_legacy_preamble_rejects_globals(tmp_path):
 
     with pytest.raises((_pickle.UnpicklingError, ValueError)):
         load_pt(str(path))
+
+
+def test_load_pt_malformed_files_raise_cleanly(tmp_path):
+    """Corrupt/truncated/hostile checkpoint bytes must raise a clean error
+    (never hang, crash the process, or return garbage silently) — load_pt
+    reads untrusted files by design."""
+    import pickle as _pickle
+    import zipfile as _zipfile
+
+    rng = np.random.default_rng(0)
+    cases = {
+        "empty.pt": b"",
+        "random.pt": rng.integers(0, 256, 4096).astype(np.uint8).tobytes(),
+        "truncated_zip.pt": b"PK\x03\x04" + b"\x00" * 64,
+        "text.pt": b"definitely not a checkpoint\n" * 10,
+        # valid pickle but wrong payload type for a legacy stream
+        "wrong_magic.pt": _pickle.dumps(12345),
+    }
+    # a real zip missing data.pkl
+    bad_zip = tmp_path / "nodatapkl.pt"
+    with _zipfile.ZipFile(bad_zip, "w") as zf:
+        zf.writestr("archive/other.bin", b"xx")
+    from protoclip_tpu.io.torch_pt import load_pt
+
+    for name, payload in cases.items():
+        path = tmp_path / name
+        path.write_bytes(payload)
+        with pytest.raises(Exception) as exc_info:
+            load_pt(str(path))
+        # clean, typed failures only — not SystemExit/KeyboardInterrupt
+        import struct
+
+        assert isinstance(
+            exc_info.value,
+            (ValueError, _pickle.UnpicklingError, EOFError, OSError,
+             _zipfile.BadZipFile, KeyError, struct.error),
+        ), (name, type(exc_info.value))
+    with pytest.raises(ValueError):
+        load_pt(str(bad_zip))
