@@ -397,3 +397,53 @@ def test_resize_crop_torchvision_pixel_parity():
     marked[:, 38, 0] = 255  # first column of the expected crop window
     cropped = np.asarray(center_crop(Image.fromarray(marked), 224))
     assert cropped[:, 0, 0].min() == 255
+
+
+def test_mat_reader_malformed_bytes_raise_cleanly(tmp_path):
+    """io/mat.py reads untrusted .mat downloads: corrupt bytes must raise a
+    clean typed error, never hang or silently return wrong data."""
+    import struct as _struct
+    import zlib as _zlib
+
+    from protoclip_tpu.io.mat import load_mat
+
+    rng = np.random.default_rng(0)
+    header = b"MATLAB 5.0 MAT-file" + b" " * 105 + b"\x00\x01IM"
+    cases = {
+        "empty.mat": b"",
+        "short_header.mat": b"MATLAB",
+        "random.mat": rng.integers(0, 256, 2048).astype(np.uint8).tobytes(),
+        "header_only_garbage.mat": header + rng.integers(0, 256, 256).astype(np.uint8).tobytes(),
+        "truncated_element.mat": header + _struct.pack("<II", 14, 4096) + b"\x00" * 16,
+        "bad_zlib.mat": header + _struct.pack("<II", 15, 32) + b"\x00" * 32,
+    }
+    for name, payload in cases.items():
+        path = tmp_path / name
+        path.write_bytes(payload)
+        with pytest.raises(Exception) as exc_info:
+            load_mat(str(path))
+        assert isinstance(
+            exc_info.value,
+            (ValueError, KeyError, _struct.error, _zlib.error, EOFError, OSError),
+        ), (name, type(exc_info.value))
+
+
+def test_tokenizer_fuzz_never_crashes():
+    """The BPE tokenizer must handle arbitrary unicode without exceptions
+    and produce in-vocab ids (the ROS/ASR path feeds it raw speech text)."""
+    from protoclip_tpu.tokenizer import ClipTokenizer, default_vocab_path
+
+    vocab = default_vocab_path()
+    if vocab is None:
+        pytest.skip("BPE vocab not available")
+    tok = ClipTokenizer(vocab)
+    rng = np.random.default_rng(0)
+    for _ in range(100):
+        n = int(rng.integers(0, 40))
+        codepoints = rng.integers(1, 0x2FFFF, n)
+        text = "".join(
+            chr(int(c)) for c in codepoints
+            if not (0xD800 <= int(c) <= 0xDFFF)  # skip surrogates
+        )
+        ids = tok.encode(text)
+        assert all(0 <= i < tok.vocab_size for i in ids), text
