@@ -126,6 +126,15 @@ def test_qt_run(tiny_env):
         cfg.cache_dir, "models", "tiny", "K-2", "best-alpha-beta", "0.5-5.0"
     )
     assert os.path.isdir(ckpt_dir) and os.listdir(ckpt_dir)
+    # the Q^T flow performs the zero-shot sweep phase before training
+    # (main.qt.py:109-183): result + pkl-compatible caches must exist
+    assert result.zero_shot and "val_best_acc" in result.zero_shot
+    model_root = os.path.join(cfg.cache_dir, "models", "tiny", "K-2")
+    hp_files = [
+        f for f in os.listdir(model_root)
+        if f.startswith("zero_shot_hp_search_")
+    ]
+    assert len(hp_files) >= 3, hp_files  # val/test/train grids
 
 
 def test_sharded_encode_on_cpu_mesh(tiny_env):
