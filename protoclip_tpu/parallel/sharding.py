@@ -60,14 +60,15 @@ def make_sharded_encode(
 def shard_qt_step(step_fn: Callable, mesh: Mesh) -> Callable:
     """jit the Q^T train step with batch inputs sharded over ``data``.
 
-    Signature: ``step(params, opt_state, images, labels, n_valid, lr)``.
-    Params/optimizer state replicate; the frozen-encode activations (the
-    memory giant) shard by batch; the loss reduction induces a psum.
+    Signature: ``step(params, opt_state, clip_params, images, labels,
+    n_valid, lr)``.  Params/optimizer state/CLIP weights replicate; the
+    frozen-encode activations (the memory giant) shard by batch; the loss
+    reduction induces a psum.
     """
     rep, bat = replicated(mesh), batch_sharding(mesh)
     return jax.jit(
         step_fn,
-        in_shardings=(rep, rep, bat, bat, rep, rep),
+        in_shardings=(rep, rep, rep, bat, bat, rep, rep),
         out_shardings=(rep, rep, rep),
         donate_argnums=(0, 1),
     )

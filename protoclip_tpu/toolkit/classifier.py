@@ -88,15 +88,20 @@ class ProtoClipClassifier:
         return {int(row[1]): row[2] for row in data["train"]}
 
     def _build_infer(self):
-        clip_cfg, clip_params, model = self.clip_cfg, self._clip_params, self.model
+        clip_cfg = self.clip_cfg
         top_k = max(1, self.cfg.top_k)
         alpha, beta = self.cfg.alpha, self.cfg.beta
         norm_dtype = (
             jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16" else jnp.float32
         )
 
+        # params/model are jit ARGUMENTS, not closure captures: captured
+        # device arrays get baked into the executable as constants — for
+        # ViT-L/14 that is ~1 GB of weights embedded in the program (it
+        # blows remote-compile payload limits outright) and any weight
+        # update would silently retrace
         @jax.jit
-        def infer(images_u8):
+        def infer(clip_params, model, images_u8):
             images = normalize_batch(images_u8, norm_dtype)
             feats = encode_image(clip_params, images, clip_cfg).astype(jnp.float32)
             feats = l2_normalize(feats)
@@ -104,7 +109,7 @@ class ProtoClipClassifier:
             probs, idxs = jax.lax.top_k(p, top_k)
             return probs, idxs
 
-        return infer
+        return lambda images_u8: infer(self._clip_params, self.model, images_u8)
 
     def _preprocess_crops(self, crops: Sequence[np.ndarray]) -> np.ndarray:
         n_px = self.clip_cfg.image_resolution

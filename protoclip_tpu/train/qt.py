@@ -71,7 +71,7 @@ class QTTrainer:
         losses = self.losses
         alpha, beta = self.alpha, self.beta
         optimizer = self.optimizer
-        clip_params, clip_cfg = self.clip_params, self.clip_cfg
+        clip_cfg = self.clip_cfg
         frozen_bank_t = self._frozen_bank_t
         vis_only = self.train_vis_mem_only
 
@@ -112,14 +112,18 @@ class QTTrainer:
             def encode_sharded(cp, images):
                 return encode_image(cp, images, clip_cfg)
 
-        def step(params, opt_state, images_u8, labels, n_valid, lr):
+        # clip_params are a step ARGUMENT, not a closure capture: captured
+        # device arrays get baked into the executable as constants (~1 GB
+        # for ViT-L/14 — it can exceed remote-compile payload limits and
+        # bloats every executable)
+        def step(params, opt_state, cp, images_u8, labels, n_valid, lr):
             opt_state.hyperparams["learning_rate"] = lr
             # same normalize dtype as the bank/eval encode path
             # (runner.py::make_encode_fns) so query features match the
             # cached features of the same images
             images = normalize_batch(images_u8, norm_dtype)
             zq_frozen = jax.lax.stop_gradient(
-                encode_sharded(clip_params, images)
+                encode_sharded(cp, images)
             ).astype(jnp.float32)
             weights = (jnp.arange(labels.shape[0]) < n_valid).astype(jnp.float32)
             (loss, (matches, terms)), grads = grad_fn(params, zq_frozen, labels, weights)
@@ -142,6 +146,7 @@ class QTTrainer:
         self.params, self.opt_state, m = self._step_fn(
             self.params,
             self.opt_state,
+            self.clip_params,
             jnp.asarray(images_u8),
             jnp.asarray(labels, jnp.int32),
             jnp.asarray(n_valid, jnp.int32),
