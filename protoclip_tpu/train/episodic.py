@@ -181,11 +181,14 @@ class EpisodicTrainer:
         losses = self.losses
         alpha, beta = self.alpha, self.beta
         optimizer = self.optimizer
-        frozen_keys = self._frozen_keys
-        frozen_bank_t = self._frozen_bank_t
         vis_only = self.train_vis_mem_only
 
-        def episode_loss(params, query_idx, query_labels, query_w):
+        # frozen_keys/frozen_bank_t are epoch_fn ARGUMENTS, not closure
+        # captures: captured device arrays get baked into the executable as
+        # constants (65 MB of cached features at ImageNet scale), inflating
+        # every (remote) compile — and a restored frozen bank would
+        # otherwise require rebuilding the jitted fn.
+        def episode_loss(params, frozen_keys, frozen_bank_t, query_idx, query_labels, query_w):
             bank_t = frozen_bank_t if vis_only else params["bank_t"]
             img_proto = class_prototypes(params["bank_v"], n, k)
             txt_proto = l2_normalize(bank_t.astype(jnp.float32))
@@ -205,11 +208,11 @@ class EpisodicTrainer:
 
         grad_fn = jax.value_and_grad(episode_loss, has_aux=True)
 
-        def one_episode(carry, episode):
+        def one_episode(frozen_keys, frozen_bank_t, carry, episode):
             params, opt_state = carry
             query_idx, query_labels, query_w, valid = episode
             (loss, (terms, matches)), grads = grad_fn(
-                params, query_idx, query_labels, query_w
+                params, frozen_keys, frozen_bank_t, query_idx, query_labels, query_w
             )
             updates, new_opt_state = optimizer.update(grads, opt_state, params)
             new_params = optax.apply_updates(params, updates)
@@ -233,10 +236,13 @@ class EpisodicTrainer:
             return (params, opt_state), metrics
 
         @jax.jit
-        def epoch_fn(params, opt_state, query_idx, query_labels, query_w, valid, lr):
+        def epoch_fn(
+            params, opt_state, frozen_keys, frozen_bank_t,
+            query_idx, query_labels, query_w, valid, lr,
+        ):
             opt_state = _set_lr(opt_state, lr)
             (params, opt_state), metrics = jax.lax.scan(
-                one_episode,
+                lambda carry, ep: one_episode(frozen_keys, frozen_bank_t, carry, ep),
                 (params, opt_state),
                 (query_idx, query_labels, query_w, valid),
             )
@@ -270,6 +276,8 @@ class EpisodicTrainer:
         self.params, self.opt_state, agg = self._epoch_fn(
             self.params,
             self.opt_state,
+            self._frozen_keys,
+            self._frozen_bank_t,
             jnp.asarray(query_idx),
             jnp.asarray(query_labels),
             jnp.asarray(query_w),
@@ -299,11 +307,9 @@ class EpisodicTrainer:
         if not self.train_vis_mem_only:
             self.params["bank_t"] = jnp.asarray(model.bank_t, jnp.float32)
         else:
+            # frozen_bank_t is an epoch_fn argument, so the restored bank
+            # takes effect on the next run_epoch without a rebuild
             self._frozen_bank_t = jnp.asarray(model.bank_t, jnp.float32)
-            # the jitted epoch fn closed over the previous frozen bank;
-            # rebuild so training uses the restored one (it would otherwise
-            # silently keep optimizing against the stale prototypes)
-            self._epoch_fn = self._build_epoch_fn()
         self.params["adapter"] = jax.tree_util.tree_map(
             lambda x: jnp.asarray(x, jnp.float32), model.adapter
         )

@@ -167,14 +167,17 @@ def make_val_metrics_fn(val_feats, val_labels, alpha, beta):
     and Q^T runners so the definition cannot diverge."""
     val_j, val_l = jnp.asarray(val_feats), jnp.asarray(val_labels)
 
+    # features are jit ARGUMENTS: closure-captured device arrays get baked
+    # into the executable as constants (~100 MB of val features at ImageNet
+    # scale), inflating every (remote) compile
     @jax.jit
-    def val_acc_fn(model):
-        p = model.probs(val_j, alpha, beta)
-        acc = jnp.mean((jnp.argmax(p, axis=-1) == val_l).astype(jnp.float32))
+    def val_acc_fn(model, feats, labels):
+        p = model.probs(feats, alpha, beta)
+        acc = jnp.mean((jnp.argmax(p, axis=-1) == labels).astype(jnp.float32))
         val_loss = -jnp.mean(jnp.log(jnp.max(p, axis=-1) + 1e-12))
         return acc, val_loss
 
-    return val_acc_fn
+    return lambda model: val_acc_fn(model, val_j, val_l)
 
 
 def prepare_experiment(cfg: Config, mesh=None, progress: bool = True) -> ExperimentSetup:
