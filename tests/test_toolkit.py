@@ -183,6 +183,24 @@ def test_proto_clip_classifier(classifier_env):
     names, probs = clf.classify_objects([])
     assert names == [] and probs.shape == (0, 2)
 
+    # weights are jit ARGUMENTS, not baked-in constants: swapping the model
+    # state must change predictions with no rebuild (regression for the
+    # closure-capture bug that embedded ~1 GB of ViT-L params per program)
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    _, probs_before = clf.classify_objects(crops)
+    clf.model = dataclasses.replace(
+        clf.model,
+        bank_t=jnp.asarray(
+            np.roll(np.asarray(clf.model.bank_t), 1, axis=0), jnp.float32
+        ),
+    )
+    _, probs_after = clf.classify_objects(crops)
+    assert not np.allclose(probs_before, probs_after)
+
 
 def test_ood_eval(classifier_env):
     from protoclip_tpu.toolkit.ood import test_ood_performance
