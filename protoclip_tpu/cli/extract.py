@@ -21,10 +21,9 @@ import os
 import sys
 
 
-_IMAGE_EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".gif", ".tif", ".tiff", ".webp")
-
-
 def _find_images(root: str) -> list:
+    from protoclip_tpu.data.splits import _IMAGE_EXTS
+
     out = []
     for dirpath, dirnames, filenames in os.walk(root):
         dirnames.sort()
@@ -61,6 +60,8 @@ def main() -> None:
     from protoclip_tpu.data.transforms import clip_preprocess, normalize_batch
     from protoclip_tpu.models import encode_image, load_clip
 
+    if not args.out.endswith(".npz"):
+        args.out += ".npz"  # np.savez appends it silently otherwise
     files = (
         [args.input] if os.path.isfile(args.input) else _find_images(args.input)
     )

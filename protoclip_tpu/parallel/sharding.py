@@ -44,7 +44,10 @@ def make_sharded_encode(
     opaque custom calls the SPMD partitioner cannot split — on its local
     batch shard.  Encode has no cross-device math, so per-shard execution
     is exact; XLA still fuses across the shard_map boundary."""
-    from jax import shard_map
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax: experimental namespace
+        from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
     local = shard_map(
@@ -60,15 +63,16 @@ def make_sharded_encode(
 def shard_qt_step(step_fn: Callable, mesh: Mesh) -> Callable:
     """jit the Q^T train step with batch inputs sharded over ``data``.
 
-    Signature: ``step(params, opt_state, clip_params, images, labels,
-    n_valid, lr)``.  Params/optimizer state/CLIP weights replicate; the
+    Signature: ``step(params, opt_state, clip_params, frozen_bank_t,
+    images, labels, n_valid, lr)``.  Params/optimizer state/CLIP weights
+    and the frozen textual bank replicate; the
     frozen-encode activations (the memory giant) shard by batch; the loss
     reduction induces a psum.
     """
     rep, bat = replicated(mesh), batch_sharding(mesh)
     return jax.jit(
         step_fn,
-        in_shardings=(rep, rep, rep, bat, bat, rep, rep),
+        in_shardings=(rep, rep, rep, rep, bat, bat, rep, rep),
         out_shardings=(rep, rep, rep),
         donate_argnums=(0, 1),
     )

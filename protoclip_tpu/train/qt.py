@@ -72,10 +72,9 @@ class QTTrainer:
         alpha, beta = self.alpha, self.beta
         optimizer = self.optimizer
         clip_cfg = self.clip_cfg
-        frozen_bank_t = self._frozen_bank_t
         vis_only = self.train_vis_mem_only
 
-        def loss_fn(params, zq_frozen, labels, weights):
+        def loss_fn(params, frozen_bank_t, zq_frozen, labels, weights):
             bank_t = frozen_bank_t if vis_only else params["bank_t"]
             img_proto = class_prototypes(params["bank_v"], n, k)
             txt_proto = l2_normalize(bank_t.astype(jnp.float32))
@@ -98,7 +97,10 @@ class QTTrainer:
             # per-device batch shards with shard_map (params replicated);
             # everything downstream (loss/grads over tiny banks) partitions
             # fine under plain jit and the psum falls out of the reduction
-            from jax import shard_map
+            try:
+                from jax import shard_map
+            except ImportError:  # older jax: experimental namespace
+                from jax.experimental.shard_map import shard_map
             from jax.sharding import PartitionSpec as P
 
             def encode_sharded(cp, images):
@@ -116,7 +118,7 @@ class QTTrainer:
         # device arrays get baked into the executable as constants (~1 GB
         # for ViT-L/14 — it can exceed remote-compile payload limits and
         # bloats every executable)
-        def step(params, opt_state, cp, images_u8, labels, n_valid, lr):
+        def step(params, opt_state, cp, frozen_bank_t, images_u8, labels, n_valid, lr):
             opt_state.hyperparams["learning_rate"] = lr
             # same normalize dtype as the bank/eval encode path
             # (runner.py::make_encode_fns) so query features match the
@@ -126,7 +128,9 @@ class QTTrainer:
                 encode_sharded(cp, images)
             ).astype(jnp.float32)
             weights = (jnp.arange(labels.shape[0]) < n_valid).astype(jnp.float32)
-            (loss, (matches, terms)), grads = grad_fn(params, zq_frozen, labels, weights)
+            (loss, (matches, terms)), grads = grad_fn(
+                params, frozen_bank_t, zq_frozen, labels, weights
+            )
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             stats = {"loss": loss, "matches": matches, "n": jnp.sum(weights)}
@@ -147,6 +151,7 @@ class QTTrainer:
             self.params,
             self.opt_state,
             self.clip_params,
+            self._frozen_bank_t,
             jnp.asarray(images_u8),
             jnp.asarray(labels, jnp.int32),
             jnp.asarray(n_valid, jnp.int32),

@@ -79,6 +79,7 @@ def run_qt(cfg: Config, mesh=None, progress: bool = True, logger: Optional[Metri
             train_vis_mem_only=cfg.train_vis_mem_only,
             seed=cfg.seed,
             mesh=mesh,
+            compute_dtype=cfg.compute_dtype,
         )
         val_acc_fn = make_val_metrics_fn(
             setup.val_feats, setup.val_labels, alpha, beta

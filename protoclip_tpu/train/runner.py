@@ -120,10 +120,10 @@ def zero_shot_sweep_phase(cfg, setup, logger, progress: bool) -> Dict[str, float
     bank_v, bank_values, bank_t = setup.bank_v, setup.bank_values, setup.bank_t
     alphas, betas = default_alpha_beta_grid()
     img_protos = np.asarray(
-        jax.jit(lambda b: ProtoClip(
-            bank_v=b, bank_t=jnp.asarray(bank_t), adapter={}, adapter_kind="fc",
+        jax.jit(lambda b, t: ProtoClip(
+            bank_v=b, bank_t=t, adapter={}, adapter_kind="fc",
             shots=cfg.shots,
-        ).prototypes()[0])(jnp.asarray(bank_v))
+        ).prototypes()[0])(jnp.asarray(bank_v), jnp.asarray(bank_t))
     )
     text_protos = bank_t / np.linalg.norm(bank_t, axis=-1, keepdims=True)
     zs: Dict[str, float] = {}
