@@ -39,6 +39,10 @@ def nll_of_probs(
     if weights is None:
         return logs.mean()
     w = weights.astype(jnp.float32)
+    # NaN-safe masking: a zero-weight (padded) row whose probability
+    # underflowed to 0 has logs = inf, and inf * 0 = NaN — select, don't
+    # multiply (verified at beta >= ~26 with unit-norm features)
+    logs = jnp.where(w > 0, logs, 0.0)
     return jnp.sum(logs * w) / jnp.maximum(jnp.sum(w), 1.0)
 
 
@@ -47,9 +51,13 @@ def info_nce(
     keys: jax.Array,
     temperature: float = INFO_NCE_TEMPERATURE,
 ) -> jax.Array:
-    """InfoNCE with in-batch negatives; positives are aligned rows."""
-    qn = l2_normalize(query.astype(jnp.float32))
-    kn = l2_normalize(keys.astype(jnp.float32))
+    """InfoNCE with in-batch negatives; positives are aligned rows.
+
+    eps guards zero rows (the all-zero placeholder visual bank of text-only
+    operation yields zero prototypes): 0/0 would poison the loss with NaN;
+    real prototypes are unit-norm, for which max(norm, eps) == norm."""
+    qn = l2_normalize(query.astype(jnp.float32), eps=1e-12)
+    kn = l2_normalize(keys.astype(jnp.float32), eps=1e-12)
     logits = (qn @ kn.T) / temperature
     labels = jnp.arange(logits.shape[0])
     logp = jax.nn.log_softmax(logits, axis=-1)

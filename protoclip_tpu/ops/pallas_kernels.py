@@ -214,6 +214,11 @@ def fused_attention_packed(
     materializing the head-major layout in HBM.
     """
     b, l, d = q.shape
+    if d % n_head:
+        # the per-head slice loop would silently leave the trailing
+        # d % n_head output columns as uninitialized VMEM; fail loudly like
+        # the XLA path's reshape does
+        raise ValueError(f"n_head={n_head} must divide feature dim {d}")
     lp = -(-l // 8) * 8
     if lp != l:
         pad = [(0, 0), (0, lp - l), (0, 0)]
@@ -331,8 +336,11 @@ def _fused_block_padded(
     # Pick the largest batch group whose working set fits the 100MB scoped
     # VMEM budget (x + qkv + score tile + fp32 MLP hidden + out, plus the
     # resident layer weights).  G=16 measured fastest for ViT-B/16.
-    weight_bytes = 2 * (3 * d * d + d * d + 8 * d * d)
-    per_row = lp * (2 * d + 6 * d + 4 * lp + 16 * d + 2 * d)
+    # Activation terms scale with the actual dtype (fp32 activations double
+    # the bf16 estimate and would overrun VMEM at a bf16-sized group).
+    it = jnp.dtype(x.dtype).itemsize
+    weight_bytes = it * (3 * d * d + d * d + 8 * d * d)
+    per_row = lp * (it * d + 3 * it * d + 4 * lp + 16 * d + it * d)
     budget = 85 * 1024 * 1024
     g = next(
         (
@@ -569,9 +577,11 @@ def _fused_block_int8_padded(
     x, qblock, n_head: int, length: int, causal=False, interpret=False, group=16
 ):
     b, lp, d = x.shape
-    # int8 weights + fp32 hidden; same VMEM sizing approach as the bf16 path
+    # int8 weights + fp32 hidden; same VMEM sizing approach as the bf16
+    # path, activation terms scaled by the actual activation dtype
+    it = jnp.dtype(x.dtype).itemsize
     weight_bytes = 12 * d * d + 4 * (3 * d + d + 4 * d + d + 8 * d)
-    per_row = lp * (2 * d + 6 * d + 4 * lp + 16 * d + 2 * d + 8)
+    per_row = lp * (it * d + 3 * it * d + 4 * lp + 16 * d + it * d + 8)
     budget = 85 * 1024 * 1024
     g = next(
         (

@@ -314,3 +314,33 @@ def test_text_only_and_adapterless_operation(rng):
     # and a mixed alpha stays finite (uniform visual head)
     acc = accuracy(model, q, np.zeros(8, np.int64), alpha=0.5, beta=5.0)
     assert 0.0 <= acc <= 1.0
+
+
+def test_nll_nan_safe_with_padded_rows():
+    """Regression: a zero-weight (padded) row whose picked probability
+    underflowed to 0 must not poison the loss (inf * 0 = NaN)."""
+    p = jnp.asarray([[1.0, 0.0], [0.5, 0.5]], jnp.float32)
+    labels = jnp.asarray([1, 0])  # row 0 picks probability exactly 0
+    w = jnp.asarray([0.0, 1.0], jnp.float32)  # ...but row 0 is padding
+    out = float(nll_of_probs(p, labels, w))
+    assert np.isfinite(out)
+    np.testing.assert_allclose(out, -np.log(0.5), rtol=1e-6)
+
+
+def test_info_nce_zero_rows_finite():
+    """Regression: zero prototype rows (text-only placeholder bank) must
+    not produce NaN through the 0-norm division in info_nce."""
+    img_p = jnp.zeros((4, 8), jnp.float32)
+    txt_p = jnp.asarray(np.eye(4, 8), jnp.float32)
+    assert np.isfinite(float(info_nce(img_p, txt_p)))
+    assert np.isfinite(float(info_nce(txt_p, img_p)))
+
+
+def test_packed_attention_rejects_nondivisor_heads(rng):
+    """Regression: n_head that doesn't divide D used to silently return
+    uninitialized VMEM in the trailing columns; it must raise."""
+    from protoclip_tpu.ops.pallas_kernels import fused_attention_packed
+
+    q = jnp.asarray(rng.standard_normal((1, 8, 96)).astype(np.float32))
+    with pytest.raises(ValueError, match="must divide"):
+        fused_attention_packed(q, q, q, n_head=5, interpret=True)

@@ -66,8 +66,8 @@ def test_fused_attention_packed_matches_xla(rng, L, causal):
     mask = jnp.triu(jnp.full((L, L), -jnp.inf), k=1) if causal else None
     ref = attention_core(split(q), split(k), split(v), mask)
     ref = np.asarray(ref.transpose(0, 2, 1, 3).reshape(B, L, D))
-    # the packed kernel computes the softmax exponent in bf16 (reference
-    # fp16-softmax numerics) -> ~3e-3 quantization vs the fp32 XLA path
+    # kernel numerics (fp32 scores, input-dtype softmax weights for the
+    # value matmul) differ slightly from the all-fp32 XLA path
     np.testing.assert_allclose(ours, ref, atol=2e-2)
     assert np.abs(ours - ref).mean() < 1e-3  # bulk agreement
 
