@@ -67,6 +67,11 @@ class Config:
             raise ValueError("alpha must be in [0, 1]")
         if self.beta <= 0:
             raise ValueError("beta must be > 0")
+        if self.compute_dtype not in ("bfloat16", "float32"):
+            raise ValueError(
+                f"compute_dtype must be 'bfloat16' or 'float32', got "
+                f"{self.compute_dtype!r} (typos would silently fall back)"
+            )
         return self
 
     def to_dict(self) -> dict:
@@ -85,12 +90,21 @@ def load_config(path: Optional[str] = None, **overrides) -> Config:
             data = yaml.safe_load(fh) or {}
     merged = {}
     valid_fields = {f.name for f in dataclasses.fields(Config)}
-    for key, value in {**data, **{k: v for k, v in overrides.items() if v is not None}}.items():
+    for key, value in data.items():
         if key in valid_fields:
             merged[key] = value
         else:
             import sys
 
+            # lenient for YAML only: the reference carries vestigial keys
             print(f"[protoclip_tpu] ignoring unknown config key {key!r}", file=sys.stderr)
+    for key, value in overrides.items():
+        if value is None:
+            continue
+        if key not in valid_fields:
+            # programmatic/CLI overrides are deliberate: a typo here must
+            # fail loudly, not silently keep the YAML value
+            raise TypeError(f"unknown config override {key!r}")
+        merged[key] = value
     cfg = Config(**merged)
     return cfg.validate()

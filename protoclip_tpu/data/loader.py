@@ -85,17 +85,32 @@ class BatchLoader:
             return pos, self.transform(load_image(item.impath), rng), item.label
 
         bs = self.batch_size
-        with _futures.ThreadPoolExecutor(max_workers=self.num_threads) as pool:
-            for start in range(0, len(order), bs):
-                chunk = order[start : start + bs]
-                n_valid = len(chunk)
-                images = np.zeros((bs if self.pad_last else n_valid, self.image_size, self.image_size, 3), np.uint8)
-                labels = np.zeros((bs if self.pad_last else n_valid,), np.int32)
-                work = [(pos, start + pos, idx) for pos, idx in enumerate(chunk)]
-                for pos, img, label in pool.map(load_one, work):
-                    images[pos] = img
-                    labels[pos] = label
-                yield images, labels, n_valid
+
+        def build_batch(pool, start):
+            chunk = order[start : start + bs]
+            n_valid = len(chunk)
+            images = np.zeros((bs if self.pad_last else n_valid, self.image_size, self.image_size, 3), np.uint8)
+            labels = np.zeros((bs if self.pad_last else n_valid,), np.int32)
+            work = [(pos, start + pos, idx) for pos, idx in enumerate(chunk)]
+            for pos, img, label in pool.map(load_one, work):
+                images[pos] = img
+                labels[pos] = label
+            return images, labels, n_valid
+
+        # double buffering: while the consumer runs (device encode), the
+        # NEXT batch decodes in the background — overlapping host decode
+        # with device compute instead of serializing them.  The driver gets
+        # its own single thread (an orchestrator task inside the decode
+        # pool would deadlock it at num_threads=1).
+        with _futures.ThreadPoolExecutor(max_workers=self.num_threads) as pool, \
+                _futures.ThreadPoolExecutor(max_workers=1) as driver:
+            starts = list(range(0, len(order), bs))
+            pending = driver.submit(build_batch, pool, starts[0])
+            for i, start in enumerate(starts):
+                batch = pending.result()
+                if i + 1 < len(starts):
+                    pending = driver.submit(build_batch, pool, starts[i + 1])
+                yield batch
 
 
 class ArrayLoader:

@@ -107,13 +107,18 @@ def _build_json_dataset(
 
 def _build_fewsol_198(root: str, shots: int, seed: int) -> FewShotDataset:
     dataset_dir = os.path.join(root, "fewsol")
-    for cand in _FEWSOL_198_CANDIDATES:
+    candidates = _FEWSOL_198_CANDIDATES
+    env_path = os.environ.get("PROTOCLIP_FEWSOL198_SPLIT")
+    if env_path:
+        candidates = (env_path,) + candidates
+    for cand in candidates:
         path = cand if os.path.isabs(cand) else os.path.join(dataset_dir, cand)
         if os.path.exists(path):
             ds = _build_json_dataset("fewsol", root, shots, seed, split_path=path)
             return FewShotDataset(ds.train_x, ds.val, ds.test, ds.template, name="fewsol_198")
     raise FileNotFoundError(
-        "fewsol_splits_198.json not found (looked in dataset dir and repo splits/)"
+        "fewsol_splits_198.json not found (set $PROTOCLIP_FEWSOL198_SPLIT or "
+        "place it in the dataset dir / repo splits/)"
     )
 
 

@@ -1,22 +1,22 @@
-"""Accuracy metrics (ref ``utils.py:247-253``)."""
+"""Accuracy metrics (ref ``utils.py:247-253``).
+
+Host numpy on purpose: these consume small, already-fetched score arrays,
+and eager jax ops on the remote-TPU backend each cost a 30-300s compile
+(CLAUDE.md environment rules)."""
 
 from __future__ import annotations
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 
 def top_k_accuracy(scores, labels, k: int = 1) -> float:
     """Percentage of rows whose true label is within the top-k scores."""
-    scores = jnp.asarray(scores)
-    labels = jnp.asarray(labels)
-    _, top_idx = jax.lax.top_k(scores, k)
-    hit = jnp.any(top_idx == labels[:, None], axis=-1)
-    return float(jnp.mean(hit.astype(jnp.float32)) * 100.0)
+    scores = np.asarray(scores)
+    labels = np.asarray(labels)
+    top_idx = np.argpartition(-scores, min(k, scores.shape[-1]) - 1, axis=-1)[:, :k]
+    hit = (top_idx == labels[:, None]).any(axis=-1)
+    return float(hit.mean() * 100.0)
 
 
 def accuracy_from_probs(p, labels) -> float:
-    return float(
-        jnp.mean((jnp.argmax(jnp.asarray(p), axis=-1) == jnp.asarray(labels)).astype(jnp.float32))
-    )
+    return float(np.mean(np.argmax(np.asarray(p), axis=-1) == np.asarray(labels)))

@@ -104,6 +104,14 @@ def build_visual_memory_bank(
                 keys = _orient_rows(keys, values.shape[0])
                 return keys, values
 
+    if getattr(loader, "shuffle", False):
+        raise ValueError(
+            "build_visual_memory_bank needs a deterministic-order loader: "
+            "features are averaged POSITIONALLY across augment passes, and a "
+            "reshuffling loader would average different images together "
+            "(the reference iterates its train loader unshuffled too, "
+            "utils.py:308)"
+        )
     sum_feats: Optional[np.ndarray] = None
     labels: Optional[np.ndarray] = None
     for aug in range(augment_epochs):
@@ -192,9 +200,17 @@ def pre_load_features(
     split: str,
     cache: Optional[FeatureCache] = None,
     progress: bool = True,
+    expected_count: Optional[int] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Encode + L2-normalize an eval split once, with caching
-    (ref ``utils.py:335-361``)."""
+    (ref ``utils.py:335-361``).
+
+    ``expected_count``: number of items the split SHOULD have.  The
+    reference's cache stems carry no dataset-variant marker (e.g. the
+    52- and 198-class FewSOL runs share ``caches/fewsol``), so a cached
+    file from a different variant would silently poison the run — a row
+    count mismatch rejects it and recomputes instead.
+    """
     if cache is not None:
         f_stem, l_stem = cache.split_stems(split)
         cf, cl = cache.load(f_stem), cache.load(l_stem)
@@ -202,7 +218,19 @@ def pre_load_features(
             feats = cf.get("features", cf.get("array"))
             labels = cl.get("labels", cl.get("array"))
             if feats is not None and labels is not None:
-                return np.asarray(feats, np.float32), np.asarray(labels, np.int64)
+                feats = np.asarray(feats, np.float32)
+                labels = np.asarray(labels, np.int64)
+                if expected_count is not None and len(feats) != expected_count:
+                    import sys
+
+                    print(
+                        f"[protoclip_tpu] cached {split} features have "
+                        f"{len(feats)} rows, expected {expected_count} "
+                        "(different dataset variant?); recomputing",
+                        file=sys.stderr,
+                    )
+                else:
+                    return feats, labels
 
     feats, labels = encode_loader(
         encode_fn, loader, normalize=True, progress=f"{split} features" if progress else None

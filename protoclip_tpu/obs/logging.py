@@ -17,7 +17,8 @@ class MetricLogger:
         self.log_dir = log_dir
         os.makedirs(log_dir, exist_ok=True)
         self._jsonl_path = os.path.join(log_dir, "metrics.jsonl")
-        self._jsonl = open(self._jsonl_path, "a")
+        # line-buffered: a crash/tunnel disconnect mid-run must not lose the log
+        self._jsonl = open(self._jsonl_path, "a", buffering=1)
         self._tb = None
         if use_tensorboard:
             try:

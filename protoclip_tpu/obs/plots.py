@@ -36,6 +36,8 @@ def plot_alpha_beta_surface(
     ax.set_ylabel("beta")
     ax.set_zlabel("accuracy")
     ax.set_title(title)
+    if extra_grids:
+        ax.legend()  # reference shows the split legend (utils.py:188)
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
     plt.savefig(out_path, dpi=200)
     plt.close(fig)

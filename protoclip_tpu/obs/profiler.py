@@ -12,11 +12,17 @@ import jax
 
 @contextlib.contextmanager
 def timed(label: str = "", results: dict | None = None) -> Iterator[None]:
-    """Time a block including device completion (block_until_ready on exit is
-    the caller's job for async arrays; this syncs the device queue)."""
+    """Wall-clock a block of HOST work.
+
+    This does NOT await device execution of pure computations:
+    ``jax.effects_barrier()`` only drains effect tokens, and on the remote
+    TPU backend even ``block_until_ready`` does not await execution
+    (CLAUDE.md environment rules).  To time device work, materialize a
+    scalar checksum inside the block — ``np.asarray(jnp.sum(out))`` — as
+    ``bench.py`` does; then this records the true end-to-end time."""
     start = time.perf_counter()
     yield
-    jax.effects_barrier()
+    jax.effects_barrier()  # best-effort: drains any effectful ops
     elapsed = time.perf_counter() - start
     if results is not None:
         results[label or "elapsed"] = elapsed

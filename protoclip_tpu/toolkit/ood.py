@@ -77,7 +77,10 @@ def test_ood_performance(
         items, batch_size=cfg.batch_size, transform=EvalTransform(image_size),
         image_size=image_size,
     )
-    feats, labels = pre_load_features(encode_fn, loader, f"ood_{test_dataset_name}", cache)
+    feats, labels = pre_load_features(
+        encode_fn, loader, f"ood_{test_dataset_name}", cache,
+        expected_count=len(items),
+    )
 
     bank_v, bank_t, adapter_state = load_checkpoint_triple(
         memory_bank_v_path, memory_bank_t_path, adapter_weights_path

@@ -214,8 +214,14 @@ def prepare_experiment(cfg: Config, mesh=None, progress: bool = True) -> Experim
         text_fn, dataset.classnames, dataset.template, cache,
         context_length=clip_cfg.context_length,
     )
-    val_feats, val_labels = pre_load_features(encode_fn, val_loader, "val", cache, progress)
-    test_feats, test_labels = pre_load_features(encode_fn, test_loader, "test", cache, progress)
+    val_feats, val_labels = pre_load_features(
+        encode_fn, val_loader, "val", cache, progress,
+        expected_count=len(dataset.val),
+    )
+    test_feats, test_labels = pre_load_features(
+        encode_fn, test_loader, "test", cache, progress,
+        expected_count=len(dataset.test),
+    )
     return ExperimentSetup(
         encode_fn=encode_fn,
         text_fn=text_fn,
