@@ -13,7 +13,11 @@ def top_k_accuracy(scores, labels, k: int = 1) -> float:
     """Percentage of rows whose true label is within the top-k scores."""
     scores = np.asarray(scores)
     labels = np.asarray(labels)
-    top_idx = np.argpartition(-scores, min(k, scores.shape[-1]) - 1, axis=-1)[:, :k]
+    k = min(k, scores.shape[-1])
+    # Stable sort (not argpartition) so ties at the k boundary break toward
+    # the lower index, matching torch.topk / lax.top_k on the reference path
+    # (utils.py:247-253); the arrays are small, host-side O(n log n) is fine.
+    top_idx = np.argsort(-scores, kind="stable", axis=-1)[:, :k]
     hit = (top_idx == labels[:, None]).any(axis=-1)
     return float(hit.mean() * 100.0)
 

@@ -35,14 +35,17 @@ def nll_of_probs(
     """
     pf = p.astype(jnp.float32)
     picked = jnp.take_along_axis(pf, labels[:, None], axis=-1)[:, 0]
-    logs = -jnp.log(picked + eps)
     if weights is None:
-        return logs.mean()
+        return (-jnp.log(picked + eps)).mean()
     w = weights.astype(jnp.float32)
-    # NaN-safe masking: a zero-weight (padded) row whose probability
-    # underflowed to 0 has logs = inf, and inf * 0 = NaN — select, don't
-    # multiply (verified at beta >= ~26 with unit-norm features)
-    logs = jnp.where(w > 0, logs, 0.0)
+    # NaN-safe masking must use the double-where pattern: masking only the
+    # *output* (where(w>0, -log(picked), 0)) keeps log(0)=inf inside the
+    # computation, and its backward pass is 0 * d(log)/dp = 0 * inf = NaN,
+    # which poisons every parameter in one step (seen at beta >= ~26 with
+    # padded rows). Substitute a safe input first so neither the forward
+    # nor the backward of the masked branch touches log(0).
+    safe_picked = jnp.where(w > 0, picked, 1.0)
+    logs = jnp.where(w > 0, -jnp.log(safe_picked + eps), 0.0)
     return jnp.sum(logs * w) / jnp.maximum(jnp.sum(w), 1.0)
 
 

@@ -135,16 +135,30 @@ def zero_shot_sweep_phase(cfg, setup, logger, progress: bool) -> Dict[str, float
     ):
         stem = cache.hp_search_stem(split)
         cached = cache.load(stem)
+        n_class = int(bank_t.shape[0])
+        if cached is not None and "n_class" in cached and int(cached["n_class"]) != n_class:
+            # dataset-variant guard: fewsol (52-class) and fewsol_198 share
+            # the caches/fewsol tree (core/config.py::cache_dir), and the
+            # sweep stems carry only backbone+shots — without this check a
+            # 52-class run would silently adopt the 198-class grid (and its
+            # wrong best alpha/beta) or vice versa. Recompute and overwrite.
+            cached = None
         if cached is not None and "acc" in cached:
             acc_grid = cached["acc"]
         elif cached is not None and ("triples" in cached or "array" in cached):
             # reference pickle format: (341, 3) [alpha, beta, acc] row list
+            # (no n_class field recorded — trusted as-is for interop)
             acc_grid = triples_to_sweep(
                 cached.get("triples", cached.get("array")), alphas, betas
             )
         else:
             acc_grid = alpha_beta_sweep(feats, labels, img_protos, text_protos, alphas, betas)
-            cache.save(stem, acc=acc_grid, triples=sweep_to_triples(acc_grid, alphas, betas))
+            cache.save(
+                stem,
+                acc=acc_grid,
+                triples=sweep_to_triples(acc_grid, alphas, betas),
+                n_class=np.int64(n_class),
+            )
         grids[split] = np.asarray(acc_grid)
         a, b, best = best_operating_point(acc_grid, alphas, betas)
         zs[f"{split}_best_alpha"], zs[f"{split}_best_beta"], zs[f"{split}_best_acc"] = a, b, best

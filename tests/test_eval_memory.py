@@ -295,3 +295,58 @@ def test_visual_bank_averages_over_augment_epochs(tmp_path):
     np.testing.assert_allclose(keys[0], expect0, atol=1e-6)
     expect1 = np.array([2.0, 2.0, 2.0, 0.0]) / np.linalg.norm([2.0, 2.0, 2.0, 0.0])
     np.testing.assert_allclose(keys[1], expect1, atol=1e-6)
+
+
+def test_top_k_accuracy_tie_breaks_toward_lower_index():
+    """Tie at the k boundary must resolve like torch.topk / lax.top_k
+    (stable, lower index wins), not argpartition's arbitrary order."""
+    # all three scores tied; only index 0 is "in the top-1"
+    scores = np.asarray([[0.5, 0.5, 0.5]])
+    assert top_k_accuracy(scores, np.asarray([0]), 1) == pytest.approx(100.0)
+    assert top_k_accuracy(scores, np.asarray([1]), 1) == pytest.approx(0.0)
+    assert top_k_accuracy(scores, np.asarray([1]), 2) == pytest.approx(100.0)
+
+
+def test_sweep_cache_guards_class_count_variant(tmp_path):
+    """Regression (round-2 advisor): fewsol (52-class) and fewsol_198 share
+    the caches/fewsol tree (core/config.py::cache_dir) and the sweep stems
+    carry only backbone+shots — a cached grid recorded for one class count
+    must be recomputed, not adopted, by a run with another."""
+    from types import SimpleNamespace
+
+    from protoclip_tpu.core.config import Config
+    from protoclip_tpu.obs.logging import MetricLogger
+    from protoclip_tpu.train.runner import zero_shot_sweep_phase
+
+    rng = np.random.default_rng(0)
+    d, shots = 8, 2
+
+    def make_setup(n_class):
+        bank_t = rng.standard_normal((n_class, d)).astype(np.float32)
+        bank_t /= np.linalg.norm(bank_t, axis=-1, keepdims=True)
+        bank_v = rng.standard_normal((n_class * shots, d)).astype(np.float32)
+        bank_v /= np.linalg.norm(bank_v, axis=-1, keepdims=True)
+        values = np.eye(n_class, dtype=np.float32).repeat(shots, axis=0)
+        feats = rng.standard_normal((6, d)).astype(np.float32)
+        feats /= np.linalg.norm(feats, axis=-1, keepdims=True)
+        labels = rng.integers(0, n_class, 6)
+        return SimpleNamespace(
+            cache=FeatureCache(str(tmp_path / "caches"), "RN50", shots),
+            bank_v=bank_v, bank_values=values, bank_t=bank_t,
+            val_feats=feats, val_labels=labels,
+            test_feats=feats, test_labels=labels,
+        )
+
+    cfg = Config(dataset="fewsol", shots=shots)
+    logger = MetricLogger(str(tmp_path / "logs"), use_tensorboard=False)
+    zero_shot_sweep_phase(cfg, make_setup(3), logger, progress=False)
+    stem = FeatureCache(str(tmp_path / "caches"), "RN50", shots).hp_search_stem("val")
+    cache = FeatureCache(str(tmp_path / "caches"), "RN50", shots)
+    first = cache.load(stem)
+    assert int(first["n_class"]) == 3
+
+    # a 5-class run over the same tree must NOT adopt the 3-class grid
+    zero_shot_sweep_phase(cfg, make_setup(5), logger, progress=False)
+    second = cache.load(stem)
+    assert int(second["n_class"]) == 5
+    assert not np.array_equal(first["acc"], second["acc"])

@@ -326,6 +326,14 @@ def test_nll_nan_safe_with_padded_rows():
     assert np.isfinite(out)
     np.testing.assert_allclose(out, -np.log(0.5), rtol=1e-6)
 
+    # The BACKWARD pass must be finite too: masking only the output keeps
+    # log(0)=inf inside the graph and its cotangent is 0*inf=NaN, which
+    # would poison every parameter in one optimizer step (double-where
+    # pattern required; verified broken before the fix).
+    val, grad = jax.value_and_grad(lambda probs: nll_of_probs(probs, labels, w))(p)
+    assert np.isfinite(float(val))
+    assert np.isfinite(np.asarray(grad)).all(), grad
+
 
 def test_info_nce_zero_rows_finite():
     """Regression: zero prototype rows (text-only placeholder bank) must
