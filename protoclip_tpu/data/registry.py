@@ -72,10 +72,12 @@ _JSON_SPECS: Dict[str, _JsonSpec] = {
 
 # Alternate split files for FewSOL-198 (ref splits/fewsol_splits_198.json;
 # configs/fewsol_198.yml runs dataset 'fewsol' against the 198-class split).
+# Candidates: the dataset dir, then a repo-checkout splits/ dir; anything
+# else comes in via $PROTOCLIP_FEWSOL198_SPLIT (a shipped package must not
+# hardcode machine-specific paths).
 _FEWSOL_198_CANDIDATES = (
     "fewsol_splits_198.json",  # inside the dataset dir
     os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "splits", "fewsol_splits_198.json"),
-    "/root/reference/splits/fewsol_splits_198.json",
 )
 
 

@@ -4,7 +4,7 @@ and Proto-CLIP ``_v/_t/_a`` checkpoint triples."""
 
 from protoclip_tpu.io.torch_pt import load_pkl, load_pt
 from protoclip_tpu.io.mat import load_mat, save_mat
-from protoclip_tpu.io.download import download_weights
+from protoclip_tpu.io.download import download_and_extract, download_weights, extract_archive
 from protoclip_tpu.io.checkpoint import (
     load_checkpoint_triple,
     save_checkpoint_triple,
@@ -16,7 +16,9 @@ __all__ = [
     "load_pkl",
     "load_mat",
     "save_mat",
+    "download_and_extract",
     "download_weights",
+    "extract_archive",
     "load_checkpoint_triple",
     "save_checkpoint_triple",
     "checkpoint_paths",

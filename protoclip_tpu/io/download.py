@@ -106,6 +106,53 @@ def download_url(url: str, root: str, expected_sha256: Optional[str] = None,
     return target
 
 
+def extract_archive(path: str, dest: str) -> None:
+    """Extract a ``.tar[.gz/.bz2/.xz]`` or ``.zip`` archive into ``dest``.
+
+    The reference tries ``tarfile.open`` and falls back to zip on *any*
+    exception (``datasets/utils.py:203-211``); here the format is sniffed
+    explicitly and extraction is hardened: tar members go through the
+    stdlib ``data`` filter (no absolute paths, no ``..`` escapes, no
+    device nodes) and zipfile's own member sanitization covers the rest.
+    """
+    import tarfile
+    import zipfile
+
+    if tarfile.is_tarfile(path):
+        with tarfile.open(path) as tar:
+            tar.extractall(path=dest, filter="data")
+    elif zipfile.is_zipfile(path):
+        with zipfile.ZipFile(path, "r") as zf:
+            zf.extractall(dest)
+    else:
+        raise ValueError(f"{path} is neither a tar archive nor a zip file")
+
+
+def download_and_extract(
+    url: str,
+    root: str,
+    expected_sha256: Optional[str] = None,
+    progress: bool = True,
+    keep_archive: bool = True,
+) -> str:
+    """Download an archive into ``root`` and extract it there.
+
+    Torch-free counterpart of the reference's gdown-based
+    ``DatasetBase.download_data`` (``datasets/utils.py:193-213``), built on
+    the same streaming-hash + atomic-rename machinery as the weight
+    downloader, so interrupted downloads never leave a torn archive.
+    Returns ``root``.  ``file://`` URLs work (used by tests and air-gapped
+    mirrors).  Like ``download_data`` this is an explicit call — dataset
+    construction itself never touches the network (zero-egress images must
+    not stall on timeouts).
+    """
+    target = download_url(url, root, expected_sha256, progress)
+    extract_archive(target, root)
+    if not keep_archive:
+        os.remove(target)
+    return root
+
+
 def download_weights(backbone: str, root: Optional[str] = None) -> str:
     """Download the pinned release weights for ``backbone`` (ref
     ``clip/clip.py:42-70``) into ``root`` (default ``~/.cache/clip``)."""

@@ -71,9 +71,20 @@ def noun_dictionary_from_splits(splits_path: str) -> set:
 
 
 class VerbAndNounTagger:
-    """flair-backed tagger (requires ``pip install flair``)."""
+    """flair-backed tagger (requires ``pip install flair``).
 
-    def __init__(self, verb_dictionary_path: str, noun_dictionary_path: str):
+    ``noun_dictionary_path`` may be replaced by an explicit ``noun_set``
+    (e.g. from :func:`noun_dictionary_from_splits`); the reference ships a
+    static noun file derived from the FewSOL-198 classnames."""
+
+    def __init__(
+        self,
+        verb_dictionary_path: str,
+        noun_dictionary_path: Optional[str] = None,
+        noun_set: Optional[set] = None,
+    ):
+        if (noun_dictionary_path is None) == (noun_set is None):
+            raise ValueError("pass exactly one of noun_dictionary_path / noun_set")
         try:
             from flair.data import Sentence
             from flair.models import SequenceTagger
@@ -84,7 +95,11 @@ class VerbAndNounTagger:
         self._Sentence = Sentence
         self._tagger = SequenceTagger.load("flair/pos-english")
         self.allowed_verb_set = load_dictionary(verb_dictionary_path)
-        self.allowed_noun_set = load_dictionary(noun_dictionary_path, replace_underscores=True)
+        self.allowed_noun_set = (
+            load_dictionary(noun_dictionary_path, replace_underscores=True)
+            if noun_dictionary_path is not None
+            else set(noun_set)
+        )
 
     def tag_sentence(self, text: str) -> WordTags:
         sentence = self._Sentence(text)
@@ -101,16 +116,32 @@ class VerbAndNounTagger:
         )
 
 
+def list_microphones() -> List[str]:  # pragma: no cover - requires PyAudio
+    """Available microphone device names (ref ``asr/transcribe.py:30-34``,
+    the ``default_microphone: 'list'`` escape hatch)."""
+    try:
+        import speech_recognition as sr
+    except ImportError as exc:
+        raise ImportError("microphone listing requires SpeechRecognition + PyAudio") from exc
+    return list(sr.Microphone.list_microphone_names())
+
+
 def transcribe_stream(
     on_text: Callable[[str], bool],
     model_name: str = "base.en",
     energy_threshold: int = 1000,
     record_timeout: float = 2.0,
     phrase_timeout: float = 3.0,
+    microphone_name: Optional[str] = None,
 ):  # pragma: no cover - requires microphone + whisper
     """Stream microphone audio through whisper; call ``on_text`` per phrase
     until it returns True (ref ``asr/transcribe.py:16-118``).  Requires
-    ``pip install openai-whisper SpeechRecognition PyAudio``."""
+    ``pip install openai-whisper SpeechRecognition PyAudio``.
+
+    ``microphone_name`` selects the input device by name substring (ref
+    ``transcribe.py:29-38``; the reference records at 44100 Hz and lets
+    whisper resample from a wav temp file — here audio is captured at
+    whisper's native 16 kHz and fed as a float array, no temp files)."""
     try:
         import queue
         from datetime import datetime, timedelta
@@ -128,7 +159,15 @@ def transcribe_stream(
     recorder = sr.Recognizer()
     recorder.energy_threshold = energy_threshold
     recorder.dynamic_energy_threshold = False
-    source = sr.Microphone(sample_rate=16000)
+    device_index = None
+    if microphone_name:
+        for idx, name in enumerate(sr.Microphone.list_microphone_names()):
+            if microphone_name in name:
+                device_index = idx
+                break
+        else:
+            raise ValueError(f"no microphone matching {microphone_name!r}")
+    source = sr.Microphone(sample_rate=16000, device_index=device_index)
     data_queue: "queue.Queue[bytes]" = queue.Queue()
 
     with source:

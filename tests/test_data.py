@@ -214,13 +214,17 @@ def test_batch_loader_empty_raises():
         BatchLoader([], batch_size=4)
 
 
-def test_fewsol_198_from_reference_splits(tmp_path):
-    """Build the FewSOL-198 dataset from the real reference splits file
-    (no image files needed until loading)."""
+def test_fewsol_198_from_reference_splits(tmp_path, monkeypatch):
+    """Build the FewSOL-198 dataset from the real reference splits file,
+    located via $PROTOCLIP_FEWSOL198_SPLIT (the package itself carries no
+    machine-specific fallback paths — round-2 advisor)."""
     from tests.conftest import reference_available
 
     if not reference_available():
         pytest.skip("reference not mounted")
+    monkeypatch.setenv(
+        "PROTOCLIP_FEWSOL198_SPLIT", "/root/reference/splits/fewsol_splits_198.json"
+    )
     root = tmp_path  # dataset dir need not exist; split paths are virtual
     (root / "fewsol").mkdir()
     ds = build_dataset("fewsol_198", str(root), shots=2, seed=1)

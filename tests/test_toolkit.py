@@ -386,3 +386,87 @@ def test_save_frame_data_reference_layout(tmp_path):
 
     depth_back = np.asarray(Image.open(tmp_path / "depth-000007.png"))
     np.testing.assert_array_equal(depth_back, (depth * 1000.0).astype(np.uint16))
+
+
+# -- ASR CLI: config parsing + arg plumbing (ref asr/transcribe.py:16-118) --
+
+
+def test_asr_config_parses_reference_schema(tmp_path):
+    """The reference's shipped asr_config.json schema must load with every
+    knob mapped (asr/configs/asr_config.json)."""
+    import json
+
+    from protoclip_tpu.cli.transcribe import load_asr_config, stream_kwargs
+
+    cfg_path = tmp_path / "asr_config.json"
+    cfg_path.write_text(json.dumps({
+        "model": "whisper-medium",
+        "non_english": False,
+        "energy_threshold": 1000,
+        "record_timeout": 2,
+        "phrase_timeout": 3,
+        "default_microphone": "pulse",
+    }))
+    cfg = load_asr_config(str(cfg_path))
+    assert cfg.energy_threshold == 1000
+    kw = stream_kwargs(cfg)
+    assert kw == {
+        "model_name": "medium.en",
+        "energy_threshold": 1000,
+        "record_timeout": 2,
+        "phrase_timeout": 3,
+        "microphone_name": "pulse",
+    }
+
+
+def test_asr_config_rejects_unknown_keys_and_bad_values(tmp_path):
+    import json
+
+    from protoclip_tpu.cli.transcribe import load_asr_config
+
+    p = tmp_path / "bad.json"
+    p.write_text(json.dumps({"model": "whisper-base", "engery_threshold": 5}))
+    with pytest.raises(ValueError, match="unknown ASR config keys"):
+        load_asr_config(str(p))  # typo'd key must fail loudly, not setattr
+    p.write_text(json.dumps({"record_timeout": 0}))
+    with pytest.raises(ValueError, match="timeouts"):
+        load_asr_config(str(p))
+    p.write_text(json.dumps([1, 2]))
+    with pytest.raises(ValueError, match="JSON object"):
+        load_asr_config(str(p))
+
+
+def test_resolve_whisper_model_en_suffix_rules():
+    """'.en' variants except for large / non_english (asr/transcribe.py:43-47)."""
+    from protoclip_tpu.cli.transcribe import resolve_whisper_model
+
+    assert resolve_whisper_model("whisper-medium") == "medium.en"
+    assert resolve_whisper_model("whisper-large") == "large"
+    assert resolve_whisper_model("whisper-base", non_english=True) == "base"
+    with pytest.raises(ValueError, match="whisper"):
+        resolve_whisper_model("wav2vec2-base")
+
+
+def test_transcribe_cli_arg_validation():
+    from protoclip_tpu.cli.transcribe import parse_args
+
+    args = parse_args(["--config", "c.json"])
+    assert args.mode == "plain"
+    args = parse_args(["--config", "c.json", "--mode", "pos",
+                       "--verb_dict", "v.txt", "--splits", "s.json"])
+    assert args.splits == "s.json"
+    with pytest.raises(SystemExit):
+        parse_args(["--config", "c.json", "--mode", "pos"])  # no dicts
+    with pytest.raises(SystemExit):
+        parse_args(["--config", "c.json", "--mode", "pos", "--verb_dict", "v"])
+
+
+def test_tagger_requires_exactly_one_noun_source():
+    """The noun_set / noun_dictionary_path choice is validated before any
+    optional-dependency import, so it is testable without flair."""
+    from protoclip_tpu.toolkit.speech import VerbAndNounTagger
+
+    with pytest.raises(ValueError, match="exactly one"):
+        VerbAndNounTagger("verbs.txt")
+    with pytest.raises(ValueError, match="exactly one"):
+        VerbAndNounTagger("verbs.txt", "nouns.txt", noun_set={"mug"})

@@ -457,3 +457,72 @@ def test_load_pt_malformed_files_raise_cleanly(tmp_path):
         ), (name, type(exc_info.value))
     with pytest.raises(ValueError):
         load_pt(str(bad_zip))
+
+
+def test_download_and_extract_tar_and_zip(tmp_path):
+    """Torch-free counterpart of the reference's gdown download_data
+    (datasets/utils.py:193-213): fetch an archive (file:// here), verify the
+    streamed SHA-256, extract tar or zip into the destination dir."""
+    import hashlib
+    import tarfile
+    import zipfile
+
+    from protoclip_tpu.io.download import ChecksumError, download_and_extract
+
+    payload_dir = tmp_path / "payload" / "images"
+    payload_dir.mkdir(parents=True)
+    (payload_dir / "a.txt").write_text("hello")
+
+    src = tmp_path / "src"
+    src.mkdir()
+    tar_path = src / "data.tar.gz"
+    with tarfile.open(tar_path, "w:gz") as tar:
+        tar.add(payload_dir, arcname="images")
+    zip_path = src / "data.zip"
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        zf.write(payload_dir / "a.txt", "images2/a.txt")
+
+    tar_dest = tmp_path / "dst_tar"
+    download_and_extract(f"file://{tar_path}", str(tar_dest), progress=False)
+    assert (tar_dest / "images" / "a.txt").read_text() == "hello"
+    assert (tar_dest / "data.tar.gz").exists()  # archive kept by default
+
+    zip_dest = tmp_path / "dst_zip"
+    sha = hashlib.sha256(zip_path.read_bytes()).hexdigest()
+    download_and_extract(
+        f"file://{zip_path}", str(zip_dest), expected_sha256=sha,
+        progress=False, keep_archive=False,
+    )
+    assert (zip_dest / "images2" / "a.txt").read_text() == "hello"
+    assert not (zip_dest / "data.zip").exists()
+
+    # wrong checksum must abort before extraction
+    with pytest.raises(ChecksumError):
+        download_and_extract(
+            f"file://{tar_path}", str(tmp_path / "dst_bad"),
+            expected_sha256="0" * 64, progress=False,
+        )
+
+
+def test_extract_archive_blocks_path_traversal(tmp_path):
+    """A tar member escaping the destination (../evil) must be rejected
+    (the stdlib 'data' filter), not written outside the tree."""
+    import io as _io
+    import tarfile
+
+    from protoclip_tpu.io.download import extract_archive
+
+    evil = tmp_path / "evil.tar"
+    with tarfile.open(evil, "w") as tar:
+        info = tarfile.TarInfo("../escape.txt")
+        data = b"pwned"
+        info.size = len(data)
+        tar.addfile(info, _io.BytesIO(data))
+    dest = tmp_path / "dest"
+    dest.mkdir()
+    with pytest.raises(tarfile.OutsideDestinationError):
+        extract_archive(str(evil), str(dest))
+    assert not (tmp_path / "escape.txt").exists()
+
+    with pytest.raises(ValueError, match="neither"):
+        extract_archive(__file__, str(dest))
