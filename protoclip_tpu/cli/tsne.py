@@ -1,10 +1,22 @@
 """Prototype t-SNE CLI (ref ``toolkit/.../utils/tsne.py`` CLI).
 
-Example::
+Examples::
 
+    # labeled scatter of trained prototypes
     python -m protoclip_tpu.cli.tsne --config configs/fewsol.yml \
         --splits splits/fewsol_splits_198.json --out tsne.png \
         --memory_bank_v ... --memory_bank_t ...
+
+    # reference-style thumbnail rendering (one support image per class at
+    # its t-SNE coordinate); --after_train switches label placement between
+    # the reference's plot_tsne_before / plot_tsne_after styles
+    python -m protoclip_tpu.cli.tsne ... --thumbnails --image_root DATA/fewsol \
+        [--after_train]
+
+For the before-training plot, pass the *cached* pre-training banks (the
+``aug/visual_mb_keys_*.pt``/``text_mb_*.pkl`` artifacts the reference's
+``build_cache_model`` produces, ``tsne.py:135-144``) as the bank paths; for
+after-training, pass the trained ``best_..._v.pt``/``_t.pt`` checkpoints.
 """
 
 from __future__ import annotations
@@ -25,11 +37,29 @@ def main() -> None:
     parser.add_argument("--memory_bank_t", required=True)
     parser.add_argument("--out", default="tsne.png")
     parser.add_argument("--perplexity", type=float, default=10.0)
+    parser.add_argument(
+        "--thumbnails", action="store_true",
+        help="render one support image per class at its t-SNE coordinate "
+        "(ref toolkit/.../utils/tsne.py:60-123)",
+    )
+    parser.add_argument(
+        "--after_train", action="store_true",
+        help="after-training label style (ref tsne.py plot_tsne_after); "
+        "default is the before-training style (plot_tsne_before)",
+    )
+    parser.add_argument(
+        "--image_root", default="",
+        help="prefix for the split JSON's relative image paths (thumbnails)",
+    )
     args = parser.parse_args()
 
     cfg = load_config(args.config)
     from protoclip_tpu.io.checkpoint import load_checkpoint_triple
-    from protoclip_tpu.toolkit.tsne import plot_prototype_tsne
+    from protoclip_tpu.toolkit.tsne import (
+        plot_prototype_tsne,
+        plot_prototype_tsne_thumbnails,
+        representative_images_from_split,
+    )
 
     bank_v, bank_t, _ = load_checkpoint_triple(args.memory_bank_v, args.memory_bank_t, None)
     n_class = bank_t.shape[0]
@@ -47,9 +77,16 @@ def main() -> None:
     id_map = {int(row[1]): row[2] for row in data["train"]}
     classnames = [id_map.get(i, str(i)) for i in range(n_class)]
 
-    out = plot_prototype_tsne(
-        img_protos, text_protos, classnames, args.out, perplexity=args.perplexity
-    )
+    if args.thumbnails:
+        image_paths = representative_images_from_split(args.splits, args.image_root)
+        out = plot_prototype_tsne_thumbnails(
+            img_protos, text_protos, classnames, image_paths, args.out,
+            after_train=args.after_train, perplexity=args.perplexity,
+        )
+    else:
+        out = plot_prototype_tsne(
+            img_protos, text_protos, classnames, args.out, perplexity=args.perplexity
+        )
     print(f"Wrote {out}")
 
 

@@ -470,3 +470,54 @@ def test_tagger_requires_exactly_one_noun_source():
         VerbAndNounTagger("verbs.txt")
     with pytest.raises(ValueError, match="exactly one"):
         VerbAndNounTagger("verbs.txt", "nouns.txt", noun_set={"mug"})
+
+
+def test_tsne_thumbnails_both_modes(tmp_path):
+    """Thumbnail t-SNE (ref toolkit/.../utils/tsne.py:60-123): one support
+    image rendered at each class's coordinate, in both the before- and
+    after-training label styles."""
+    import json
+
+    from protoclip_tpu.toolkit.tsne import (
+        plot_prototype_tsne_thumbnails,
+        representative_images_from_split,
+    )
+
+    rng = np.random.default_rng(0)
+    n_class, d, shots = 4, 16, 2
+    # synthetic dataset: split JSON + images on disk
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    train_rows = []
+    for c in range(n_class):
+        for k in range(shots):
+            rel = f"images/c{c}_{k}.jpg"
+            Image.fromarray(
+                rng.integers(0, 256, (24, 24, 3)).astype(np.uint8)
+            ).save(tmp_path / rel)
+            train_rows.append([rel, c, f"class_{c}"])
+    # shuffled row order must not change the first-per-class selection
+    splits = tmp_path / "split.json"
+    splits.write_text(json.dumps({"train": train_rows[::-1], "val": [], "test": []}))
+
+    paths = representative_images_from_split(str(splits), str(tmp_path))
+    assert len(paths) == n_class
+    # first == first *encountered*; with the reversed row order that is each
+    # class's last shot (matches the reference's row-order-dependent pick)
+    assert paths[0].endswith(f"c0_{shots - 1}.jpg")
+
+    protos_i = rng.standard_normal((n_class, d))
+    protos_t = rng.standard_normal((n_class, d))
+    names = [f"class_{i}" for i in range(n_class)]
+    for mode, fname in ((True, "after.png"), (False, "before.png")):
+        out = plot_prototype_tsne_thumbnails(
+            protos_i, protos_t, names, paths, str(tmp_path / fname),
+            after_train=mode, figsize=6.0,
+        )
+        assert os.path.exists(out) and os.path.getsize(out) > 0
+
+    # one image per class is mandatory
+    with pytest.raises(ValueError, match="representative"):
+        plot_prototype_tsne_thumbnails(
+            protos_i, protos_t, names, paths[:2], str(tmp_path / "x.png")
+        )
