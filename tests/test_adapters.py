@@ -105,3 +105,64 @@ def test_pretrained_conv_adapter_parity(rng):
     ours = np.asarray(apply_adapter(params, jnp.asarray(x), "conv-2x"))
     theirs = _torch_conv_adapter(state, x, three_x=False)
     np.testing.assert_allclose(ours, theirs, atol=2e-4)
+
+
+@requires_reference
+def test_fewsol198_deploy_route_golden(rng):
+    """End-to-end pin of the FewSOL-198 deploy route on the REAL
+    ``pretrained_ckpt/fewsol-198-F`` artifacts: torch-free io -> fc adapter
+    -> ``P`` at the config operating point (alpha=0.2, beta=12,
+    configs/fewsol_198.yml), cross-checked against torch on the same inputs
+    (ref ``toolkit/.../utils/model_utils.py:12-67``).
+
+    The snapshot ships no visual bank (text-only deploy, like the ROS
+    classifier); to exercise the alpha-mix with two distinct heads, the
+    visual bank is a fixed derivation of the real textual bank (rolled
+    rows). Pinned checksums catch any regression in the io -> adapter ->
+    classifier chain."""
+    from protoclip_tpu.core.protoclip import from_arrays
+    from protoclip_tpu.io.checkpoint import load_checkpoint_triple
+
+    ckpt = "/root/reference/pretrained_ckpt/fewsol-198-F"
+    _, bank_t, ad_state = load_checkpoint_triple(
+        None, f"{ckpt}/memory_bank_t.pt", f"{ckpt}/query_adapter.pt"
+    )
+    assert bank_t.shape == (198, 768)
+    bank_v = np.roll(bank_t, 1, axis=0)  # deterministic distinct visual head
+
+    q = np.random.default_rng(198).standard_normal((8, 768)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+
+    model = from_arrays(bank_v, bank_t, adapter_from_torch_state(ad_state, "fc"), "fc", 1)
+    p = np.asarray(jax.jit(lambda m, x: m.probs(x, 0.2, 12.0))(model, jnp.asarray(q)))
+
+    # torch cross-check, loading the SAME artifacts with torch itself (so
+    # the torch-free reader is validated against torch.load end to end)
+    tb = torch.load(f"{ckpt}/memory_bank_t.pt", map_location="cpu").detach().float()
+    tstate = {
+        k: np.asarray(v.detach().float()) for k, v in
+        torch.load(f"{ckpt}/query_adapter.pt", map_location="cpu").items()
+    }
+    qa = torch.from_numpy(_torch_fc_adapter(tstate, q))
+    qa = qa / qa.norm(dim=-1, keepdim=True)
+    tp = tb / tb.norm(dim=-1, keepdim=True)
+    ip = torch.roll(tp, 1, dims=0)
+    ip = ip / ip.norm(dim=-1, keepdim=True)
+    d_i = torch.cdist(qa, ip) ** 2
+    d_t = torch.cdist(qa, tp) ** 2
+    p_torch = (
+        0.2 * torch.softmax(-12.0 * d_i, dim=-1)
+        + 0.8 * torch.softmax(-12.0 * d_t, dim=-1)
+    ).numpy()
+    np.testing.assert_allclose(p, p_torch, atol=2e-4)
+
+    # hard pins (recorded 2026-08-17 from this route on CPU fp32):
+    # regressions anywhere in the io -> adapter -> P chain must move these
+    np.testing.assert_allclose(p.sum(axis=-1), 1.0, atol=1e-5)
+    assert p.argmax(-1).tolist() == [184, 50, 88, 156, 119, 141, 134, 179]
+    np.testing.assert_allclose(
+        p.max(-1),
+        [0.095497, 0.047527, 0.036486, 0.061138, 0.067967, 0.058325, 0.042292, 0.085419],
+        atol=5e-5,
+    )
+    np.testing.assert_allclose(float((p * np.arange(198)).sum()), 809.27216, atol=5e-3)
