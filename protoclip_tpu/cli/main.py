@@ -42,6 +42,14 @@ def get_arguments() -> argparse.Namespace:
     parser.add_argument("--weights_path", help="CLIP weights .pt path")
     parser.add_argument("--qt", action="store_true", help="use the F-Q^T trainer (main.qt.py equivalent)")
     parser.add_argument("--mesh", type=int, default=0, help="shard batches over N devices (0 = no mesh)")
+    parser.add_argument(
+        "--multihost", action="store_true",
+        help="join a multi-process JAX cluster before any computation "
+        "(jax.distributed.initialize via parallel.mesh.init_distributed; "
+        "coordinator/process info from TPU-pod auto-detection or "
+        "$PROTOCLIP_COORDINATOR/$PROTOCLIP_NUM_PROCESSES/$PROTOCLIP_PROCESS_ID). "
+        "Combine with --mesh <total global devices>.",
+    )
     return parser.parse_args()
 
 
@@ -54,8 +62,17 @@ def main() -> None:
     overrides = {
         k: v
         for k, v in vars(args).items()
-        if k not in ("config", "qt", "mesh") and v is not None
+        if k not in ("config", "qt", "mesh", "multihost") and v is not None
     }
+    if args.multihost:
+        # must precede load_config/any jax use: backends lock in at first touch
+        from protoclip_tpu.parallel.mesh import init_distributed
+
+        if not init_distributed():
+            raise SystemExit(
+                "--multihost: no cluster found (set $PROTOCLIP_COORDINATOR / "
+                "$PROTOCLIP_NUM_PROCESSES / $PROTOCLIP_PROCESS_ID or run on a pod)"
+            )
     cfg = load_config(args.config, **overrides)
     if not cfg.dataset:
         raise SystemExit("Please provide a dataset (--dataset or config key)")

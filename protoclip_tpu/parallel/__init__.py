@@ -7,7 +7,7 @@ images, the 1024-image eval batches, and the Q^T train batches shard over a
 ``psum`` and the feature all-gather back to host.
 """
 
-from protoclip_tpu.parallel.mesh import make_mesh, local_device_count
+from protoclip_tpu.parallel.mesh import make_mesh, local_device_count, init_distributed
 from protoclip_tpu.parallel.sharding import (
     batch_sharding,
     replicated,
@@ -18,6 +18,7 @@ from protoclip_tpu.parallel.sharding import (
 
 __all__ = [
     "make_mesh",
+    "init_distributed",
     "local_device_count",
     "batch_sharding",
     "replicated",

@@ -1,7 +1,8 @@
-"""Device mesh helpers."""
+"""Device mesh helpers and the multi-host (multi-process) entry point."""
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence
 
 import jax
@@ -11,6 +12,57 @@ from jax.sharding import Mesh
 
 def local_device_count() -> int:
     return jax.local_device_count()
+
+
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+    local_device_ids: Optional[Sequence[int]] = None,
+) -> bool:
+    """Join this process to a multi-host JAX cluster (SCALING.md "Multi-host").
+
+    Wraps ``jax.distributed.initialize``.  Arguments fall back to
+    ``$PROTOCLIP_COORDINATOR`` / ``$PROTOCLIP_NUM_PROCESSES`` /
+    ``$PROTOCLIP_PROCESS_ID``; with none set anywhere, initialization is
+    attempted with cluster auto-detection (the TPU-pod environment provides
+    coordinator/process info), and a single-process run — where
+    auto-detection finds nothing — is silently left alone.
+
+    Returns True when a multi-process cluster was (or already is) up,
+    False for plain single-process operation.  MUST be called before any
+    jax computation (backends are configured at first use).
+    """
+    coordinator_address = coordinator_address or os.environ.get("PROTOCLIP_COORDINATOR")
+    if num_processes is None and os.environ.get("PROTOCLIP_NUM_PROCESSES"):
+        num_processes = int(os.environ["PROTOCLIP_NUM_PROCESSES"])
+    if process_id is None and os.environ.get("PROTOCLIP_PROCESS_ID"):
+        process_id = int(os.environ["PROTOCLIP_PROCESS_ID"])
+
+    # "already initialized?" must be probed WITHOUT touching the backend:
+    # jax.process_count() itself initializes XLA, after which
+    # jax.distributed.initialize refuses to run.
+    try:
+        from jax._src import distributed as _dist
+
+        if _dist.global_state.client is not None:
+            return jax.process_count() > 1
+    except Exception:
+        pass
+    if coordinator_address is None and num_processes is None:
+        # no explicit cluster: try TPU-pod auto-detection, tolerate absence
+        try:
+            jax.distributed.initialize()
+        except Exception:
+            return False
+        return jax.process_count() > 1
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+        local_device_ids=local_device_ids,
+    )
+    return True
 
 
 def make_mesh(

@@ -29,8 +29,26 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(arr, mesh: Mesh):
-    """Place a host batch sharded over the mesh (axis 0)."""
-    return jax.device_put(arr, batch_sharding(mesh))
+    """Place a host batch sharded over the mesh (axis 0).
+
+    Multi-process aware: when the mesh spans several processes (multi-host,
+    SCALING.md), every process passes the same FULL global batch and keeps
+    only its addressable shards (``jax.make_array_from_process_local_data``
+    with ``global_shape == local shape``) — ``device_put`` alone cannot
+    address the remote devices.  An input that is already a jax array with
+    the target sharding passes through untouched.
+    """
+    sharding = batch_sharding(mesh)
+    if isinstance(arr, jax.Array) and arr.sharding == sharding:
+        return arr
+    if jax.process_count() > 1:
+        import numpy as np
+
+        local = np.asarray(arr)
+        return jax.make_array_from_process_local_data(
+            sharding, local, global_shape=local.shape
+        )
+    return jax.device_put(arr, sharding)
 
 
 def make_sharded_encode(

@@ -147,13 +147,26 @@ class QTTrainer:
     def train_step(self, images_u8: np.ndarray, labels: np.ndarray, n_valid: int) -> Dict[str, float]:
         t_max = self.train_epoch * self.n_class * self.k_shots
         lr = cosine_lr(self.lr, self.epoch, t_max)
+        if self.mesh is not None:
+            # multi-process safe batch placement (each process keeps its
+            # addressable shards; single-process this is a plain device_put,
+            # and a no-op if the caller already sharded)
+            from protoclip_tpu.parallel.sharding import shard_batch
+
+            images = shard_batch(images_u8, self.mesh)
+            if not isinstance(labels, jax.Array):
+                labels = np.asarray(labels, np.int32)
+            labels = shard_batch(labels, self.mesh)
+        else:
+            images = jnp.asarray(images_u8)
+            labels = jnp.asarray(labels, jnp.int32)
         self.params, self.opt_state, m = self._step_fn(
             self.params,
             self.opt_state,
             self.clip_params,
             self._frozen_bank_t,
-            jnp.asarray(images_u8),
-            jnp.asarray(labels, jnp.int32),
+            images,
+            labels,
             jnp.asarray(n_valid, jnp.int32),
             jnp.asarray(lr, jnp.float32),
         )

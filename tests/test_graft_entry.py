@@ -78,3 +78,26 @@ def test_bench_emits_one_json_line_on_cpu(tmp_path):
     assert row["metric"] == "vit_b16_encode_images_per_sec_per_chip"
     assert set(row) == {"metric", "value", "unit", "vs_baseline"}
     assert row["value"] > 0
+
+
+def test_dryrun_multihost_two_process_cluster():
+    """Multi-host for real (round-2 VERDICT item 1): two separate OS
+    processes, 4 virtual CPU devices each, joined by
+    ``parallel.mesh.init_distributed`` into ONE 8-device cluster running
+    the sharded Q^T step.  The parent process must stay off the cluster,
+    so the whole dryrun runs in a bare subprocess."""
+    env = dict(os.environ)
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import __graft_entry__ as g; g.dryrun_multichip(8, processes=2)",
+        ],
+        cwd=REPO,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr}"
+    assert "2-process x 4-device cluster OK" in proc.stdout
