@@ -357,15 +357,24 @@ def main():
             bench_micro(variant.split(":", 1)[1])
             continue
         if variant.startswith("int8"):
+            spec = variant[len("int8"):]
+            quant_mode = "dyn"
+            if "recip" in spec:
+                quant_mode = "recip"
+            elif "cast" in spec:
+                quant_mode = "cast"
             bench_int8(
-                g=32 if "g32" in variant else 16,
-                quant_hid="h" not in variant.replace("g32", "").replace(
+                g=32 if "g32" in spec else 16,
+                quant_hid="h" not in spec.replace("g32", "").replace(
                     "noattn", ""
-                ).replace("gb", ""),
-                skip_attn="noattn" in variant,
-                quant_scores=variant.startswith("int8s") and "static" not in variant,
-                gelu_bf16="gb" in variant,
-                static_scales="static" in variant,
+                ).replace("gb", "").replace("recip", "").replace("cast", "").replace("lnb", ""),
+                skip_attn="noattn" in spec,
+                quant_scores=variant.startswith("int8s") and "static" not in spec,
+                gelu_bf16="gb" in spec,
+                static_scales="static" in spec,
+                quant_mode=quant_mode,
+                ln_stats_bf16="lnb" in spec,
+                tag=variant,
             )
             continue
         g = {"v2g8": 8, "v2g32": 32, "v6g8": 8}.get(variant, G)
@@ -466,6 +475,134 @@ def bench_micro(which: str):
             return jnp.sum(out.astype(jnp.float32))
 
         args = (x, wfc, bfc, wproj, bproj)
+
+    elif which in ("int8mlp", "int8mlp_nogelu", "int8mlp_fp32gelu"):
+        # int8 MLP half in isolation: LN + quant + fc(int8) + QuickGELU +
+        # quant + down-proj(int8) + residual.  _nogelu swaps the GELU for a
+        # copy (bounds its VPU share); _fp32gelu is the production fp32 one
+        # while the default tries GELU on the bf16 cast.
+        wfc = jnp.asarray(rng.standard_normal((LAYERS, D, 4 * D)) * 0.02, jnp.bfloat16)
+        bfc = jnp.zeros((LAYERS, 4 * D), jnp.float32)
+        wproj = jnp.asarray(rng.standard_normal((LAYERS, 4 * D, D)) * 0.02, jnp.bfloat16)
+        bproj = jnp.zeros((LAYERS, D), jnp.float32)
+        ln2s = jnp.ones((LAYERS, D), jnp.float32)
+        ln2b = jnp.zeros((LAYERS, D), jnp.float32)
+
+        def qs(w):
+            qq, ss = zip(*[_quant_cols_host(w[i]) for i in range(LAYERS)])
+            return jnp.stack(qq), jnp.stack(ss)
+
+        wfc_q, sfc = qs(wfc)
+        wproj_q, sproj = qs(wproj)
+        g = G
+        vm = pltpu.VMEM
+        x_spec = pl.BlockSpec((g, LP, D), lambda i: (i, 0, 0), memory_space=vm)
+
+        def w_spec(shape):
+            return pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=vm)
+
+        mode = which.removeprefix("int8mlp_") if "_" in which else "bf16gelu"
+
+        def kernel(x_ref, wfc_ref, sfc_ref, bfc_ref, wproj_ref, sproj_ref,
+                   bproj_ref, ln2s_ref, ln2b_ref, out_ref):
+            xx = x_ref[...]
+            g_, lp, d = xx.shape
+            dtype = xx.dtype
+            h2 = _ln(xx, ln2s_ref, ln2b_ref, jnp.float32).reshape(g_ * lp, d)
+            h2_q, h2_s = _quant_rows(h2)
+            hid = _int8_matmul(h2_q, h2_s, wfc_ref[...], sfc_ref[...]) + bfc_ref[...]
+            if mode == "nogelu":
+                pass  # bound: GELU removed entirely
+            elif mode == "fp32gelu":
+                hid = hid * jax.nn.sigmoid(1.702 * hid)
+            else:  # bf16gelu
+                hb = hid.astype(dtype)
+                hid = (hb * (1.0 / (1.0 + jnp.exp(-(hb * 1.702))))).astype(jnp.float32)
+            hid_q, hid_s = _quant_rows(hid)
+            o = _int8_matmul(hid_q, hid_s, wproj_ref[...], sproj_ref[...]) + bproj_ref[...]
+            out_ref[...] = xx + o.astype(dtype).reshape(g_, lp, d)
+
+        def block(xc, ws):
+            return pl.pallas_call(
+                kernel,
+                out_shape=jax.ShapeDtypeStruct((B, LP, D), xc.dtype),
+                grid=(B // g,),
+                in_specs=[x_spec, w_spec((D, 4 * D)), w_spec((1, 4 * D)),
+                          w_spec((4 * D,)), w_spec((4 * D, D)), w_spec((1, D)),
+                          w_spec((D,)), w_spec((D,)), w_spec((D,))],
+                out_specs=x_spec,
+                compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+            )(xc, *ws)
+
+        @jax.jit
+        def fn(x, *stacked):
+            def body(carry, ws):
+                return block(carry, ws), None
+
+            out, _ = jax.lax.scan(body, x, stacked)
+            return jnp.sum(out.astype(jnp.float32))
+
+        args = (x, wfc_q, sfc, bfc, wproj_q, sproj, bproj, ln2s, ln2b)
+
+    elif which == "int8qkv":
+        # int8 QKV + out-proj half in isolation (attention replaced by
+        # q+k+v sum): LN + quant + qkv(int8) + quant + proj(int8) + residual
+        wqkv = jnp.asarray(rng.standard_normal((LAYERS, D, 3 * D)) * 0.02, jnp.bfloat16)
+        bqkv = jnp.zeros((LAYERS, 3 * D), jnp.float32)
+        wo = jnp.asarray(rng.standard_normal((LAYERS, D, D)) * 0.02, jnp.bfloat16)
+        bo = jnp.zeros((LAYERS, D), jnp.float32)
+        ln1s = jnp.ones((LAYERS, D), jnp.float32)
+        ln1b = jnp.zeros((LAYERS, D), jnp.float32)
+
+        def qs2(w):
+            qq, ss = zip(*[_quant_cols_host(w[i]) for i in range(LAYERS)])
+            return jnp.stack(qq), jnp.stack(ss)
+
+        wqkv_q, sqkv = qs2(wqkv)
+        wo_q, so = qs2(wo)
+        g = G
+        vm = pltpu.VMEM
+        x_spec = pl.BlockSpec((g, LP, D), lambda i: (i, 0, 0), memory_space=vm)
+
+        def w_spec(shape):
+            return pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=vm)
+
+        def kernel(x_ref, wqkv_ref, sqkv_ref, bqkv_ref, wo_ref, so_ref,
+                   bo_ref, ln1s_ref, ln1b_ref, out_ref):
+            xx = x_ref[...]
+            g_, lp, d = xx.shape
+            dtype = xx.dtype
+            h1 = _ln(xx, ln1s_ref, ln1b_ref, jnp.float32).reshape(g_ * lp, d)
+            h1_q, h1_s = _quant_rows(h1)
+            qkv = (
+                _int8_matmul(h1_q, h1_s, wqkv_ref[...], sqkv_ref[...]) + bqkv_ref[...]
+            ).astype(dtype).reshape(g_, lp, 3 * d)
+            attn = qkv[:, :, :d] + qkv[:, :, d : 2 * d] + qkv[:, :, 2 * d :]
+            a_q, a_s = _quant_rows(attn.reshape(g_ * lp, d))
+            proj = _int8_matmul(a_q, a_s, wo_ref[...], so_ref[...]) + bo_ref[...]
+            out_ref[...] = xx + proj.astype(dtype).reshape(g_, lp, d)
+
+        def block(xc, ws):
+            return pl.pallas_call(
+                kernel,
+                out_shape=jax.ShapeDtypeStruct((B, LP, D), xc.dtype),
+                grid=(B // g,),
+                in_specs=[x_spec, w_spec((D, 3 * D)), w_spec((1, 3 * D)),
+                          w_spec((3 * D,)), w_spec((D, D)), w_spec((1, D)),
+                          w_spec((D,)), w_spec((D,)), w_spec((D,))],
+                out_specs=x_spec,
+                compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+            )(xc, *ws)
+
+        @jax.jit
+        def fn(x, *stacked):
+            def body(carry, ws):
+                return block(carry, ws), None
+
+            out, _ = jax.lax.scan(body, x, stacked)
+            return jnp.sum(out.astype(jnp.float32))
+
+        args = (x, wqkv_q, sqkv, bqkv, wo_q, so, bo, ln1s, ln1b)
 
     elif which.split("@")[0] in ("attn_pallas", "attn_nosm", "attn_noqkv"):
         base, _, gs = which.partition("@")
@@ -615,9 +752,21 @@ def _int8_matmul(x_q, x_s, w_q, w_s):
     return acc.astype(jnp.float32) * x_s * w_s
 
 
+def _quant_rows_recip(x):
+    """Per-row symmetric int8 via reciprocal-MULTIPLY (no per-element
+    division): q = round(x * (127/amax)).  VPU divides are multi-cycle;
+    one divide per ROW beats one per element."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-6)
+    r = 127.0 / amax
+    q = jnp.clip(jnp.round(xf * r), -127, 127).astype(jnp.int8)
+    return q, amax * (1.0 / 127.0)
+
+
 def make_kernel_int8(
     n_head: int, length: int, quant_hid: bool = True, skip_attn: bool = False,
     gelu_bf16: bool = False, static_scales: bool = False,
+    quant_mode: str = "dyn", ln_stats_bf16: bool = False,
 ):
     if static_scales:
         # bound the cost of dynamic per-row quantization: pretend a
@@ -627,8 +776,34 @@ def make_kernel_int8(
                 jnp.int8
             )
             return q, jnp.float32(1.0 / 32.0)
+    elif quant_mode == "recip":
+        _qr = _quant_rows_recip
+    elif quant_mode == "cast":
+        # LOWER BOUND only (wrong numerics): plain truncating cast at a
+        # fixed scale — no amax pass, no round, no clip.  Times the kernel
+        # with the quantization VPU work removed.
+        def _qr(x):
+            return (x.astype(jnp.float32) * 32.0).astype(jnp.int8), jnp.float32(
+                1.0 / 32.0
+            )
     else:
         _qr = _quant_rows
+
+    if ln_stats_bf16:
+        # mean/var in bf16 (half the VPU traffic of the reduction passes),
+        # affine + rsqrt in fp32
+        def _ln_local(v, scale_ref, bias_ref, dtype, eps=1e-5):
+            mean = jnp.mean(v, axis=-1, keepdims=True)
+            c = v - mean
+            var = jnp.mean(c * c, axis=-1, keepdims=True)
+            return (
+                c.astype(jnp.float32)
+                * jax.lax.rsqrt(var.astype(jnp.float32) + eps)
+                * scale_ref[...].astype(jnp.float32)
+                + bias_ref[...].astype(jnp.float32)
+            ).astype(dtype)
+    else:
+        _ln_local = _ln
     def kernel(
         x_ref, wqkv_ref, sqkv_ref, bqkv_ref, wo_ref, so_ref, bo_ref,
         ln1s_ref, ln1b_ref, ln2s_ref, ln2b_ref,
@@ -639,7 +814,7 @@ def make_kernel_int8(
         dh = d // n_head
         dtype = x.dtype
 
-        h1 = _ln(x, ln1s_ref, ln1b_ref, jnp.float32).reshape(g * lp, d)
+        h1 = _ln_local(x, ln1s_ref, ln1b_ref, jnp.float32).reshape(g * lp, d)
         h1_q, h1_s = _qr(h1)
         qkv = (
             _int8_matmul(h1_q, h1_s, wqkv_ref[...], sqkv_ref[...])
@@ -654,7 +829,7 @@ def make_kernel_int8(
                 + bo_ref[...].astype(jnp.float32)
             ).astype(dtype).reshape(g, lp, d)
             x = x + proj
-            h2 = _ln(x, ln2s_ref, ln2b_ref, jnp.float32).reshape(g * lp, d)
+            h2 = _ln_local(x, ln2s_ref, ln2b_ref, jnp.float32).reshape(g * lp, d)
             h2_q, h2_s = _qr(h2)
             hid = _int8_matmul(h2_q, h2_s, wfc_ref[...], sfc_ref[...]) + bfc_ref[...].astype(jnp.float32)
             hid = hid * jax.nn.sigmoid(1.702 * hid)
@@ -694,7 +869,7 @@ def make_kernel_int8(
         ).astype(dtype).reshape(g, lp, d)
         x = x + proj
 
-        h2 = _ln(x, ln2s_ref, ln2b_ref, jnp.float32).reshape(g * lp, d)
+        h2 = _ln_local(x, ln2s_ref, ln2b_ref, jnp.float32).reshape(g * lp, d)
         h2_q, h2_s = _qr(h2)
         hid = _int8_matmul(h2_q, h2_s, wfc_ref[...], sfc_ref[...]) + bfc_ref[
             ...
@@ -725,13 +900,14 @@ def make_kernel_int8(
     return kernel
 
 
-def bench_int8(g=16, check_only=False, interpret=False, quant_hid=True, skip_attn=False, quant_scores=False, gelu_bf16=False, static_scales=False):
+def bench_int8(g=16, check_only=False, interpret=False, quant_hid=True, skip_attn=False, quant_scores=False, gelu_bf16=False, static_scales=False, quant_mode="dyn", ln_stats_bf16=False, tag="int8"):
     kernel = (
         make_kernel_int8s(H, L)
         if quant_scores
         else make_kernel_int8(
             H, L, quant_hid=quant_hid, skip_attn=skip_attn, gelu_bf16=gelu_bf16,
-            static_scales=static_scales,
+            static_scales=static_scales, quant_mode=quant_mode,
+            ln_stats_bf16=ln_stats_bf16,
         )
     )
     vm = pltpu.VMEM
@@ -800,7 +976,7 @@ def bench_int8(g=16, check_only=False, interpret=False, quant_hid=True, skip_att
         np.asarray(stack_fn(x, stacked))
         times.append(time.perf_counter() - start)
     print(
-        f"int8(g={g}): {min(times)*1000:.1f} ms/12-block-stack "
+        f"{tag}(g={g}): {min(times)*1000:.1f} ms/12-block-stack "
         f"(checksum {cs:.2f}, compile {compile_s:.0f}s)",
         flush=True,
     )
