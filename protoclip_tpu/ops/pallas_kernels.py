@@ -429,12 +429,15 @@ def fused_transformer_block(
 # Opt-in via $PROTOCLIP_INT8 (default off: the reference semantics are
 # half-precision, and int8 accuracy should be validated on real weights
 # before deployment).  Per-output-channel symmetric weight scales,
-# per-row (per-token) dynamic activation scales, int32 MXU accumulation:
-# v5e's int8 MXU path doubles bf16 throughput.  Measured: the 12-block
-# ViT-B/16 stack drops from ~124 ms to ~92 ms net (B=512) => ~5500 img/s.
-# Attention core (scores/weights) stays bf16 — activation*activation
-# matmuls are a small fraction of the FLOPs and quantizing them costs more
-# VPU time than the MXU saves (measured).
+# per-row (per-token) dynamic activation scales, int32 MXU accumulation.
+# The chip's MEASURED int8 MXU rate is ~1.7x bf16 (265 vs 154 TOP/s,
+# scripts/bench_int8_peak.py), not the nominal 2x.  Measured: the 12-block
+# ViT-B/16 stack drops from ~124 ms to ~84 ms net (B=512) => ~5500 img/s,
+# which is ~83% of that measured int8 peak — per-stage budget and floor
+# proof in BASELINE.md ("int8 per-stage kernel budget").  Attention core
+# (scores/weights) stays bf16 — activation*activation matmuls are a small
+# fraction of the FLOPs and quantizing them costs more VPU time than the
+# MXU saves (measured); dynamic requant is free (cast-bound ablation <1 ms).
 
 
 def int8_enabled() -> bool:
