@@ -46,7 +46,9 @@ def init_distributed(
         from jax._src import distributed as _dist
 
         if _dist.global_state.client is not None:
-            return jax.process_count() > 1
+            # read the cluster size off the distributed state rather than
+            # jax.process_count(), which would initialize the backend
+            return (_dist.global_state.num_processes or 1) > 1
     except Exception:
         pass
     if coordinator_address is None and num_processes is None:

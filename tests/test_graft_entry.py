@@ -101,3 +101,46 @@ def test_dryrun_multihost_two_process_cluster():
     )
     assert proc.returncode == 0, f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr}"
     assert "2-process x 4-device cluster OK" in proc.stdout
+
+
+def test_init_distributed_env_fallbacks(monkeypatch):
+    """$PROTOCLIP_COORDINATOR / _NUM_PROCESSES / _PROCESS_ID must feed
+    jax.distributed.initialize verbatim (SCALING.md multi-host contract)."""
+    from protoclip_tpu.parallel import mesh as mesh_mod
+
+    calls = {}
+
+    class FakeDistributed:
+        @staticmethod
+        def initialize(coordinator_address=None, num_processes=None,
+                       process_id=None, local_device_ids=None):
+            calls.update(
+                coordinator=coordinator_address,
+                num_processes=num_processes,
+                process_id=process_id,
+            )
+
+    class FakeGlobalState:
+        client = None
+
+    monkeypatch.setenv("PROTOCLIP_COORDINATOR", "10.0.0.1:1234")
+    monkeypatch.setenv("PROTOCLIP_NUM_PROCESSES", "4")
+    monkeypatch.setenv("PROTOCLIP_PROCESS_ID", "2")
+    monkeypatch.setattr(mesh_mod.jax, "distributed", FakeDistributed)
+    import jax._src.distributed as _dist
+
+    monkeypatch.setattr(_dist, "global_state", FakeGlobalState)
+    assert mesh_mod.init_distributed() is True
+    assert calls == {
+        "coordinator": "10.0.0.1:1234", "num_processes": 4, "process_id": 2
+    }
+
+    # already-initialized probe must not re-initialize
+    class FakeGlobalStateLive:
+        client = object()
+        num_processes = 4
+
+    calls.clear()
+    monkeypatch.setattr(_dist, "global_state", FakeGlobalStateLive)
+    assert mesh_mod.init_distributed() is True
+    assert calls == {}
