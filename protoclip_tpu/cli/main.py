@@ -68,7 +68,11 @@ def main() -> None:
         # must precede load_config/any jax use: backends lock in at first touch
         from protoclip_tpu.parallel.mesh import init_distributed
 
-        if not init_distributed():
+        try:
+            up = init_distributed()
+        except ValueError as exc:  # partial cluster spec: say what's missing
+            raise SystemExit(f"--multihost: {exc}")
+        if not up:
             raise SystemExit(
                 "--multihost: no cluster found (set $PROTOCLIP_COORDINATOR / "
                 "$PROTOCLIP_NUM_PROCESSES / $PROTOCLIP_PROCESS_ID or run on a pod)"

@@ -49,6 +49,27 @@ def load_asr_config(path: str) -> AsrConfig:
     unknown = sorted(set(data) - valid)
     if unknown:
         raise ValueError(f"{path}: unknown ASR config keys {unknown}; allowed {sorted(valid)}")
+    # value TYPES too: a JSON "false" string is truthy and would silently
+    # flip non_english; a quoted number would crash later with a bare
+    # TypeError instead of naming the bad key here
+    types = {
+        "model": str,
+        "non_english": bool,
+        "energy_threshold": (int, float),
+        "record_timeout": (int, float),
+        "phrase_timeout": (int, float),
+        "default_microphone": (str, type(None)),
+    }
+    for key, value in data.items():
+        expected = types[key]
+        bad = not isinstance(value, expected)
+        if isinstance(value, bool) and expected is not bool:
+            bad = True  # bool is an int subclass; True is not a valid count
+        if bad:
+            raise ValueError(
+                f"{path}: ASR config key {key!r} must be "
+                f"{getattr(expected, '__name__', expected)}, got {value!r}"
+            )
     cfg = AsrConfig(**data)
     if cfg.energy_threshold < 0:
         raise ValueError("energy_threshold must be >= 0")

@@ -51,13 +51,30 @@ def init_distributed(
             return (_dist.global_state.num_processes or 1) > 1
     except Exception:
         pass
-    if coordinator_address is None and num_processes is None:
+    if coordinator_address is None and num_processes is None and process_id is None:
         # no explicit cluster: try TPU-pod auto-detection, tolerate absence
         try:
             jax.distributed.initialize()
         except Exception:
             return False
         return jax.process_count() > 1
+    missing = [
+        name
+        for name, value in (
+            ("coordinator_address ($PROTOCLIP_COORDINATOR)", coordinator_address),
+            ("num_processes ($PROTOCLIP_NUM_PROCESSES)", num_processes),
+            ("process_id ($PROTOCLIP_PROCESS_ID)", process_id),
+        )
+        if value is None
+    ]
+    if missing:
+        # a partial spec would crash deep inside jax with an opaque error;
+        # name exactly what is absent instead
+        raise ValueError(
+            "init_distributed: explicit cluster config is incomplete — "
+            f"missing {', '.join(missing)} (set all three, or none for "
+            "pod auto-detection)"
+        )
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,

@@ -51,6 +51,23 @@ def shard_batch(arr, mesh: Mesh):
     return jax.device_put(arr, sharding)
 
 
+def fetch_to_host(arr) -> "jax.Array":
+    """Materialize an array on the host, multi-process safe.
+
+    A batch-sharded global array in a multi-host cluster is not fully
+    addressable — plain ``np.asarray`` raises.  Gather every process's
+    shards first (``process_allgather`` rides the same ICI/DCN collectives
+    as the compute).  Single-process arrays pass straight to numpy.
+    """
+    import numpy as np
+
+    if isinstance(arr, jax.Array) and not arr.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(arr, tiled=True))
+    return np.asarray(arr)
+
+
 def make_sharded_encode(
     encode_fn: Callable, mesh: Mesh
 ) -> Callable:

@@ -11,6 +11,26 @@ from typing import Optional, Sequence
 import numpy as np
 
 
+def _tsne_embed(img_protos: np.ndarray, text_protos: np.ndarray, perplexity: float):
+    """Joint 2-D t-SNE of both prototype sets -> (zi (N, 2), zt (N, 2)).
+
+    Shared by the scatter and thumbnail plots so the perplexity clamp and
+    the reference's ``random_state=1`` pin (``toolkit/.../utils/tsne.py:65``)
+    cannot diverge between them."""
+    from sklearn.manifold import TSNE
+
+    img_protos = np.asarray(img_protos, np.float32)
+    text_protos = np.asarray(text_protos, np.float32)
+    n_class = img_protos.shape[0]
+    X = np.vstack([img_protos, text_protos])
+    emb = TSNE(
+        n_components=2,
+        perplexity=min(perplexity, max(2, n_class - 1)),
+        random_state=1,
+    ).fit_transform(X)
+    return emb[:n_class], emb[n_class:]
+
+
 def plot_prototype_tsne(
     img_protos: np.ndarray,
     text_protos: np.ndarray,
@@ -26,14 +46,9 @@ def plot_prototype_tsne(
 
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
-    from sklearn.manifold import TSNE
 
-    img_protos = np.asarray(img_protos, np.float32)
-    text_protos = np.asarray(text_protos, np.float32)
-    n_class = img_protos.shape[0]
-    X = np.vstack([img_protos, text_protos])
-    emb = TSNE(n_components=2, perplexity=min(perplexity, max(2, n_class - 1))).fit_transform(X)
-    zi, zt = emb[:n_class], emb[n_class:]
+    n_class = np.asarray(img_protos).shape[0]
+    zi, zt = _tsne_embed(img_protos, text_protos, perplexity)
 
     colors = np.arange(n_class) / 10 + 0.05
     plt.figure(figsize=(8, 8))
@@ -73,6 +88,14 @@ def representative_images_from_split(
     first: dict = {}
     for path, class_id, _ in data["train"]:
         first.setdefault(int(class_id), os.path.join(image_root, path))
+    if sorted(first) != list(range(len(first))):
+        # the thumbnail plot indexes these positionally against prototype
+        # row i == class id i; a split with gaps (a class without support
+        # rows) would silently pair row i with the wrong class's image
+        raise ValueError(
+            f"train split class ids are not contiguous 0..{len(first) - 1}: "
+            f"every class needs at least one support row for thumbnails"
+        )
     return [first[i] for i in sorted(first)]
 
 
@@ -105,23 +128,14 @@ def plot_prototype_tsne_thumbnails(
     import matplotlib.pyplot as plt
     from matplotlib.offsetbox import AnnotationBbox, OffsetImage
     from PIL import Image
-    from sklearn.manifold import TSNE
 
-    img_protos = np.asarray(img_protos, np.float32)
-    text_protos = np.asarray(text_protos, np.float32)
-    n_class = img_protos.shape[0]
+    n_class = np.asarray(img_protos).shape[0]
     if len(image_paths) < n_class:
         raise ValueError(
             f"need one representative image per class: got {len(image_paths)} "
             f"paths for {n_class} classes"
         )
-    X = np.vstack([img_protos, text_protos])
-    emb = TSNE(
-        n_components=2,
-        perplexity=min(perplexity, max(2, n_class - 1)),
-        random_state=1,  # the reference pins random_state=1 (tsne.py:65)
-    ).fit_transform(X)
-    zi, zt = emb[:n_class], emb[n_class:]
+    zi, zt = _tsne_embed(img_protos, text_protos, perplexity)
 
     _, ax = plt.subplots(figsize=(figsize, figsize))
     for idx, (x, y) in enumerate(zip(zi[:, 0], zi[:, 1])):

@@ -154,7 +154,12 @@ class QTTrainer:
             from protoclip_tpu.parallel.sharding import shard_batch
 
             images = shard_batch(images_u8, self.mesh)
-            if not isinstance(labels, jax.Array):
+            # int32 normalization on EVERY path (a pre-placed float/int8
+            # labels array must behave like the non-mesh branch's
+            # jnp.asarray(labels, jnp.int32)); .astype preserves sharding
+            if isinstance(labels, jax.Array):
+                labels = labels.astype(jnp.int32)
+            else:
                 labels = np.asarray(labels, np.int32)
             labels = shard_batch(labels, self.mesh)
         else:

@@ -65,16 +65,32 @@ def make_encode_fns(cfg: Config, mesh=None):
         return encode_text(params, tokens, clip_cfg)
 
     if mesh is not None:
-        from protoclip_tpu.parallel.sharding import make_sharded_encode
+        from protoclip_tpu.parallel.sharding import (
+            fetch_to_host,
+            make_sharded_encode,
+            shard_batch,
+        )
 
         image_jit = make_sharded_encode(_image, mesh)
         text_jit = jax.jit(_text)
+
+        def encode_images(images_u8):
+            # shard_batch handles multi-process placement (every process
+            # feeds the same full global batch); in a multi-host cluster
+            # the batch-sharded output is not fully addressable, so it is
+            # gathered here — downstream code (bank build, eval) consumes
+            # host features either way.  Single-process behavior unchanged.
+            out = image_jit(clip_params, shard_batch(images_u8, mesh))
+            return fetch_to_host(out) if jax.process_count() > 1 else out
     else:
         image_jit = jax.jit(_image)
         text_jit = jax.jit(_text)
 
+        def encode_images(images_u8):
+            return image_jit(clip_params, images_u8)
+
     return (
-        lambda images_u8: image_jit(clip_params, images_u8),
+        encode_images,
         lambda tokens: text_jit(clip_params, tokens),
         clip_cfg,
         clip_params,
@@ -136,12 +152,18 @@ def zero_shot_sweep_phase(cfg, setup, logger, progress: bool) -> Dict[str, float
         stem = cache.hp_search_stem(split)
         cached = cache.load(stem)
         n_class = int(bank_t.shape[0])
-        if cached is not None and "n_class" in cached and int(cached["n_class"]) != n_class:
+        if cached is not None and "acc" in cached and (
+            "n_class" not in cached or int(cached["n_class"]) != n_class
+        ):
             # dataset-variant guard: fewsol (52-class) and fewsol_198 share
             # the caches/fewsol tree (core/config.py::cache_dir), and the
             # sweep stems carry only backbone+shots — without this check a
             # 52-class run would silently adopt the 198-class grid (and its
-            # wrong best alpha/beta) or vice versa. Recompute and overwrite.
+            # wrong best alpha/beta) or vice versa.  An 'acc' npz WITHOUT
+            # the n_class field was written by an older build of this
+            # framework (the reference's pickles go through the
+            # triples/array path below) — its class count is unknown, so it
+            # is treated as stale too.  Recompute and overwrite.
             cached = None
         if cached is not None and "acc" in cached:
             acc_grid = cached["acc"]

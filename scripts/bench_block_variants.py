@@ -901,6 +901,10 @@ def make_kernel_int8(
 
 
 def bench_int8(g=16, check_only=False, interpret=False, quant_hid=True, skip_attn=False, quant_scores=False, gelu_bf16=False, static_scales=False, quant_mode="dyn", ln_stats_bf16=False, tag="int8"):
+    if quant_scores and (quant_mode != "dyn" or ln_stats_bf16):
+        # make_kernel_int8s has no quant_mode/lnb plumbing — refusing beats
+        # printing a baseline measurement under an ablation label
+        raise SystemExit(f"{tag}: int8s variants do not support recip/cast/lnb")
     kernel = (
         make_kernel_int8s(H, L)
         if quant_scores

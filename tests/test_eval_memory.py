@@ -350,3 +350,40 @@ def test_sweep_cache_guards_class_count_variant(tmp_path):
     second = cache.load(stem)
     assert int(second["n_class"]) == 5
     assert not np.array_equal(first["acc"], second["acc"])
+
+
+def test_sweep_cache_without_n_class_is_stale(tmp_path):
+    """An 'acc' npz lacking n_class was written by an older build of THIS
+    framework — its class count is unknown, so it must be recomputed, not
+    adopted (reference pickles go through the triples path instead)."""
+    from types import SimpleNamespace
+
+    from protoclip_tpu.core.config import Config
+    from protoclip_tpu.eval.gridsearch import default_alpha_beta_grid
+    from protoclip_tpu.obs.logging import MetricLogger
+    from protoclip_tpu.train.runner import zero_shot_sweep_phase
+
+    rng = np.random.default_rng(1)
+    d, shots, n_class = 8, 2, 3
+    cache = FeatureCache(str(tmp_path / "caches"), "RN50", shots)
+    alphas, betas = default_alpha_beta_grid()
+    poisoned = np.full((len(alphas), len(betas)), 0.123, np.float32)
+    cache.save(cache.hp_search_stem("val"), acc=poisoned)  # NO n_class field
+    cache.save(cache.hp_search_stem("test"), acc=poisoned)
+    cache.save(cache.hp_search_stem("train"), acc=poisoned)
+
+    bank_t = rng.standard_normal((n_class, d)).astype(np.float32)
+    bank_t /= np.linalg.norm(bank_t, axis=-1, keepdims=True)
+    bank_v = rng.standard_normal((n_class * shots, d)).astype(np.float32)
+    feats = rng.standard_normal((6, d)).astype(np.float32)
+    setup = SimpleNamespace(
+        cache=cache, bank_v=bank_v,
+        bank_values=np.eye(n_class, dtype=np.float32).repeat(shots, axis=0),
+        bank_t=bank_t, val_feats=feats, val_labels=rng.integers(0, n_class, 6),
+        test_feats=feats, test_labels=rng.integers(0, n_class, 6),
+    )
+    logger = MetricLogger(str(tmp_path / "logs"), use_tensorboard=False)
+    zero_shot_sweep_phase(Config(dataset="fewsol", shots=shots), setup, logger, False)
+    refreshed = cache.load(cache.hp_search_stem("val"))
+    assert int(refreshed["n_class"]) == n_class
+    assert not np.array_equal(refreshed["acc"], poisoned)

@@ -521,3 +521,36 @@ def test_tsne_thumbnails_both_modes(tmp_path):
         plot_prototype_tsne_thumbnails(
             protos_i, protos_t, names, paths[:2], str(tmp_path / "x.png")
         )
+
+
+def test_tsne_representative_images_reject_gappy_class_ids(tmp_path):
+    """Non-contiguous train class ids would silently pair prototype row i
+    with the wrong class's thumbnail; the helper must refuse."""
+    import json
+
+    from protoclip_tpu.toolkit.tsne import representative_images_from_split
+
+    splits = tmp_path / "split.json"
+    splits.write_text(json.dumps({
+        "train": [["a.jpg", 0, "a"], ["b.jpg", 1, "b"], ["d.jpg", 3, "d"]],
+        "val": [], "test": [],
+    }))
+    with pytest.raises(ValueError, match="contiguous"):
+        representative_images_from_split(str(splits))
+
+
+def test_asr_config_rejects_wrong_value_types(tmp_path):
+    import json
+
+    from protoclip_tpu.cli.transcribe import load_asr_config
+
+    p = tmp_path / "t.json"
+    p.write_text(json.dumps({"energy_threshold": "1000"}))
+    with pytest.raises(ValueError, match="energy_threshold"):
+        load_asr_config(str(p))
+    p.write_text(json.dumps({"non_english": "false"}))  # truthy string!
+    with pytest.raises(ValueError, match="non_english"):
+        load_asr_config(str(p))
+    p.write_text(json.dumps({"record_timeout": True}))  # bool is not a count
+    with pytest.raises(ValueError, match="record_timeout"):
+        load_asr_config(str(p))
