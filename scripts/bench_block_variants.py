@@ -22,6 +22,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 B, L, D, H, LAYERS = 512, 197, 768, 12, 12
+if __import__("os").environ.get("BENCH_GEOM") == "vitl":
+    # ViT-L/14 geometry (serving batch 128, 24 layers; 12 timed here —
+    # scale ideals accordingly)
+    B, L, D, H = 128, 257, 1024, 16
 LP = -(-L // 8) * 8
 if __import__("os").environ.get("BENCH_LP16"):
     LP = -(-L // 16) * 16  # bf16 sublane-aligned padding experiment
