@@ -166,3 +166,62 @@ def test_fewsol198_deploy_route_golden(rng):
         atol=5e-5,
     )
     np.testing.assert_allclose(float((p * np.arange(198)).sum()), 809.27216, atol=5e-3)
+
+
+@requires_reference
+def test_imagenet_deploy_route_golden():
+    """End-to-end pin of the ImageNet deploy route on the REAL
+    ``pretrained_ckpt/imagenet-F`` artifacts: torch-free io -> conv-2x
+    adapter (RN50 features, d=1024) -> ``P`` at the config operating point
+    (alpha=0.5, beta=12, configs/imagenet.yml), cross-checked against torch
+    on the same inputs (ref ``toolkit/.../utils/model_utils.py:12-67``).
+
+    Companion to ``test_fewsol198_deploy_route_golden`` — together the two
+    pins cover both shipped snapshot families and both adapter kinds the
+    reference deploys (fc and conv-2x)."""
+    from protoclip_tpu.core.protoclip import from_arrays
+    from protoclip_tpu.io.checkpoint import load_checkpoint_triple
+
+    ckpt = "/root/reference/pretrained_ckpt/imagenet-F"
+    _, bank_t, ad_state = load_checkpoint_triple(
+        None, f"{ckpt}/memory_bank_t.pt", f"{ckpt}/query_adapter.pt"
+    )
+    assert bank_t.shape == (1000, 1024)
+    bank_v = np.roll(bank_t, 1, axis=0)  # deterministic distinct visual head
+
+    q = np.random.default_rng(1000).standard_normal((8, 1024)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+
+    model = from_arrays(
+        bank_v, bank_t, adapter_from_torch_state(ad_state, "conv-2x"), "conv-2x", 1
+    )
+    p = np.asarray(jax.jit(lambda m, x: m.probs(x, 0.5, 12.0))(model, jnp.asarray(q)))
+
+    # torch cross-check, loading the SAME artifacts with torch itself
+    tb = torch.load(f"{ckpt}/memory_bank_t.pt", map_location="cpu").detach().float()
+    tstate = {
+        k: np.asarray(v.detach().float()) for k, v in
+        torch.load(f"{ckpt}/query_adapter.pt", map_location="cpu").items()
+    }
+    qa = torch.from_numpy(_torch_conv_adapter(tstate, q, three_x=False))
+    qa = qa / qa.norm(dim=-1, keepdim=True)
+    tp = tb / tb.norm(dim=-1, keepdim=True)
+    ip = torch.roll(tp, 1, dims=0)
+    ip = ip / ip.norm(dim=-1, keepdim=True)
+    d_i = torch.cdist(qa, ip) ** 2
+    d_t = torch.cdist(qa, tp) ** 2
+    p_torch = (
+        0.5 * torch.softmax(-12.0 * d_i, dim=-1)
+        + 0.5 * torch.softmax(-12.0 * d_t, dim=-1)
+    ).numpy()
+    np.testing.assert_allclose(p, p_torch, atol=2e-4)
+
+    # hard pins (recorded 2026-08-17 from this route on CPU fp32)
+    np.testing.assert_allclose(p.sum(axis=-1), 1.0, atol=1e-5)
+    assert p.argmax(-1).tolist() == [42, 326, 382, 68, 285, 937, 24, 931]
+    np.testing.assert_allclose(
+        p.max(-1),
+        [0.004475, 0.002921, 0.003243, 0.003476, 0.003131, 0.004394, 0.002894, 0.003629],
+        atol=5e-5,
+    )
+    np.testing.assert_allclose(float((p * np.arange(1000)).sum()), 4077.567, atol=5e-2)
