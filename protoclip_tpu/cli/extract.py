@@ -47,17 +47,31 @@ def main() -> None:
     parser.add_argument(
         "--no-normalize", action="store_true", help="skip output L2-normalization"
     )
+    parser.add_argument(
+        "--fast-decode", action="store_true",
+        help="libjpeg DCT-scaled decode (~2x faster host preprocess; not "
+        "pixel-exact with the torchvision pipeline — serving only)",
+    )
+    parser.add_argument(
+        "--decode-threads", type=int, default=max(1, (os.cpu_count() or 1)),
+        help="host decode threads (PIL releases the GIL)",
+    )
     args = parser.parse_args()
 
     if args.int8:
         os.environ["PROTOCLIP_INT8"] = "1"
 
+    import concurrent.futures as _futures
+
     import jax
     import jax.numpy as jnp
     import numpy as np
-    from PIL import Image
 
-    from protoclip_tpu.data.transforms import clip_preprocess, normalize_batch
+    from protoclip_tpu.data.transforms import (
+        clip_preprocess,
+        load_image,
+        normalize_batch,
+    )
     from protoclip_tpu.models import encode_image, load_clip
 
     if not args.out.endswith(".npz"):
@@ -79,18 +93,25 @@ def main() -> None:
             feats = feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
         return feats
 
+    draft_px = n_px if args.fast_decode else None
+
+    def _decode(into, i, path):
+        into[i] = clip_preprocess(load_image(path, draft_px), n_px)
+
     feats_out = []
     batch = np.zeros((args.batch, n_px, n_px, 3), np.uint8)
-    for start in range(0, len(files), args.batch):
-        chunk = files[start : start + args.batch]
-        for i, path in enumerate(chunk):
-            batch[i] = clip_preprocess(Image.open(path).convert("RGB"), n_px)
-        # fixed batch shape: one compiled program regardless of the tail
-        feats_out.append(np.asarray(encode(params, jnp.asarray(batch)))[: len(chunk)])
-        print(
-            f"\r[extract] {min(start + args.batch, len(files))}/{len(files)}",
-            end="", file=sys.stderr,
-        )
+    with _futures.ThreadPoolExecutor(max_workers=args.decode_threads) as pool:
+        for start in range(0, len(files), args.batch):
+            chunk = files[start : start + args.batch]
+            list(pool.map(lambda t: _decode(batch, *t), enumerate(chunk)))
+            # fixed batch shape: one compiled program regardless of the tail
+            feats_out.append(
+                np.asarray(encode(params, jnp.asarray(batch)))[: len(chunk)]
+            )
+            print(
+                f"\r[extract] {min(start + args.batch, len(files))}/{len(files)}",
+                end="", file=sys.stderr,
+            )
     print(file=sys.stderr)
 
     features = np.concatenate(feats_out)

@@ -35,6 +35,9 @@ class BatchLoader:
     num_threads: decode worker threads.
     pad_last: pad the ragged final batch to ``batch_size`` (keeps jit shapes
         stable); ``n_valid`` marks real rows.
+    fast_decode: opt into libjpeg DCT-scaled decode (~2x faster host
+        preprocess; NOT pixel-exact with the torchvision pipeline — serving
+        only, never for feature caches meant to match the reference).
     """
 
     def __init__(
@@ -47,6 +50,7 @@ class BatchLoader:
         num_threads: int = 8,
         pad_last: bool = True,
         image_size: int = 224,
+        fast_decode: bool = False,
     ):
         if len(items) == 0:
             raise ValueError("BatchLoader requires a non-empty item list")
@@ -58,6 +62,7 @@ class BatchLoader:
         self.num_threads = max(1, num_threads)
         self.pad_last = pad_last
         self.image_size = image_size
+        self.fast_decode = fast_decode
         self._epoch = 0
 
     def __len__(self) -> int:
@@ -78,11 +83,13 @@ class BatchLoader:
         rng_base = self.seed * 100003 + self._epoch
         self._epoch += 1
 
+        draft_px = self.image_size if self.fast_decode else None
+
         def load_one(args):
             pos, global_pos, idx = args
             item = self.items[idx]
             rng = _random.Random(rng_base * 1_000_003 + global_pos)
-            return pos, self.transform(load_image(item.impath), rng), item.label
+            return pos, self.transform(load_image(item.impath, draft_px), rng), item.label
 
         bs = self.batch_size
 

@@ -27,13 +27,30 @@ CLIP_MEAN = (0.48145466, 0.4578275, 0.40821073)
 CLIP_STD = (0.26862954, 0.26130258, 0.27577711)
 
 
-def load_image(path: str) -> Image.Image:
+def load_image(path: str, draft_px: Optional[int] = None) -> Image.Image:
     """Open an image as RGB; retries once on IOError (the reference retries
-    forever, ``datasets/utils.py:46-54`` — one bounded retry is saner)."""
+    forever, ``datasets/utils.py:46-54`` — one bounded retry is saner).
+
+    ``draft_px`` opts into libjpeg's DCT-domain scaled decode (PIL
+    ``draft``): the JPEG is decoded directly at 1/2, 1/4, or 1/8 scale —
+    never smaller than ``draft_px`` on the shorter side, so the bicubic
+    resize that follows still downscales.  ~2x faster per image and NOT
+    pixel-exact with the torchvision reference pipeline (the DCT downscale
+    replaces part of the bicubic filter), so it is OFF by default and meant
+    for the serving/deployment path only; images at or below the draft size
+    decode identically (draft is a no-op there).  Non-JPEG formats ignore
+    ``draft``."""
+
+    def _open() -> Image.Image:
+        img = Image.open(path)
+        if draft_px is not None:
+            img.draft("RGB", (draft_px, draft_px))
+        return img.convert("RGB")
+
     try:
-        return Image.open(path).convert("RGB")
+        return _open()
     except OSError:
-        return Image.open(path).convert("RGB")
+        return _open()
 
 
 def resize_shorter(img: Image.Image, size: int) -> Image.Image:

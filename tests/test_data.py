@@ -451,3 +451,57 @@ def test_tokenizer_fuzz_never_crashes():
         )
         ids = tok.encode(text)
         assert all(0 <= i < tok.vocab_size for i in ids), text
+
+
+def test_fast_decode_draft_semantics(tmp_path):
+    """Opt-in libjpeg DCT-scaled decode (``load_image(path, draft_px)``):
+    a large JPEG decodes at reduced scale (~2x faster, near-identical pixels
+    after the bicubic resize), while an image too small for any 1/2^k scale
+    to stay >= draft_px decodes bit-exactly (draft is a no-op)."""
+    from protoclip_tpu.data.transforms import clip_preprocess, load_image
+
+    rng = np.random.default_rng(7)
+    base = Image.fromarray(rng.integers(0, 255, (24, 32, 3), np.uint8).astype(np.uint8))
+
+    big = tmp_path / "big.jpg"
+    base.resize((1024, 768), Image.BICUBIC).save(big, "JPEG", quality=90)
+    exact = clip_preprocess(load_image(str(big)), 224)
+    fast = clip_preprocess(load_image(str(big), 224), 224)
+    assert fast.shape == exact.shape == (224, 224, 3)
+    # draft actually kicked in: the decoded source is smaller
+    assert load_image(str(big), 224).size == (512, 384)
+    d = np.abs(exact.astype(np.int32) - fast.astype(np.int32))
+    assert d.mean() < 2.0, d.mean()
+
+    small = tmp_path / "small.jpg"
+    base.resize((400, 300), Image.BICUBIC).save(small, "JPEG", quality=90)
+    # 1/2 scale would give 200x150 < 224 on the shorter side -> no-op
+    assert load_image(str(small), 224).size == (400, 300)
+    np.testing.assert_array_equal(
+        clip_preprocess(load_image(str(small)), 224),
+        clip_preprocess(load_image(str(small), 224), 224),
+    )
+
+    # non-JPEG formats ignore draft
+    png = tmp_path / "x.png"
+    base.resize((1024, 768), Image.BICUBIC).save(png)
+    assert load_image(str(png), 224).size == (1024, 768)
+
+
+def test_batch_loader_fast_decode(tmp_path):
+    items = []
+    rng = np.random.default_rng(3)
+    for i in range(4):
+        path = tmp_path / f"im{i}.jpg"
+        Image.fromarray(
+            rng.integers(0, 255, (768, 1024, 3), np.uint8).astype(np.uint8)
+        ).save(path, "JPEG", quality=90)
+        items.append(Datum(str(path), i, f"c{i}"))
+    slow = BatchLoader(items, batch_size=4, image_size=224)
+    fast = BatchLoader(items, batch_size=4, image_size=224, fast_decode=True)
+    (si, sl, sn), (fi, fl, fn) = next(iter(slow)), next(iter(fast))
+    assert (sn, fn) == (4, 4) and sl.tolist() == fl.tolist()
+    assert fi.shape == si.shape == (4, 224, 224, 3)
+    d = np.abs(si.astype(np.int32) - fi.astype(np.int32)).mean()
+    assert d < 6.0, d  # random-noise images are the DCT worst case (natural
+    #                    images measure ~0.6; noise ~4)
