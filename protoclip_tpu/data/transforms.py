@@ -77,7 +77,20 @@ def center_crop(img: Image.Image, size: int) -> Image.Image:
 
 
 def clip_preprocess(img: Image.Image, n_px: int = 224) -> np.ndarray:
-    """Eval-time transform -> uint8 (n_px, n_px, 3)."""
+    """Eval-time transform -> uint8 (n_px, n_px, 3).
+
+    Uses the native fused resize+crop (``protoclip_tpu.native``) when the
+    C++ helper is buildable — pixel-exact with the PIL path (asserted by
+    ``tests/test_native.py`` across geometries) and ~1.2-1.7x faster per
+    core, because it computes only the pixels the crop keeps.  Falls back
+    to PIL silently; ``$PROTOCLIP_NATIVE=0`` forces the PIL path."""
+    if img.mode != "RGB":
+        img = img.convert("RGB")
+    from protoclip_tpu import native  # lazy: first call may compile the .so
+
+    out = native.resize_shorter_center_crop(np.asarray(img, np.uint8), n_px, n_px)
+    if out is not None:
+        return out
     img = center_crop(resize_shorter(img, n_px), n_px)
     return np.asarray(img, dtype=np.uint8)
 

@@ -1,0 +1,133 @@
+"""Native (C++) host-side helpers, bound via ctypes.
+
+The TPU does the model math; the host's hot loop is image preprocess
+(JPEG decode -> bicubic resize -> center crop).  ``preprocess.cpp``
+implements the resize+crop stage fused and pixel-exact with PIL (see the
+.cpp header for the arithmetic contract); this module compiles it on first
+use with ``g++ -O3 -shared`` into a user cache dir and binds it with
+ctypes — no Python.h / pybind11 required.  Everything degrades gracefully:
+if no toolchain or the build fails, callers fall back to PIL.
+
+Gate: ``$PROTOCLIP_NATIVE`` — ``1`` force-on (raise if unavailable),
+``0`` force-off, unset = auto (use when buildable).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import tempfile
+import threading
+from typing import Optional
+
+import numpy as np
+
+_SRC = os.path.join(os.path.dirname(os.path.abspath(__file__)), "preprocess.cpp")
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _cache_dir() -> str:
+    root = os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache"))
+    return os.path.join(root, "protoclip_tpu")
+
+
+def _build() -> Optional[str]:
+    """Compile preprocess.cpp into the cache dir (keyed by source hash);
+    returns the .so path or None if no toolchain."""
+    flags = ["-O3", "-shared", "-fPIC", "-std=c++17", "-march=native"]
+    with open(_SRC, "rb") as fh:
+        tag = hashlib.sha256(fh.read() + " ".join(flags).encode()).hexdigest()[:16]
+    out = os.path.join(_cache_dir(), f"preprocess_{tag}.so")
+    if os.path.exists(out):
+        return out
+    os.makedirs(_cache_dir(), exist_ok=True)
+    tmp = tempfile.mktemp(suffix=".so", dir=_cache_dir())
+    try:
+        subprocess.run(
+            ["g++", *flags, _SRC, "-o", tmp], check=True,
+            capture_output=True, timeout=120,
+        )
+    except (OSError, subprocess.SubprocessError):
+        try:  # some toolchains lack -march=native (e.g. cross images)
+            subprocess.run(
+                ["g++", *flags[:-1], _SRC, "-o", tmp], check=True,
+                capture_output=True, timeout=120,
+            )
+        except (OSError, subprocess.SubprocessError):
+            return None
+    os.replace(tmp, out)  # atomic: concurrent builders race benignly
+    return out
+
+
+def load() -> Optional[ctypes.CDLL]:
+    """The bound library, or None (unavailable / disabled)."""
+    global _lib, _tried
+    if os.environ.get("PROTOCLIP_NATIVE", "") == "0":
+        return None
+    with _lock:
+        if _tried:
+            return _lib
+        _tried = True
+        path = _build()
+        if path is None:
+            if os.environ.get("PROTOCLIP_NATIVE") == "1":
+                raise RuntimeError(
+                    "PROTOCLIP_NATIVE=1 but the native preprocess could not "
+                    "be built (g++ missing or compile failed)"
+                )
+            return None
+        lib = ctypes.CDLL(path)
+        lib.resize_shorter_center_crop.restype = ctypes.c_int
+        lib.resize_shorter_center_crop.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+        ]
+        lib.resize_bicubic.restype = ctypes.c_int
+        lib.resize_bicubic.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+        ]
+        _lib = lib
+        return _lib
+
+
+def _as_u8_ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def resize_shorter_center_crop(src: np.ndarray, size: int, crop: int) -> Optional[np.ndarray]:
+    """Fused shorter-side bicubic resize + center crop, pixel-exact with the
+    PIL path in ``data.transforms``.  ``src`` is (H, W, 3) uint8.  Returns
+    None when the native path is unavailable or declines the geometry
+    (e.g. upscales where the resized image is smaller than the crop) —
+    callers fall back to PIL."""
+    lib = load()
+    if lib is None:
+        return None
+    src = np.ascontiguousarray(src, dtype=np.uint8)
+    if src.ndim != 3 or src.shape[2] != 3:
+        return None
+    dst = np.empty((crop, crop, 3), np.uint8)
+    rc = lib.resize_shorter_center_crop(
+        _as_u8_ptr(src), src.shape[0], src.shape[1], _as_u8_ptr(dst), size, crop
+    )
+    return dst if rc == 0 else None
+
+
+def resize_bicubic(src: np.ndarray, out_h: int, out_w: int) -> Optional[np.ndarray]:
+    """Bicubic resize to (out_h, out_w), pixel-exact with PIL BICUBIC."""
+    lib = load()
+    if lib is None:
+        return None
+    src = np.ascontiguousarray(src, dtype=np.uint8)
+    if src.ndim != 3 or src.shape[2] != 3:
+        return None
+    dst = np.empty((out_h, out_w, 3), np.uint8)
+    rc = lib.resize_bicubic(
+        _as_u8_ptr(src), src.shape[0], src.shape[1], _as_u8_ptr(dst), out_h, out_w
+    )
+    return dst if rc == 0 else None

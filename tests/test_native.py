@@ -1,0 +1,82 @@
+"""Native C++ preprocess parity: the fused bicubic resize + center crop
+(protoclip_tpu/native/preprocess.cpp) must be PIXEL-EXACT with the PIL
+pipeline it replaces (resize_shorter -> center_crop, the torchvision
+arithmetic of the reference's CLIP preprocess, clip/clip.py:77-84) — the
+feature caches it feeds are contractually byte-stable."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from protoclip_tpu import native
+from protoclip_tpu.data.transforms import center_crop, clip_preprocess, resize_shorter
+
+pytestmark = pytest.mark.skipif(
+    native.load() is None, reason="native preprocess unavailable (no g++)"
+)
+
+
+GEOMETRIES = [
+    (375, 500), (500, 375), (768, 1024), (240, 320), (224, 224), (225, 225),
+    (299, 299), (1000, 50), (50, 1000), (517, 333), (97, 211), (2000, 100),
+]
+
+
+@pytest.mark.parametrize("h,w", GEOMETRIES)
+def test_fused_resize_crop_pixel_exact(h, w):
+    src = np.random.default_rng(h * 1000 + w).integers(
+        0, 256, (h, w, 3), np.uint8
+    ).astype(np.uint8)
+    ref = np.asarray(center_crop(resize_shorter(Image.fromarray(src), 224), 224))
+    got = native.resize_shorter_center_crop(src, 224, 224)
+    assert got is not None
+    np.testing.assert_array_equal(got, ref)
+
+
+@pytest.mark.parametrize("oh,ow", [(224, 298), (298, 224), (224, 224), (112, 149), (448, 640)])
+def test_resize_bicubic_pixel_exact(oh, ow):
+    src = np.random.default_rng(oh * 7 + ow).integers(
+        0, 256, (375, 500, 3), np.uint8
+    ).astype(np.uint8)
+    ref = np.asarray(Image.fromarray(src).resize((ow, oh), Image.BICUBIC))
+    got = native.resize_bicubic(src, oh, ow)
+    assert got is not None
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_fuzz_geometries():
+    rng = np.random.default_rng(0)
+    for _ in range(25):
+        h = int(rng.integers(30, 900))
+        w = int(rng.integers(30, 900))
+        n_px = int(rng.choice([96, 224, 288, 336]))
+        src = rng.integers(0, 256, (h, w, 3), np.uint8).astype(np.uint8)
+        ref = np.asarray(center_crop(resize_shorter(Image.fromarray(src), n_px), n_px))
+        got = native.resize_shorter_center_crop(src, n_px, n_px)
+        assert got is not None, (h, w, n_px)
+        np.testing.assert_array_equal(got, ref, err_msg=f"{h}x{w} n_px={n_px}")
+
+
+def test_clip_preprocess_native_matches_pil(monkeypatch):
+    src = np.random.default_rng(5).integers(0, 256, (375, 500, 3), np.uint8).astype(np.uint8)
+    img = Image.fromarray(src)
+    via_native = clip_preprocess(img, 224)
+    monkeypatch.setenv("PROTOCLIP_NATIVE", "0")
+    via_pil = clip_preprocess(img, 224)
+    np.testing.assert_array_equal(via_native, via_pil)
+
+
+def test_env_gate_forces_pil(monkeypatch):
+    monkeypatch.setenv("PROTOCLIP_NATIVE", "0")
+    assert native.load() is None
+    src = np.zeros((64, 64, 3), np.uint8)
+    assert native.resize_shorter_center_crop(src, 224, 224) is None
+
+
+def test_non_rgb_and_bad_shapes():
+    # grayscale input: clip_preprocess converts before the native call
+    img = Image.new("L", (300, 260), 128)
+    out = clip_preprocess(img, 224)
+    assert out.shape == (224, 224, 3) and (out == 128).all()
+    # the raw binding declines non-HWC3 arrays rather than crashing
+    assert native.resize_shorter_center_crop(np.zeros((10, 10), np.uint8), 224, 224) is None
