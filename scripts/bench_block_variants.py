@@ -368,8 +368,8 @@ def main():
             elif "cast" in spec:
                 quant_mode = "cast"
             bench_int8(
-                g=32 if "g32" in spec else 16,
-                quant_hid="h" not in spec.replace("g32", "").replace(
+                g=32 if "g32" in spec else (8 if "g8" in spec else 16),
+                quant_hid="h" not in spec.replace("g32", "").replace("g8", "").replace(
                     "noattn", ""
                 ).replace("gb", "").replace("recip", "").replace("cast", "").replace("lnb", ""),
                 skip_attn="noattn" in spec,

@@ -1,0 +1,98 @@
+"""AOT serving bundle roundtrip (io/export.py): export the compiled encoder
+to disk, reload it WITHOUT the model-building code path, and get identical
+features."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from protoclip_tpu.data.transforms import normalize_batch
+from protoclip_tpu.io.export import load_serving_bundle, save_serving_bundle
+from protoclip_tpu.models import encode_image
+from protoclip_tpu.models.clip import CLIPConfig, init_clip_params
+
+TINY_VIT = CLIPConfig(
+    "tiny-vit", embed_dim=32, image_resolution=32, vision_layers=2,
+    vision_width=64, vision_patch_size=16, context_length=16, vocab_size=128,
+    transformer_width=64, transformer_layers=2,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    params = init_clip_params(jax.random.PRNGKey(0), TINY_VIT)
+    return TINY_VIT, params
+
+
+def test_bundle_roundtrip(tmp_path, tiny):
+    cfg, params = tiny
+    bundle = str(tmp_path / "bundle")
+    save_serving_bundle(bundle, cfg, params, batch_size=4)
+    assert sorted(os.listdir(bundle)) == ["encoder.shlo", "manifest.json", "params.npz"]
+
+    encode = load_serving_bundle(bundle)
+    assert encode.manifest["image_resolution"] == 32
+    assert encode.manifest["normalized"] is True
+
+    imgs = np.random.default_rng(0).integers(0, 256, (4, 32, 32, 3), np.uint8)
+    got = encode(imgs.astype(np.uint8))
+    assert got.shape == (4, 32) and got.dtype == np.float32
+    np.testing.assert_allclose(np.linalg.norm(got, axis=-1), 1.0, atol=1e-5)
+
+    # reference: the live (non-exported) encode path on the same inputs
+    def live(params, images_u8):
+        feats = encode_image(params, normalize_batch(images_u8, jnp.bfloat16), cfg)
+        feats = feats.astype(jnp.float32)
+        return feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
+
+    want = np.asarray(jax.jit(live)(params, jnp.asarray(imgs, jnp.uint8)))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_bundle_rejects_wrong_shape_and_format(tmp_path, tiny):
+    cfg, params = tiny
+    bundle = str(tmp_path / "bundle")
+    save_serving_bundle(bundle, cfg, params, batch_size=4, normalize=False)
+    encode = load_serving_bundle(bundle)
+    assert encode.manifest["normalized"] is False
+    with pytest.raises(ValueError, match="compiled for"):
+        encode(np.zeros((2, 32, 32, 3), np.uint8))
+
+    with open(os.path.join(bundle, "manifest.json")) as fh:
+        manifest = json.load(fh)
+    manifest["format"] = "something-else"
+    with open(os.path.join(bundle, "manifest.json"), "w") as fh:
+        json.dump(manifest, fh)
+    with pytest.raises(ValueError, match="not a protoclip_tpu serving bundle"):
+        load_serving_bundle(bundle)
+
+
+def test_bundle_weight_swap_takes_effect(tmp_path, tiny):
+    """Weights are bundle DATA, not baked constants: editing params.npz
+    changes the output without re-exporting the program."""
+    cfg, params = tiny
+    bundle = str(tmp_path / "bundle")
+    save_serving_bundle(bundle, cfg, params, batch_size=2)
+    imgs = np.random.default_rng(1).integers(0, 256, (2, 32, 32, 3), np.uint8)
+    before = load_serving_bundle(bundle)(imgs)
+
+    with np.load(os.path.join(bundle, "params.npz")) as npz:
+        flat = {k: npz[k].copy() for k in npz.files}
+    key = next(
+        k for k in flat
+        if k.startswith("visual/") and k.endswith("/wo") and flat[k].ndim >= 2
+    )  # a VISUAL weight (text-tower leaves don't feed the image path), and
+    #    a RANDOM perturbation (a constant one lies in the null space of the
+    #    zero-mean LayerNorm outputs feeding the matmul; attn/bk is likewise
+    #    softmax-invariant)
+    flat[key] = flat[key] + 0.05 * np.random.default_rng(0).standard_normal(
+        flat[key].shape
+    ).astype(flat[key].dtype)
+    np.savez(os.path.join(bundle, "params.npz"), **flat)
+    after = load_serving_bundle(bundle)(imgs)
+    assert not np.allclose(before, after)
