@@ -67,12 +67,9 @@ def main() -> None:
     import jax.numpy as jnp
     import numpy as np
 
-    from protoclip_tpu.data.transforms import (
-        clip_preprocess,
-        load_image,
-        normalize_batch,
-    )
-    from protoclip_tpu.models import encode_image, load_clip
+    from protoclip_tpu.data.transforms import clip_preprocess, load_image
+    from protoclip_tpu.io.export import make_encode_fn
+    from protoclip_tpu.models import load_clip
 
     if not args.out.endswith(".npz"):
         args.out += ".npz"  # np.savez appends it silently otherwise
@@ -85,13 +82,7 @@ def main() -> None:
     cfg, params = load_clip(args.backbone, args.weights, dtype=jnp.bfloat16)
     n_px = cfg.image_resolution
 
-    @jax.jit
-    def encode(params, images_u8):
-        feats = encode_image(params, normalize_batch(images_u8, jnp.bfloat16), cfg)
-        feats = feats.astype(jnp.float32)
-        if not args.no_normalize:
-            feats = feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
-        return feats
+    encode = jax.jit(make_encode_fn(cfg, normalize=not args.no_normalize))
 
     draft_px = n_px if args.fast_decode else None
 

@@ -39,16 +39,25 @@ _PARAMS = "params.npz"
 _SEP = "/"  # pytree path separator inside the npz
 
 
-def _flatten(params) -> dict:
+def _flatten(params) -> tuple:
+    """(path-keyed npz-safe arrays, {path: original dtype name}).
+
+    numpy cannot serialize ml_dtypes (bfloat16 round-trips ``.npz`` as a
+    void ``|V2`` and is destroyed) — such leaves are widened to fp32 for
+    storage and their true dtype recorded for the loader to restore."""
     import jax
 
-    flat = {}
+    flat, dtypes = {}, {}
     for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
         key = _SEP.join(
             str(getattr(p, "key", getattr(p, "idx", p))) for p in path
         )
-        flat[key] = np.asarray(leaf)
-    return flat
+        arr = np.asarray(leaf)
+        if arr.dtype.kind == "V":  # ml_dtypes leaf (bfloat16, fp8, ...)
+            dtypes[key] = arr.dtype.name
+            arr = arr.astype(np.float32)
+        flat[key] = arr
+    return flat, dtypes
 
 
 def _unflatten(flat: dict):
@@ -72,6 +81,27 @@ def _unflatten(flat: dict):
     return listify(root)
 
 
+def make_encode_fn(cfg, normalize: bool = True) -> Callable:
+    """The canonical serving encode: ``(params, images_u8) -> (B, d) fp32``
+    — device-side ToTensor+Normalize, bf16 tower, fp32 output, optional L2
+    normalization.  The single definition shared by the extract CLI, the
+    serving export, and benchmarks (semantics of ``utils.py:303-316``'s
+    encode in the reference)."""
+    import jax.numpy as jnp
+
+    from protoclip_tpu.data.transforms import normalize_batch
+    from protoclip_tpu.models import encode_image
+
+    def encode(params, images_u8):
+        feats = encode_image(params, normalize_batch(images_u8, jnp.bfloat16), cfg)
+        feats = feats.astype(jnp.float32)
+        if normalize:
+            feats = feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
+        return feats
+
+    return encode
+
+
 def save_serving_bundle(
     path: str,
     cfg,
@@ -92,22 +122,18 @@ def save_serving_bundle(
     import jax.numpy as jnp
     from jax import export as jax_export
 
-    from protoclip_tpu.data.transforms import normalize_batch
-    from protoclip_tpu.models import encode_image
+    # set BOTH ways: a bare `= "1"` would leak a previous int8=True export
+    # into later non-int8 traces in the same process
+    os.environ["PROTOCLIP_INT8"] = "1" if int8 else "0"
 
-    if int8:
-        os.environ["PROTOCLIP_INT8"] = "1"
-
-    def encode(params, images_u8):
-        feats = encode_image(params, normalize_batch(images_u8, jnp.bfloat16), cfg)
-        feats = feats.astype(jnp.float32)
-        if normalize:
-            feats = feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
-        return feats
-
+    encode = make_encode_fn(cfg, normalize=normalize)
     n_px = cfg.image_resolution
+    # metadata only — np.asarray here would FETCH every device leaf to host
     param_shapes = jax.tree_util.tree_map(
-        lambda a: jax.ShapeDtypeStruct(np.shape(a), np.asarray(a).dtype), params
+        lambda a: jax.ShapeDtypeStruct(
+            np.shape(a), getattr(a, "dtype", None) or np.asarray(a).dtype
+        ),
+        params,
     )
     image_shape = jax.ShapeDtypeStruct((batch_size, n_px, n_px, 3), jnp.uint8)
     kwargs = {"platforms": tuple(platforms)} if platforms else {}
@@ -115,10 +141,11 @@ def save_serving_bundle(
         param_shapes, image_shape
     )
 
+    flat, leaf_dtypes = _flatten(params)
     os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, _ARTIFACT), "wb") as fh:
         fh.write(artifact.serialize())
-    np.savez(os.path.join(path, _PARAMS), **_flatten(params))
+    np.savez(os.path.join(path, _PARAMS), **flat)
     manifest = {
         "format": "protoclip_tpu.serving_bundle.v1",
         "backbone_embed_dim": int(cfg.embed_dim),
@@ -128,6 +155,9 @@ def save_serving_bundle(
         "normalized": bool(normalize),
         "platforms": list(artifact.platforms),
         "jax_version": jax.__version__,
+        # ml_dtypes leaves are stored widened to fp32 (npz cannot hold
+        # bfloat16); the loader restores these dtypes before device_put
+        "param_dtypes": leaf_dtypes,
     }
     with open(os.path.join(path, _MANIFEST), "w") as fh:
         json.dump(manifest, fh, indent=1)
@@ -136,6 +166,7 @@ def save_serving_bundle(
 def load_serving_bundle(path: str) -> Callable[[np.ndarray], np.ndarray]:
     """Load a bundle; returns ``encode(images_u8) -> (B, d) fp32`` with the
     manifest dict attached as ``encode.manifest``."""
+    import jax
     from jax import export as jax_export
 
     with open(os.path.join(path, _MANIFEST)) as fh:
@@ -144,8 +175,15 @@ def load_serving_bundle(path: str) -> Callable[[np.ndarray], np.ndarray]:
         raise ValueError(f"not a protoclip_tpu serving bundle: {path}")
     with open(os.path.join(path, _ARTIFACT), "rb") as fh:
         artifact = jax_export.deserialize(fh.read())
+    leaf_dtypes = manifest.get("param_dtypes", {})
     with np.load(os.path.join(path, _PARAMS)) as npz:
-        params = _unflatten({k: npz[k] for k in npz.files})
+        flat = {
+            k: npz[k].astype(leaf_dtypes[k]) if k in leaf_dtypes else npz[k]
+            for k in npz.files
+        }
+    # device_put ONCE: weights must not re-cross host->device per batch
+    # (the serving hot path; see CLAUDE.md on hot-path transfers)
+    params = jax.device_put(_unflatten(flat))
 
     batch = manifest["batch_size"]
     n_px = manifest["image_resolution"]

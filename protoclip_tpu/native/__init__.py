@@ -35,32 +35,53 @@ def _cache_dir() -> str:
     return os.path.join(root, "protoclip_tpu")
 
 
-def _build() -> Optional[str]:
-    """Compile preprocess.cpp into the cache dir (keyed by source hash);
-    returns the .so path or None if no toolchain."""
-    flags = ["-O3", "-shared", "-fPIC", "-std=c++17", "-march=native"]
-    with open(_SRC, "rb") as fh:
-        tag = hashlib.sha256(fh.read() + " ".join(flags).encode()).hexdigest()[:16]
-    out = os.path.join(_cache_dir(), f"preprocess_{tag}.so")
-    if os.path.exists(out):
-        return out
-    os.makedirs(_cache_dir(), exist_ok=True)
-    tmp = tempfile.mktemp(suffix=".so", dir=_cache_dir())
+# -ffp-contract=off: the pixel-exact contract with PIL depends on the
+# coefficient doubles rounding identically; FMA contraction could perturb a
+# weight sitting within 1 ulp of a quantization boundary.
+_BASE_FLAGS = ("-O3", "-shared", "-fPIC", "-std=c++17", "-ffp-contract=off")
+
+
+def _machine_tag() -> str:
+    """Host identity folded into the cache key: -march=native objects are
+    not portable across CPUs (a shared $HOME would otherwise SIGILL)."""
+    import platform
+
+    ident = f"{platform.machine()}:{platform.processor()}"
     try:
-        subprocess.run(
-            ["g++", *flags, _SRC, "-o", tmp], check=True,
-            capture_output=True, timeout=120,
-        )
-    except (OSError, subprocess.SubprocessError):
-        try:  # some toolchains lack -march=native (e.g. cross images)
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                if line.startswith(("model name", "Processor")):
+                    ident += ":" + line.split(":", 1)[1].strip()
+                    break
+    except OSError:
+        pass
+    return ident
+
+
+def _build() -> Optional[str]:
+    """Compile preprocess.cpp into the cache dir (keyed by source hash +
+    flags + host CPU); returns the .so path or None if no toolchain."""
+    with open(_SRC, "rb") as fh:
+        src_hash = fh.read()
+    os.makedirs(_cache_dir(), exist_ok=True)
+    for flags in ((*_BASE_FLAGS, "-march=native"), _BASE_FLAGS):
+        tag = hashlib.sha256(
+            src_hash + " ".join(flags).encode() + _machine_tag().encode()
+        ).hexdigest()[:16]
+        out = os.path.join(_cache_dir(), f"preprocess_{tag}.so")
+        if os.path.exists(out):
+            return out
+        tmp = tempfile.mktemp(suffix=".so", dir=_cache_dir())
+        try:
             subprocess.run(
-                ["g++", *flags[:-1], _SRC, "-o", tmp], check=True,
+                ["g++", *flags, _SRC, "-o", tmp], check=True,
                 capture_output=True, timeout=120,
             )
         except (OSError, subprocess.SubprocessError):
-            return None
-    os.replace(tmp, out)  # atomic: concurrent builders race benignly
-    return out
+            continue  # e.g. toolchains without -march=native
+        os.replace(tmp, out)  # atomic: concurrent builders race benignly
+        return out
+    return None
 
 
 def load() -> Optional[ctypes.CDLL]:
@@ -68,19 +89,30 @@ def load() -> Optional[ctypes.CDLL]:
     global _lib, _tried
     if os.environ.get("PROTOCLIP_NATIVE", "") == "0":
         return None
+    force_on = os.environ.get("PROTOCLIP_NATIVE") == "1"
     with _lock:
         if _tried:
+            if _lib is None and force_on:
+                # keep raising on EVERY call — latching the failure would
+                # silently serve PIL pixels despite the force-on gate
+                raise RuntimeError(
+                    "PROTOCLIP_NATIVE=1 but the native preprocess is "
+                    "unavailable (g++ missing or compile/load failed)"
+                )
             return _lib
         _tried = True
-        path = _build()
-        if path is None:
-            if os.environ.get("PROTOCLIP_NATIVE") == "1":
+        try:
+            path = _build()
+            lib = ctypes.CDLL(path) if path else None
+        except OSError:  # stale/incompatible cached .so
+            lib = None
+        if lib is None:
+            if force_on:
                 raise RuntimeError(
                     "PROTOCLIP_NATIVE=1 but the native preprocess could not "
-                    "be built (g++ missing or compile failed)"
+                    "be built/loaded (g++ missing or compile failed)"
                 )
             return None
-        lib = ctypes.CDLL(path)
         lib.resize_shorter_center_crop.restype = ctypes.c_int
         lib.resize_shorter_center_crop.argtypes = [
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,

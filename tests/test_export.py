@@ -54,6 +54,40 @@ def test_bundle_roundtrip(tmp_path, tiny):
     np.testing.assert_allclose(got, want, atol=1e-6)
 
 
+def test_bundle_roundtrips_bf16_params(tmp_path, tiny):
+    """bfloat16 leaves survive the npz round trip: numpy serializes
+    ml_dtypes as opaque void (``|V2``) and destroys them, so the exporter
+    widens them to fp32 in storage and records the true dtype in the
+    manifest for the loader to restore."""
+    from protoclip_tpu.models.clip import cast_params
+
+    cfg, params = tiny
+    bf16 = jax.jit(lambda p: cast_params(p, jnp.bfloat16))(params)
+    bundle = str(tmp_path / "bundle")
+    save_serving_bundle(bundle, cfg, bf16, batch_size=2)
+
+    with open(os.path.join(bundle, "manifest.json")) as fh:
+        manifest = json.load(fh)
+    assert manifest["param_dtypes"], "bf16 leaves must be recorded"
+    assert set(manifest["param_dtypes"].values()) == {"bfloat16"}
+    # the stored npz itself holds no destroyed void leaves
+    with np.load(os.path.join(bundle, "params.npz")) as npz:
+        assert all(npz[k].dtype.kind != "V" for k in npz.files)
+
+    encode = load_serving_bundle(bundle)
+    imgs = np.random.default_rng(2).integers(0, 256, (2, 32, 32, 3), np.uint8)
+    got = encode(imgs)
+    assert got.shape == (2, 32) and np.isfinite(got).all()
+
+    def live(p, images_u8):
+        feats = encode_image(p, normalize_batch(images_u8, jnp.bfloat16), cfg)
+        feats = feats.astype(jnp.float32)
+        return feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
+
+    want = np.asarray(jax.jit(live)(bf16, jnp.asarray(imgs, jnp.uint8)))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
 def test_bundle_rejects_wrong_shape_and_format(tmp_path, tiny):
     cfg, params = tiny
     bundle = str(tmp_path / "bundle")
