@@ -79,6 +79,20 @@ def main() -> None:
     if not files:
         sys.exit(f"no images found under {args.input!r}")
 
+    if args.int8:
+        from protoclip_tpu.ops.pallas_kernels import pallas_enabled
+
+        if not pallas_enabled():
+            # same hazard as save_serving_bundle(int8=True): the W8A8 branch
+            # sits inside the Pallas gate, so off-TPU this would silently
+            # run plain bf16.  Extraction output is still correct (int8 is
+            # a speed mode), so warn rather than abort.
+            print(
+                "[extract] WARNING: --int8 requested but the Pallas kernels "
+                "are disabled for this backend; encoding runs bf16",
+                file=sys.stderr,
+            )
+
     cfg, params = load_clip(args.backbone, args.weights, dtype=jnp.bfloat16)
     n_px = cfg.image_resolution
 
@@ -90,17 +104,32 @@ def main() -> None:
         into[i] = clip_preprocess(load_image(path, draft_px), n_px)
 
     feats_out = []
-    batch = np.zeros((args.batch, n_px, n_px, 3), np.uint8)
+    # double buffer: while chunk N's encode+fetch is in flight on the
+    # device, the pool decodes chunk N+1 into the OTHER buffer — host
+    # preprocess and device compute overlap instead of serializing.  Buffer
+    # ci%2 is not rewritten until chunk ci+2, by which time chunk ci's
+    # features have been fetched (so its input upload is long complete).
+    bufs = [np.zeros((args.batch, n_px, n_px, 3), np.uint8) for _ in range(2)]
+    chunks = [files[s : s + args.batch] for s in range(0, len(files), args.batch)]
     with _futures.ThreadPoolExecutor(max_workers=args.decode_threads) as pool:
-        for start in range(0, len(files), args.batch):
-            chunk = files[start : start + args.batch]
-            list(pool.map(lambda t: _decode(batch, *t), enumerate(chunk)))
+
+        def submit(ci):
+            buf = bufs[ci % 2]
+            return [
+                pool.submit(_decode, buf, i, p) for i, p in enumerate(chunks[ci])
+            ]
+
+        pending = submit(0)
+        for ci, chunk in enumerate(chunks):
+            for fut in pending:
+                fut.result()  # barrier + propagate decode errors
             # fixed batch shape: one compiled program regardless of the tail
-            feats_out.append(
-                np.asarray(encode(params, jnp.asarray(batch)))[: len(chunk)]
-            )
+            dev_feats = encode(params, jnp.asarray(bufs[ci % 2]))  # async
+            if ci + 1 < len(chunks):
+                pending = submit(ci + 1)
+            feats_out.append(np.asarray(dev_feats)[: len(chunk)])
             print(
-                f"\r[extract] {min(start + args.batch, len(files))}/{len(files)}",
+                f"\r[extract] {min((ci + 1) * args.batch, len(files))}/{len(files)}",
                 end="", file=sys.stderr,
             )
     print(file=sys.stderr)

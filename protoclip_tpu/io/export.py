@@ -14,7 +14,7 @@ remote-compile payload limit is never hit.
 
 Bundle layout (a directory)::
 
-    manifest.json     {"backbone", "image_resolution", "embed_dim", ...}
+    manifest.json     {"backbone", "image_resolution", "batch_size", ...}
     encoder.shlo      serialized jax.export artifact
     params.npz        flattened param pytree (path-keyed)
 
@@ -60,8 +60,32 @@ def _flatten(params) -> tuple:
     return flat, dtypes
 
 
-def _unflatten(flat: dict):
-    """Rebuild the nested dict/list pytree from path-keyed arrays."""
+def _seq_nodes(node, prefix=()) -> dict:
+    """{path: "list"|"tuple"} for every sequence node in the pytree.
+
+    Recorded in the manifest so the loader rebuilds the EXACT structure the
+    artifact was traced with — a digit-keyed *dict* must stay a dict and a
+    tuple must come back a tuple, or ``artifact.call`` raises a
+    tree-structure mismatch.  (A guessing heuristic at load time corrupts
+    both cases.)"""
+    out: dict = {}
+    if isinstance(node, dict):
+        items = [(str(k), v) for k, v in node.items()]
+    elif isinstance(node, (list, tuple)):
+        out[_SEP.join(prefix)] = (
+            "tuple" if isinstance(node, tuple) else "list"
+        )
+        items = [(str(i), v) for i, v in enumerate(node)]
+    else:
+        return out
+    for key, child in items:
+        out.update(_seq_nodes(child, prefix + (key,)))
+    return out
+
+
+def _unflatten(flat: dict, seq_nodes: dict):
+    """Rebuild the nested pytree from path-keyed arrays + the recorded
+    sequence-node map (see ``_seq_nodes``)."""
     root: dict = {}
     for key, value in flat.items():
         parts = key.split(_SEP)
@@ -70,23 +94,25 @@ def _unflatten(flat: dict):
             node = node.setdefault(part, {})
         node[parts[-1]] = value
 
-    def listify(node):
+    def rebuild(node, prefix):
         if not isinstance(node, dict):
             return node
-        node = {k: listify(v) for k, v in node.items()}
-        if node and all(k.isdigit() for k in node):
-            return [node[str(i)] for i in range(len(node))]
-        return node
+        kind = seq_nodes.get(_SEP.join(prefix))
+        if kind:
+            seq = [rebuild(node[str(i)], prefix + (str(i),)) for i in range(len(node))]
+            return tuple(seq) if kind == "tuple" else seq
+        return {k: rebuild(v, prefix + (k,)) for k, v in node.items()}
 
-    return listify(root)
+    return rebuild(root, ())
 
 
 def make_encode_fn(cfg, normalize: bool = True) -> Callable:
     """The canonical serving encode: ``(params, images_u8) -> (B, d) fp32``
     — device-side ToTensor+Normalize, bf16 tower, fp32 output, optional L2
-    normalization.  The single definition shared by the extract CLI, the
-    serving export, and benchmarks (semantics of ``utils.py:303-316``'s
-    encode in the reference)."""
+    normalization.  The single definition shared by the extract CLI and the
+    serving export (semantics of ``utils.py:303-316``'s encode in the
+    reference; ``bench.py`` deliberately measures the raw tower under a
+    checksum scan instead — see its docstring)."""
     import jax.numpy as jnp
 
     from protoclip_tpu.data.transforms import normalize_batch
@@ -122,9 +148,17 @@ def save_serving_bundle(
     import jax.numpy as jnp
     from jax import export as jax_export
 
-    # set BOTH ways: a bare `= "1"` would leak a previous int8=True export
-    # into later non-int8 traces in the same process
-    os.environ["PROTOCLIP_INT8"] = "1" if int8 else "0"
+    from protoclip_tpu.ops.pallas_kernels import pallas_enabled
+
+    if int8 and not pallas_enabled():
+        # the W8A8 branch is inside the Pallas gate (models/layers.py): with
+        # the gate closed this would trace the plain bf16 XLA path and write
+        # a bundle falsely labeled int8 — fail loudly instead
+        raise ValueError(
+            "int8=True but the Pallas kernels are disabled for the current "
+            "backend — export on a TPU backend (or set PROTOCLIP_PALLAS=1 "
+            "to force Mosaic lowering for a TPU target)"
+        )
 
     encode = make_encode_fn(cfg, normalize=normalize)
     n_px = cfg.image_resolution
@@ -137,9 +171,20 @@ def save_serving_bundle(
     )
     image_shape = jax.ShapeDtypeStruct((batch_size, n_px, n_px, 3), jnp.uint8)
     kwargs = {"platforms": tuple(platforms)} if platforms else {}
-    artifact = jax_export.export(jax.jit(encode), **kwargs)(
-        param_shapes, image_shape
-    )
+    # scope $PROTOCLIP_INT8 to THIS trace (set both ways — trace-time gate),
+    # then restore: the exporter must not flip the caller's serving mode for
+    # every later jit in the process
+    prior_int8 = os.environ.get("PROTOCLIP_INT8")
+    os.environ["PROTOCLIP_INT8"] = "1" if int8 else "0"
+    try:
+        artifact = jax_export.export(jax.jit(encode), **kwargs)(
+            param_shapes, image_shape
+        )
+    finally:
+        if prior_int8 is None:
+            del os.environ["PROTOCLIP_INT8"]
+        else:
+            os.environ["PROTOCLIP_INT8"] = prior_int8
 
     flat, leaf_dtypes = _flatten(params)
     os.makedirs(path, exist_ok=True)
@@ -148,6 +193,7 @@ def save_serving_bundle(
     np.savez(os.path.join(path, _PARAMS), **flat)
     manifest = {
         "format": "protoclip_tpu.serving_bundle.v1",
+        "backbone": str(cfg.name),
         "backbone_embed_dim": int(cfg.embed_dim),
         "image_resolution": int(n_px),
         "batch_size": int(batch_size),
@@ -158,6 +204,9 @@ def save_serving_bundle(
         # ml_dtypes leaves are stored widened to fp32 (npz cannot hold
         # bfloat16); the loader restores these dtypes before device_put
         "param_dtypes": leaf_dtypes,
+        # sequence nodes of the param pytree, so the loader rebuilds the
+        # exact treedef the artifact was traced with (see _seq_nodes)
+        "param_seq_nodes": _seq_nodes(params),
     }
     with open(os.path.join(path, _MANIFEST), "w") as fh:
         json.dump(manifest, fh, indent=1)
@@ -183,7 +232,9 @@ def load_serving_bundle(path: str) -> Callable[[np.ndarray], np.ndarray]:
         }
     # device_put ONCE: weights must not re-cross host->device per batch
     # (the serving hot path; see CLAUDE.md on hot-path transfers)
-    params = jax.device_put(_unflatten(flat))
+    params = jax.device_put(
+        _unflatten(flat, manifest.get("param_seq_nodes", {}))
+    )
 
     batch = manifest["batch_size"]
     n_px = manifest["image_resolution"]

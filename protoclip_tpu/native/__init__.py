@@ -101,11 +101,22 @@ def load() -> Optional[ctypes.CDLL]:
                 )
             return _lib
         _tried = True
-        try:
+        lib = None
+        for _attempt in range(2):
             path = _build()
-            lib = ctypes.CDLL(path) if path else None
-        except OSError:  # stale/incompatible cached .so
-            lib = None
+            if path is None:
+                break
+            try:
+                lib = ctypes.CDLL(path)
+                break
+            except OSError:
+                # stale/incompatible cached .so (e.g. built against another
+                # glibc, or a foreign -march=native object): evict it so the
+                # next _build() recompiles fresh instead of latching failure
+                try:
+                    os.unlink(path)
+                except OSError:
+                    pass
         if lib is None:
             if force_on:
                 raise RuntimeError(

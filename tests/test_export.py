@@ -106,6 +106,57 @@ def test_bundle_rejects_wrong_shape_and_format(tmp_path, tiny):
         load_serving_bundle(bundle)
 
 
+def test_export_restores_int8_env_and_rejects_untraceable_int8(tmp_path, tiny, monkeypatch):
+    """The exporter scopes $PROTOCLIP_INT8 to its own trace (a process that
+    opted into int8 serving must not be silently flipped to bf16 by an
+    export, and vice versa), and an int8=True export with the Pallas gate
+    closed fails loudly instead of writing a bf16 bundle labeled int8."""
+    from protoclip_tpu.ops.pallas_kernels import pallas_enabled
+
+    cfg, params = tiny
+    monkeypatch.setenv("PROTOCLIP_INT8", "1")
+    save_serving_bundle(str(tmp_path / "a"), cfg, params, batch_size=2)
+    assert os.environ["PROTOCLIP_INT8"] == "1"
+
+    monkeypatch.delenv("PROTOCLIP_INT8")
+    save_serving_bundle(str(tmp_path / "b"), cfg, params, batch_size=2)
+    assert "PROTOCLIP_INT8" not in os.environ
+
+    assert not pallas_enabled()  # CPU test backend
+    with pytest.raises(ValueError, match="Pallas kernels are disabled"):
+        save_serving_bundle(str(tmp_path / "c"), cfg, params, batch_size=2, int8=True)
+
+
+def test_manifest_records_backbone(tmp_path, tiny):
+    cfg, params = tiny
+    bundle = str(tmp_path / "bundle")
+    save_serving_bundle(bundle, cfg, params, batch_size=2)
+    assert load_serving_bundle(bundle).manifest["backbone"] == "tiny-vit"
+
+
+def test_flatten_roundtrips_exact_tree_structure():
+    """Sequence nodes and digit-keyed dicts survive the npz round trip with
+    their exact treedef — the artifact's call signature requires it; a
+    guess-from-keys heuristic would turn {"0","1"} dicts into lists and
+    could never rebuild tuples."""
+    from protoclip_tpu.io.export import _flatten, _seq_nodes, _unflatten
+
+    tree = {
+        "w": np.ones((2, 2), np.float32),
+        "blocks": [
+            {"k": np.zeros(3, np.float32)},
+            {"k": np.ones(3, np.float32)},
+        ],
+        "pair": (np.float32(1.0), np.float32(2.0)),
+        "digit_keyed": {"0": np.zeros(1), "1": np.ones(1)},
+    }
+    flat, _ = _flatten(tree)
+    rebuilt = _unflatten(flat, _seq_nodes(tree))
+    assert jax.tree_util.tree_structure(rebuilt) == jax.tree_util.tree_structure(tree)
+    for a, b in zip(jax.tree_util.tree_leaves(rebuilt), jax.tree_util.tree_leaves(tree)):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_bundle_weight_swap_takes_effect(tmp_path, tiny):
     """Weights are bundle DATA, not baked constants: editing params.npz
     changes the output without re-exporting the program."""

@@ -73,6 +73,26 @@ def test_env_gate_forces_pil(monkeypatch):
     assert native.resize_shorter_center_crop(src, 224, 224) is None
 
 
+def test_stale_cached_so_is_evicted_and_rebuilt(monkeypatch, tmp_path):
+    """A cached .so that fails to dlopen (stale glibc, foreign CPU object)
+    must be evicted and rebuilt, not latch the native path off forever."""
+    monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path))
+    monkeypatch.setattr(native, "_lib", None)
+    monkeypatch.setattr(native, "_tried", False)
+    path = native._build()  # fresh build into the tmp cache
+    assert path is not None and str(tmp_path) in path
+    with open(path, "wb") as fh:
+        fh.write(b"not an elf object")  # corrupt the cache entry
+    lib = native.load()
+    assert lib is not None, "loader must rebuild past the corrupt cache"
+    src = np.random.default_rng(3).integers(0, 256, (64, 80, 3), np.uint8)
+    ref = np.asarray(
+        center_crop(resize_shorter(Image.fromarray(src.astype(np.uint8)), 32), 32)
+    )
+    got = native.resize_shorter_center_crop(src.astype(np.uint8), 32, 32)
+    np.testing.assert_array_equal(got, ref)
+
+
 def test_non_rgb_and_bad_shapes():
     # grayscale input: clip_preprocess converts before the native call
     img = Image.new("L", (300, 260), 128)
