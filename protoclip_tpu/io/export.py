@@ -249,4 +249,8 @@ def load_serving_bundle(path: str) -> Callable[[np.ndarray], np.ndarray]:
         return np.asarray(artifact.call(params, images_u8))
 
     encode.manifest = manifest
+    # power users (benchmarks, device-resident pipelines) can bypass the
+    # numpy validation wrapper and call the artifact on device arrays
+    encode.artifact = artifact
+    encode.params = params
     return encode

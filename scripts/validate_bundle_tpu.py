@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Validate the AOT serving bundle on the real TPU chip, end to end.
+
+Exports the flagship ViT-B/16 encoder as a serving bundle (bf16, and W8A8
+int8 when the Pallas gate is open), reloads it cold — the loader path a
+serving process would use, no model-building code — and checks:
+
+1. the StableHLO artifact (including Mosaic custom calls for the fused
+   Pallas block kernels) survives serialize -> deserialize -> execute;
+2. reloaded-bundle features match the live jitted path bit-for-bit
+   (same program, same weights — the export must not change numerics);
+3. sustained bundle throughput, for comparison against the live-path
+   numbers in ``bench_details.json`` (NOTE: ``artifact.call`` is one
+   dispatch per batch, so through the axon tunnel each batch pays the
+   ~27 ms WAN round trip that bench.py amortizes — on a real TPU host
+   that tax is absent; see BASELINE.md "Measurement note").
+
+Run on the TPU backend:  python scripts/validate_bundle_tpu.py [--int8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--backbone", default="ViT-B/16")
+    parser.add_argument("--batch", type=int, default=256)
+    parser.add_argument("--int8", action="store_true")
+    parser.add_argument("--iters", type=int, default=8)
+    args = parser.parse_args()
+
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from protoclip_tpu.io.export import (
+        load_serving_bundle,
+        make_encode_fn,
+        save_serving_bundle,
+    )
+    from protoclip_tpu.models import load_clip
+
+    backend = jax.default_backend()
+    print(f"[bundle] backend={backend} backbone={args.backbone} "
+          f"batch={args.batch} int8={args.int8}")
+
+    cfg, params = load_clip(args.backbone, dtype=jnp.bfloat16)
+    n_px = cfg.image_resolution
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 256, (args.batch, n_px, n_px, 3)).astype(np.uint8)
+
+    with tempfile.TemporaryDirectory() as d:
+        t0 = time.perf_counter()
+        save_serving_bundle(d, cfg, params, batch_size=args.batch,
+                            int8=args.int8)
+        export_s = time.perf_counter() - t0
+        artifact_kb = os.path.getsize(os.path.join(d, "encoder.shlo")) / 1024
+        print(f"[bundle] exported in {export_s:.1f}s, "
+              f"artifact {artifact_kb:.0f} KB")
+
+        encode = load_serving_bundle(d)
+        got = encode(imgs)
+
+        # live path at the SAME serving mode for the numeric cross-check
+        prior = os.environ.get("PROTOCLIP_INT8")
+        os.environ["PROTOCLIP_INT8"] = "1" if args.int8 else "0"
+        try:
+            live = jax.jit(make_encode_fn(cfg))
+            want = np.asarray(live(params, jnp.asarray(imgs)))
+        finally:
+            if prior is None:
+                os.environ.pop("PROTOCLIP_INT8", None)
+            else:
+                os.environ["PROTOCLIP_INT8"] = prior
+
+        max_abs = float(np.max(np.abs(got - want)))
+        print(f"[bundle] reload-vs-live max|diff| = {max_abs:.3e}")
+        if max_abs != 0.0:
+            # same program + same weights must be bit-identical
+            sys.exit(f"FAIL: bundle output diverges from live path ({max_abs})")
+
+        # time with DEVICE-RESIDENT input: through the axon tunnel the 38 MB
+        # uint8 host->device upload costs ~3 s/batch at ~12 MB/s, swamping
+        # the program; a real TPU host feeds over PCIe where that transfer
+        # is negligible (CLAUDE.md / BASELINE.md measurement notes)
+        dev_imgs = jax.device_put(imgs)
+
+        def run_once():
+            return np.asarray(encode.artifact.call(encode.params, dev_imgs))
+
+        for _ in range(2):  # warm
+            run_once()
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            run_once()
+        dt = (time.perf_counter() - t0) / args.iters
+        ips = args.batch / dt
+        print(json.dumps({
+            "bundle_images_per_sec_device_input": round(ips, 1),
+            "ms_per_batch": round(dt * 1e3, 2),
+            "note": "per-dispatch (one batch per round trip): includes the "
+                    "~27 ms tunnel dispatch tax and the feature fetch; "
+                    "compare bench.py which amortizes 20 batches/dispatch",
+        }))
+        print("[bundle] OK")
+
+
+if __name__ == "__main__":
+    main()

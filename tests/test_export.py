@@ -38,6 +38,8 @@ def test_bundle_roundtrip(tmp_path, tiny):
     encode = load_serving_bundle(bundle)
     assert encode.manifest["image_resolution"] == 32
     assert encode.manifest["normalized"] is True
+    # device-resident escape hatch for benchmarks/pipelines
+    assert hasattr(encode, "artifact") and hasattr(encode, "params")
 
     imgs = np.random.default_rng(0).integers(0, 256, (4, 32, 32, 3), np.uint8)
     got = encode(imgs.astype(np.uint8))
