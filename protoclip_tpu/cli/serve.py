@@ -1,0 +1,222 @@
+"""Minimal HTTP serving front-end: images in, features or top-k classes out.
+
+The reference's only network-facing deployment is its ROS node pair
+(``toolkit/.../ros/proto_clip_node.py:31-121``,
+``proto_clip_results_node.py:25-73``: images arrive on topics, class
+predictions are published back).  This CLI is the transport-neutral
+equivalent for non-ROS deployments — a dependency-free (stdlib
+``http.server``) JSON/HTTP server over either serving surface:
+
+* ``--bundle DIR`` — encode mode: serve an AOT bundle
+  (``io/export.py``); ``POST /encode`` returns (B, d) fp32 features.
+* ``--config cfg.yml --splits split.json [...checkpoint paths]`` —
+  classify mode: serve a ``ProtoClipClassifier``
+  (``toolkit/classifier.py``); ``POST /classify`` returns top-k class
+  names + probabilities per image (the ROS results-node payload).
+
+Protocol (JSON; images are base64-encoded JPEG/PNG bytes)::
+
+    GET  /healthz              -> {"status": "ok", "mode": ..., ...}
+    POST /encode   {"images": [b64, ...]}
+                               -> {"features": [[f32...], ...]}
+    POST /classify {"images": [b64, ...], "top_k": k?}
+                               -> {"classnames": [[...], ...],
+                                   "scores": [[...], ...]}
+
+Single-threaded by design: one process owns the TPU and requests are
+serialized (CLAUDE.md "only one process may hold the TPU"); put batching /
+replica fan-out in front of it.
+
+    python -m protoclip_tpu.cli.serve --bundle bundle/ --port 8421
+    python -m protoclip_tpu.cli.serve --config configs/fewsol_198.yml \
+        --splits splits/fewsol_splits_198.json --port 8421
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import io
+import json
+import sys
+from http.server import BaseHTTPRequestHandler, HTTPServer
+from typing import Callable, Dict, Optional
+
+
+def _decode_images(payload: dict) -> list:
+    """b64 JPEG/PNG list -> list of RGB uint8 HWC arrays."""
+    import numpy as np
+    from PIL import Image
+
+    images = payload.get("images")
+    if not isinstance(images, list) or not images:
+        raise ValueError('body must be {"images": [<b64 jpeg/png>, ...]}')
+    out = []
+    for i, b64 in enumerate(images):
+        try:
+            raw = base64.b64decode(b64, validate=True)
+            with Image.open(io.BytesIO(raw)) as im:
+                out.append(np.asarray(im.convert("RGB"), dtype=np.uint8))
+        except Exception as exc:
+            raise ValueError(f"images[{i}]: not decodable image bytes ({exc})")
+    return out
+
+
+def make_encode_route(bundle_dir: str) -> tuple:
+    """(handler, info) for /encode over an AOT serving bundle."""
+    import numpy as np
+
+    from protoclip_tpu.data.transforms import clip_preprocess
+    from protoclip_tpu.io.export import load_serving_bundle
+    from PIL import Image
+
+    encode = load_serving_bundle(bundle_dir)
+    batch = encode.manifest["batch_size"]
+    n_px = encode.manifest["image_resolution"]
+
+    def route(payload: dict) -> dict:
+        crops = _decode_images(payload)
+        feats = []
+        for start in range(0, len(crops), batch):
+            chunk = crops[start : start + batch]
+            block = np.zeros((batch, n_px, n_px, 3), np.uint8)
+            for i, arr in enumerate(chunk):
+                block[i] = clip_preprocess(Image.fromarray(arr), n_px)
+            feats.append(encode(block)[: len(chunk)])
+        return {"features": np.concatenate(feats).tolist()}
+
+    info = {
+        "mode": "encode",
+        "backbone": encode.manifest.get("backbone"),
+        "batch_size": batch,
+        "image_resolution": n_px,
+        "int8": encode.manifest.get("int8"),
+    }
+    return route, info
+
+
+def make_classify_route(classifier) -> tuple:
+    """(handler, info) for /classify over a ProtoClipClassifier."""
+
+    def route(payload: dict) -> dict:
+        crops = _decode_images(payload)
+        names, scores = classifier.classify_objects(crops)
+        return {
+            "classnames": [list(row) for row in names],
+            "scores": [[float(s) for s in row] for row in scores],
+        }
+
+    info = {
+        "mode": "classify",
+        "backbone": classifier.cfg.backbone,
+        "top_k": classifier.cfg.top_k,
+        "num_classes": len(classifier.class_id_mapping),
+    }
+    return route, info
+
+
+class _Handler(BaseHTTPRequestHandler):
+    routes: Dict[str, Callable[[dict], dict]] = {}
+    info: dict = {}
+    quiet = False
+
+    def _send(self, code: int, obj: dict) -> None:
+        body = json.dumps(obj).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self) -> None:  # noqa: N802 (http.server API)
+        if self.path == "/healthz":
+            self._send(200, {"status": "ok", **self.info})
+        else:
+            self._send(404, {"error": f"no route {self.path}"})
+
+    def do_POST(self) -> None:  # noqa: N802
+        route = self.routes.get(self.path)
+        if route is None:
+            self._send(404, {"error": f"no route {self.path}",
+                             "routes": sorted(self.routes)})
+            return
+        try:
+            length = int(self.headers.get("Content-Length", "0"))
+            payload = json.loads(self.rfile.read(length) or b"{}")
+            self._send(200, route(payload))
+        except ValueError as exc:
+            self._send(400, {"error": str(exc)})
+        except Exception as exc:  # noqa: BLE001 — surface, don't crash the server
+            self._send(500, {"error": f"{type(exc).__name__}: {exc}"})
+
+    def log_message(self, fmt: str, *args) -> None:
+        if not self.quiet:
+            sys.stderr.write(
+                "[serve] %s %s\n" % (self.address_string(), fmt % args)
+            )
+
+
+def build_server(
+    host: str = "127.0.0.1",
+    port: int = 8421,
+    bundle: Optional[str] = None,
+    classifier=None,
+    quiet: bool = False,
+) -> HTTPServer:
+    """Construct (not start) the server; ``port=0`` picks a free port."""
+    routes, info = {}, {}
+    if bundle is not None:
+        routes["/encode"], info = make_encode_route(bundle)
+    if classifier is not None:
+        routes["/classify"], info = make_classify_route(classifier)
+    if not routes:
+        raise ValueError("provide a bundle and/or a classifier")
+
+    handler = type("Handler", (_Handler,), {
+        "routes": routes, "info": info, "quiet": quiet,
+    })
+    return HTTPServer((host, port), handler)
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8421)
+    parser.add_argument("--bundle", help="AOT serving bundle dir (/encode)")
+    parser.add_argument("--config", help="experiment YAML (/classify)")
+    parser.add_argument("--splits", help="split JSON for the id->name map")
+    parser.add_argument("--memory_bank_v")
+    parser.add_argument("--memory_bank_t")
+    parser.add_argument("--adapter_weights")
+    args = parser.parse_args()
+
+    classifier = None
+    if args.config:
+        from protoclip_tpu.core.config import load_config
+        from protoclip_tpu.toolkit.classifier import ProtoClipClassifier
+
+        classifier = ProtoClipClassifier(
+            load_config(args.config),
+            splits_path=args.splits,
+            memory_bank_v_path=args.memory_bank_v,
+            memory_bank_t_path=args.memory_bank_t,
+            adapter_weights_path=args.adapter_weights,
+        )
+
+    server = build_server(
+        args.host, args.port, bundle=args.bundle, classifier=classifier
+    )
+    host, port = server.server_address[:2]
+    routes = sorted(server.RequestHandlerClass.routes)
+    print(f"[serve] listening on http://{host}:{port} routes={routes}",
+          file=sys.stderr)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.server_close()
+
+
+if __name__ == "__main__":
+    main()

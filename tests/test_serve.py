@@ -1,0 +1,107 @@
+"""HTTP serving front-end (cli/serve.py): bundle-backed /encode route,
+health/error protocol.  The /classify route is tested in test_toolkit.py
+next to the classifier fixture it serves."""
+
+import base64
+import io
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+
+from protoclip_tpu.cli.serve import build_server
+from protoclip_tpu.io.export import save_serving_bundle
+from protoclip_tpu.models.clip import CLIPConfig, init_clip_params
+
+TINY_VIT = CLIPConfig(
+    "tiny-vit", embed_dim=32, image_resolution=32, vision_layers=2,
+    vision_width=64, vision_patch_size=16, context_length=16, vocab_size=128,
+    transformer_width=64, transformer_layers=2,
+)
+
+
+def _b64_jpeg(arr: np.ndarray) -> str:
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, "PNG")  # PNG: lossless, deterministic
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+def _post(port: int, path: str, obj: dict):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}",
+        data=json.dumps(obj).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as err:
+        return err.code, json.loads(err.read())
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    bundle = str(tmp_path_factory.mktemp("srv") / "bundle")
+    params = init_clip_params(jax.random.PRNGKey(0), TINY_VIT)
+    save_serving_bundle(bundle, TINY_VIT, params, batch_size=4)
+    srv = build_server(port=0, bundle=bundle, quiet=True)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    yield srv, bundle
+    srv.shutdown()
+    srv.server_close()
+    thread.join(timeout=5)
+
+
+def test_healthz_and_routes(server):
+    srv, _ = server
+    port = srv.server_address[1]
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz") as resp:
+        health = json.loads(resp.read())
+    assert health["status"] == "ok"
+    assert health["mode"] == "encode"
+    assert health["backbone"] == "tiny-vit"
+
+    status, body = _post(port, "/nope", {})
+    assert status == 404 and "/encode" in body["routes"]
+
+
+def test_encode_route_matches_direct_bundle_call(server):
+    from protoclip_tpu.data.transforms import clip_preprocess
+    from protoclip_tpu.io.export import load_serving_bundle
+
+    srv, bundle = server
+    port = srv.server_address[1]
+    rng = np.random.default_rng(0)
+    # 6 images > batch_size=4: exercises the chunk loop; odd sizes
+    # exercise the preprocess resize
+    arrs = [
+        rng.integers(0, 256, (40 + i, 37 + i, 3)).astype(np.uint8)
+        for i in range(6)
+    ]
+    status, body = _post(port, "/encode", {"images": [_b64_jpeg(a) for a in arrs]})
+    assert status == 200
+    feats = np.asarray(body["features"], np.float32)
+    assert feats.shape == (6, 32)
+
+    encode = load_serving_bundle(bundle)
+    block = np.zeros((4, 32, 32, 3), np.uint8)
+    for i in range(4):
+        block[i] = clip_preprocess(Image.fromarray(arrs[i]), 32)
+    want = encode(block)
+    np.testing.assert_allclose(feats[:4], want, atol=1e-6)
+
+
+def test_encode_route_rejects_bad_payloads(server):
+    srv, _ = server
+    port = srv.server_address[1]
+    status, body = _post(port, "/encode", {})
+    assert status == 400 and "images" in body["error"]
+    status, body = _post(port, "/encode", {"images": ["!!not-b64!!"]})
+    assert status == 400 and "images[0]" in body["error"]

@@ -554,3 +554,59 @@ def test_asr_config_rejects_wrong_value_types(tmp_path):
     p.write_text(json.dumps({"record_timeout": True}))  # bool is not a count
     with pytest.raises(ValueError, match="record_timeout"):
         load_asr_config(str(p))
+
+
+def test_serve_classify_route(classifier_env):
+    """cli/serve.py classify mode over the classifier fixture — the HTTP
+    analog of the ROS results-node payload (proto_clip_results_node.py)."""
+    import base64
+    import io as _io
+    import json
+    import threading
+    import urllib.request
+
+    from protoclip_tpu.cli.serve import build_server
+    from protoclip_tpu.toolkit import ProtoClipClassifier
+
+    clf = ProtoClipClassifier(
+        classifier_env["cfg"],
+        splits_path=classifier_env["splits"],
+        memory_bank_v_path=classifier_env["v"],
+        memory_bank_t_path=classifier_env["t"],
+        adapter_weights_path=classifier_env["a"],
+    )
+    srv = build_server(port=0, classifier=clf, quiet=True)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    try:
+        port = srv.server_address[1]
+        rng = np.random.default_rng(7)
+        crops = [rng.integers(0, 256, (48, 52, 3)).astype(np.uint8) for _ in range(2)]
+
+        def b64(arr):
+            buf = _io.BytesIO()
+            Image.fromarray(arr).save(buf, "PNG")
+            return base64.b64encode(buf.getvalue()).decode()
+
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/classify",
+            data=json.dumps({"images": [b64(c) for c in crops]}).encode(),
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req) as resp:
+            assert resp.status == 200
+            body = json.loads(resp.read())
+        want_names, want_probs = clf.classify_objects(crops)
+        assert body["classnames"] == [list(r) for r in want_names]
+        np.testing.assert_allclose(
+            np.asarray(body["scores"]), want_probs, atol=1e-6
+        )
+
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz") as resp:
+            health = json.loads(resp.read())
+        assert health["mode"] == "classify" and health["num_classes"] == 3
+    finally:
+        srv.shutdown()
+        srv.server_close()
+        thread.join(timeout=5)
