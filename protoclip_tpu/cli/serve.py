@@ -62,8 +62,13 @@ def _decode_images(payload: dict) -> list:
     return out
 
 
-def make_encode_route(bundle_dir: str) -> tuple:
-    """(handler, info) for /encode over an AOT serving bundle."""
+def make_encode_route(bundle_dir: str, warmup: bool = True) -> tuple:
+    """(handler, info) for /encode over an AOT serving bundle.
+
+    ``warmup`` runs one dummy batch at startup so the first real request
+    does not pay the backend compile of the deserialized artifact
+    (measured: a cold first request on the remote-tunnel TPU stalls for
+    minutes; warm requests are sub-second)."""
     import numpy as np
 
     from protoclip_tpu.data.transforms import clip_preprocess
@@ -73,6 +78,8 @@ def make_encode_route(bundle_dir: str) -> tuple:
     encode = load_serving_bundle(bundle_dir)
     batch = encode.manifest["batch_size"]
     n_px = encode.manifest["image_resolution"]
+    if warmup:
+        encode(np.zeros((batch, n_px, n_px, 3), np.uint8))
 
     def route(payload: dict) -> dict:
         crops = _decode_images(payload)
@@ -95,8 +102,14 @@ def make_encode_route(bundle_dir: str) -> tuple:
     return route, info
 
 
-def make_classify_route(classifier) -> tuple:
+def make_classify_route(classifier, warmup: bool = True) -> tuple:
     """(handler, info) for /classify over a ProtoClipClassifier."""
+    if warmup:  # compile the jitted infer path before serving traffic
+        import numpy as np
+
+        classifier.classify_objects(
+            [np.zeros((8, 8, 3), np.uint8)]
+        )
 
     def route(payload: dict) -> dict:
         crops = _decode_images(payload)
@@ -162,13 +175,14 @@ def build_server(
     bundle: Optional[str] = None,
     classifier=None,
     quiet: bool = False,
+    warmup: bool = True,
 ) -> HTTPServer:
     """Construct (not start) the server; ``port=0`` picks a free port."""
     routes, info = {}, {}
     if bundle is not None:
-        routes["/encode"], info = make_encode_route(bundle)
+        routes["/encode"], info = make_encode_route(bundle, warmup=warmup)
     if classifier is not None:
-        routes["/classify"], info = make_classify_route(classifier)
+        routes["/classify"], info = make_classify_route(classifier, warmup=warmup)
     if not routes:
         raise ValueError("provide a bundle and/or a classifier")
 
@@ -188,6 +202,10 @@ def main() -> None:
     parser.add_argument("--memory_bank_v")
     parser.add_argument("--memory_bank_t")
     parser.add_argument("--adapter_weights")
+    parser.add_argument(
+        "--no-warmup", action="store_true",
+        help="skip the startup dummy batch (first request pays the compile)",
+    )
     args = parser.parse_args()
 
     classifier = None
@@ -204,7 +222,8 @@ def main() -> None:
         )
 
     server = build_server(
-        args.host, args.port, bundle=args.bundle, classifier=classifier
+        args.host, args.port, bundle=args.bundle, classifier=classifier,
+        warmup=not args.no_warmup,
     )
     host, port = server.server_address[:2]
     routes = sorted(server.RequestHandlerClass.routes)
