@@ -113,10 +113,17 @@ def make_classify_route(classifier, warmup: bool = True) -> tuple:
 
     def route(payload: dict) -> dict:
         crops = _decode_images(payload)
-        names, scores = classifier.classify_objects(crops)
+        names, scores = [], []
+        # chunk to the classifier's compiled batch, like /encode does —
+        # requests larger than max_batch must not 400
+        step = classifier.max_batch
+        for start in range(0, len(crops), step):
+            n, s = classifier.classify_objects(crops[start : start + step])
+            names.extend(n)
+            scores.extend(s)
         return {
             "classnames": [list(row) for row in names],
-            "scores": [[float(s) for s in row] for row in scores],
+            "scores": [[float(x) for x in row] for row in scores],
         }
 
     info = {
@@ -128,10 +135,16 @@ def make_classify_route(classifier, warmup: bool = True) -> tuple:
     return route, info
 
 
+_MAX_BODY = 256 << 20  # 256 MB request-body cap
+
+
 class _Handler(BaseHTTPRequestHandler):
     routes: Dict[str, Callable[[dict], dict]] = {}
     info: dict = {}
     quiet = False
+    # socket timeout: a stalled client (short body, held connection) must
+    # not block the single-threaded server forever
+    timeout = 120
 
     def _send(self, code: int, obj: dict) -> None:
         body = json.dumps(obj).encode()
@@ -154,7 +167,17 @@ class _Handler(BaseHTTPRequestHandler):
                              "routes": sorted(self.routes)})
             return
         try:
-            length = int(self.headers.get("Content-Length", "0"))
+            try:
+                length = int(self.headers.get("Content-Length", ""))
+            except ValueError:
+                self._send(411, {"error": "Content-Length required"})
+                return
+            if length < 0:
+                self._send(400, {"error": "negative Content-Length"})
+                return
+            if length > _MAX_BODY:
+                self._send(413, {"error": f"body exceeds {_MAX_BODY} bytes"})
+                return
             payload = json.loads(self.rfile.read(length) or b"{}")
             self._send(200, route(payload))
         except ValueError as exc:
@@ -178,13 +201,21 @@ def build_server(
     warmup: bool = True,
 ) -> HTTPServer:
     """Construct (not start) the server; ``port=0`` picks a free port."""
-    routes, info = {}, {}
+    routes, infos = {}, {}
     if bundle is not None:
-        routes["/encode"], info = make_encode_route(bundle, warmup=warmup)
+        routes["/encode"], infos["encode"] = make_encode_route(bundle, warmup=warmup)
     if classifier is not None:
-        routes["/classify"], info = make_classify_route(classifier, warmup=warmup)
+        routes["/classify"], infos["classify"] = make_classify_route(
+            classifier, warmup=warmup
+        )
     if not routes:
         raise ValueError("provide a bundle and/or a classifier")
+    if len(infos) == 1:
+        info = next(iter(infos.values()))
+    else:  # dual mode: keep BOTH routes' info visible in /healthz
+        info = {"mode": "+".join(sorted(infos))}
+        for mode, sub in infos.items():
+            info[mode] = {k: v for k, v in sub.items() if k != "mode"}
 
     handler = type("Handler", (_Handler,), {
         "routes": routes, "info": info, "quiet": quiet,
@@ -207,6 +238,8 @@ def main() -> None:
         help="skip the startup dummy batch (first request pays the compile)",
     )
     args = parser.parse_args()
+    if not args.bundle and not args.config:
+        parser.error("provide --bundle (encode mode) and/or --config (classify mode)")
 
     classifier = None
     if args.config:

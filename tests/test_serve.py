@@ -105,3 +105,71 @@ def test_encode_route_rejects_bad_payloads(server):
     assert status == 400 and "images" in body["error"]
     status, body = _post(port, "/encode", {"images": ["!!not-b64!!"]})
     assert status == 400 and "images[0]" in body["error"]
+
+
+def test_content_length_protocol(server):
+    """Malformed/hostile Content-Length must produce an error response, not
+    a blocking read that wedges the single-threaded server."""
+    import http.client
+
+    srv, _ = server
+    port = srv.server_address[1]
+
+    def raw_post(headers: dict, body: bytes = b"") -> int:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        try:
+            conn.putrequest("POST", "/encode", skip_accept_encoding=True)
+            for k, v in headers.items():
+                conn.putheader(k, v)
+            conn.endheaders()
+            if body:
+                conn.send(body)
+            return conn.getresponse().status
+        finally:
+            conn.close()
+
+    assert raw_post({}) == 411                          # missing length
+    assert raw_post({"Content-Length": "abc"}) == 411   # unparseable
+    assert raw_post({"Content-Length": "-1"}) == 400    # negative
+    assert raw_post({"Content-Length": str(300 << 20)}) == 413  # oversized
+    # server still alive and serving afterwards
+    import urllib.request
+
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz") as resp:
+        assert resp.status == 200
+
+
+def test_dual_mode_healthz_reports_both_routes(tmp_path):
+    """bundle + classifier together: /healthz must expose BOTH routes'
+    info, not silently drop the encode manifest."""
+    from protoclip_tpu.cli.serve import build_server, make_classify_route
+
+    class FakeClassifier:  # just enough surface for the route builder
+        class cfg:
+            backbone = "tiny"
+            top_k = 2
+
+        class_id_mapping = {0: "a", 1: "b"}
+        max_batch = 4
+
+        def classify_objects(self, crops):
+            import numpy as np
+
+            return [["a", "b"]] * len(crops), np.zeros((len(crops), 2))
+
+    bundle = str(tmp_path / "bundle")
+    params = init_clip_params(jax.random.PRNGKey(0), TINY_VIT)
+    save_serving_bundle(bundle, TINY_VIT, params, batch_size=2)
+    srv = build_server(
+        port=0, bundle=bundle, classifier=FakeClassifier(),
+        quiet=True, warmup=False,
+    )
+    try:
+        info = srv.RequestHandlerClass.info
+        assert info["mode"] == "classify+encode"
+        assert info["encode"]["backbone"] == "tiny-vit"
+        assert info["encode"]["batch_size"] == 2
+        assert info["classify"]["num_classes"] == 2
+        assert set(srv.RequestHandlerClass.routes) == {"/encode", "/classify"}
+    finally:
+        srv.server_close()

@@ -559,11 +559,11 @@ def test_asr_config_rejects_wrong_value_types(tmp_path):
 def test_serve_classify_route(classifier_env):
     """cli/serve.py classify mode over the classifier fixture — the HTTP
     analog of the ROS results-node payload (proto_clip_results_node.py)."""
-    import base64
-    import io as _io
     import json
     import threading
     import urllib.request
+
+    from test_serve import _b64_jpeg, _post  # shared protocol helpers
 
     from protoclip_tpu.cli.serve import build_server
     from protoclip_tpu.toolkit import ProtoClipClassifier
@@ -574,6 +574,7 @@ def test_serve_classify_route(classifier_env):
         memory_bank_v_path=classifier_env["v"],
         memory_bank_t_path=classifier_env["t"],
         adapter_weights_path=classifier_env["a"],
+        max_batch=4,
     )
     srv = build_server(port=0, classifier=clf, quiet=True)
     thread = threading.Thread(target=srv.serve_forever, daemon=True)
@@ -581,23 +582,16 @@ def test_serve_classify_route(classifier_env):
     try:
         port = srv.server_address[1]
         rng = np.random.default_rng(7)
-        crops = [rng.integers(0, 256, (48, 52, 3)).astype(np.uint8) for _ in range(2)]
+        # 6 crops > max_batch=4: the route must chunk, not 400
+        crops = [rng.integers(0, 256, (48, 52, 3)).astype(np.uint8) for _ in range(6)]
 
-        def b64(arr):
-            buf = _io.BytesIO()
-            Image.fromarray(arr).save(buf, "PNG")
-            return base64.b64encode(buf.getvalue()).decode()
-
-        req = urllib.request.Request(
-            f"http://127.0.0.1:{port}/classify",
-            data=json.dumps({"images": [b64(c) for c in crops]}).encode(),
-            headers={"Content-Type": "application/json"},
-            method="POST",
+        status, body = _post(
+            port, "/classify", {"images": [_b64_jpeg(c) for c in crops]}
         )
-        with urllib.request.urlopen(req) as resp:
-            assert resp.status == 200
-            body = json.loads(resp.read())
-        want_names, want_probs = clf.classify_objects(crops)
+        assert status == 200
+        n1, p1 = clf.classify_objects(crops[:4])
+        n2, p2 = clf.classify_objects(crops[4:])
+        want_names, want_probs = n1 + n2, np.concatenate([p1, p2])
         assert body["classnames"] == [list(r) for r in want_names]
         np.testing.assert_allclose(
             np.asarray(body["scores"]), want_probs, atol=1e-6
