@@ -38,6 +38,7 @@ import argparse
 import base64
 import io
 import json
+import os
 import sys
 from http.server import BaseHTTPRequestHandler, HTTPServer
 from typing import Callable, Dict, Optional
@@ -81,14 +82,23 @@ def make_encode_route(bundle_dir: str, warmup: bool = True) -> tuple:
     if warmup:
         encode(np.zeros((batch, n_px, n_px, 3), np.uint8))
 
+    import concurrent.futures as futures
+
+    pool = futures.ThreadPoolExecutor(max_workers=max(1, os.cpu_count() or 1))
+
     def route(payload: dict) -> dict:
         crops = _decode_images(payload)
         feats = []
         for start in range(0, len(crops), batch):
             chunk = crops[start : start + batch]
             block = np.zeros((batch, n_px, n_px, 3), np.uint8)
-            for i, arr in enumerate(chunk):
+            # parallel host preprocess (PIL releases the GIL; same shape as
+            # the extract CLI's decode pool)
+            def prep(i_arr):
+                i, arr = i_arr
                 block[i] = clip_preprocess(Image.fromarray(arr), n_px)
+
+            list(pool.map(prep, enumerate(chunk)))
             feats.append(encode(block)[: len(chunk)])
         return {"features": np.concatenate(feats).tolist()}
 
