@@ -604,3 +604,52 @@ def test_serve_classify_route(classifier_env):
         srv.shutdown()
         srv.server_close()
         thread.join(timeout=5)
+
+
+def test_ros_node_cli_plumbing(classifier_env):
+    """cli/ros_node.py mirrors the reference launcher scripts' arg surface
+    (run_proto_clip_node.sh); everything up to node construction is
+    ROS-free and must work without rospy."""
+    from protoclip_tpu.cli.ros_node import build_classifier, build_parser
+
+    parser = build_parser()
+    args = parser.parse_args([
+        "grasp",
+        "--config", "unused.yml", "--splits", "unused.json",
+        "--memory_bank_v", "v.pt", "--memory_bank_t", "t.pt",
+        "--adapter_weights", "a.pt", "--verbs", "verbs.txt",
+    ])
+    assert args.mode == "grasp" and args.republish == 10
+
+    import dataclasses
+
+    import yaml
+
+    cfg_path = os.path.join(classifier_env["tmp"], "tiny.yml")
+    with open(cfg_path, "w") as fh:
+        yaml.safe_dump(
+            {
+                k: v
+                for k, v in dataclasses.asdict(classifier_env["cfg"]).items()
+                if v is not None and not isinstance(v, (dict, list))
+            },
+            fh,
+        )
+    args = parser.parse_args([
+        "results", "--config", cfg_path,
+        "--splits", classifier_env["splits"],
+        "--memory_bank_v", classifier_env["v"],
+        "--memory_bank_t", classifier_env["t"],
+        "--adapter_weights", classifier_env["a"],
+        "--period", "2.5",
+    ])
+    assert args.period == 2.5
+    clf = build_classifier(args)
+    rng = np.random.default_rng(3)
+    names, probs = clf.classify_objects(
+        [rng.integers(0, 256, (40, 40, 3)).astype(np.uint8)]
+    )
+    assert len(names) == 1 and probs.shape[1] == clf.cfg.top_k
+
+    with pytest.raises(SystemExit):  # missing required subcommand
+        parser.parse_args([])
