@@ -223,7 +223,13 @@ def load_serving_bundle(path: str) -> Callable[[np.ndarray], np.ndarray]:
     if manifest.get("format") != "protoclip_tpu.serving_bundle.v1":
         raise ValueError(f"not a protoclip_tpu serving bundle: {path}")
     with open(os.path.join(path, _ARTIFACT), "rb") as fh:
-        artifact = jax_export.deserialize(fh.read())
+        raw = fh.read()
+    try:
+        artifact = jax_export.deserialize(raw)
+    except Exception as exc:
+        raise ValueError(
+            f"corrupt serving-bundle artifact {_ARTIFACT} in {path}: {exc}"
+        ) from exc
     leaf_dtypes = manifest.get("param_dtypes", {})
     with np.load(os.path.join(path, _PARAMS)) as npz:
         flat = {

@@ -99,6 +99,11 @@ def test_bundle_rejects_wrong_shape_and_format(tmp_path, tiny):
     with pytest.raises(ValueError, match="compiled for"):
         encode(np.zeros((2, 32, 32, 3), np.uint8))
 
+    with open(os.path.join(bundle, "encoder.shlo"), "r+b") as fh:
+        fh.write(b"\x00garbage\x00")  # corrupt the artifact header
+    with pytest.raises(ValueError, match="corrupt serving-bundle artifact"):
+        load_serving_bundle(bundle)
+
     with open(os.path.join(bundle, "manifest.json")) as fh:
         manifest = json.load(fh)
     manifest["format"] = "something-else"
