@@ -19,9 +19,14 @@ Protocol (JSON; images are base64-encoded JPEG/PNG bytes)::
     GET  /healthz              -> {"status": "ok", "mode": ..., ...}
     POST /encode   {"images": [b64, ...]}
                                -> {"features": [[f32...], ...]}
-    POST /classify {"images": [b64, ...], "top_k": k?}
+    POST /classify {"images": [b64, ...]}
                                -> {"classnames": [[...], ...],
                                    "scores": [[...], ...]}
+
+Errors are JSON ``{"error": ...}``: 400 bad payload/negative length, 404
+unknown route (lists available routes), 411 missing/unparseable
+Content-Length, 413 body over 256 MB, 500 internal (surfaced, server
+stays up).  Requests larger than the compiled batch are chunked.
 
 Single-threaded by design: one process owns the TPU and requests are
 serialized (CLAUDE.md "only one process may hold the TPU"); put batching /
