@@ -246,7 +246,13 @@ def load_serving_bundle(path: str) -> Callable[[np.ndarray], np.ndarray]:
     n_px = manifest["image_resolution"]
 
     def encode(images_u8: np.ndarray) -> np.ndarray:
-        images_u8 = np.asarray(images_u8, np.uint8)
+        images_u8 = np.asarray(images_u8)
+        if images_u8.dtype != np.uint8:
+            # reject rather than coerce: float [0,1] pixels would silently
+            # truncate to zeros and serve garbage features
+            raise ValueError(
+                f"bundle expects uint8 pixels (0-255), got {images_u8.dtype}"
+            )
         if images_u8.shape != (batch, n_px, n_px, 3):
             raise ValueError(
                 f"bundle compiled for {(batch, n_px, n_px, 3)}, "

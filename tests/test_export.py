@@ -97,7 +97,12 @@ def test_bundle_rejects_wrong_shape_and_format(tmp_path, tiny):
     encode = load_serving_bundle(bundle)
     assert encode.manifest["normalized"] is False
     with pytest.raises(ValueError, match="compiled for"):
-        encode(np.zeros((2, 32, 32, 3), np.uint8))
+        encode(np.zeros((2, 32, 32, 3), np.uint8))  # wrong batch
+    with pytest.raises(ValueError, match="compiled for"):
+        encode(np.zeros((4, 64, 64, 3), np.uint8))  # wrong resolution
+    with pytest.raises(ValueError, match="uint8"):
+        # float [0,1] pixels must raise, not silently truncate to zeros
+        encode(np.zeros((4, 32, 32, 3), np.float32))
 
     with open(os.path.join(bundle, "encoder.shlo"), "r+b") as fh:
         fh.write(b"\x00garbage\x00")  # corrupt the artifact header
@@ -124,14 +129,18 @@ def test_export_restores_int8_env_and_rejects_untraceable_int8(tmp_path, tiny, m
     monkeypatch.setenv("PROTOCLIP_INT8", "1")
     save_serving_bundle(str(tmp_path / "a"), cfg, params, batch_size=2)
     assert os.environ["PROTOCLIP_INT8"] == "1"
+    # the export itself (int8=False) must be labeled bf16 despite the env
+    assert load_serving_bundle(str(tmp_path / "a")).manifest["int8"] is False
 
     monkeypatch.delenv("PROTOCLIP_INT8")
     save_serving_bundle(str(tmp_path / "b"), cfg, params, batch_size=2)
     assert "PROTOCLIP_INT8" not in os.environ
+    assert load_serving_bundle(str(tmp_path / "b")).manifest["int8"] is False
 
     assert not pallas_enabled()  # CPU test backend
     with pytest.raises(ValueError, match="Pallas kernels are disabled"):
         save_serving_bundle(str(tmp_path / "c"), cfg, params, batch_size=2, int8=True)
+    assert not os.path.exists(tmp_path / "c")  # no half-written bundle
 
 
 def test_manifest_records_backbone(tmp_path, tiny):
@@ -141,9 +150,10 @@ def test_manifest_records_backbone(tmp_path, tiny):
     assert load_serving_bundle(bundle).manifest["backbone"] == "tiny-vit"
 
 
-def test_flatten_roundtrips_exact_tree_structure():
-    """Sequence nodes and digit-keyed dicts survive the npz round trip with
-    their exact treedef — the artifact's call signature requires it; a
+def test_flatten_roundtrips_exact_tree_structure(tmp_path):
+    """Sequence nodes and digit-keyed dicts survive the REAL storage round
+    trip (np.savez -> np.load for the leaves, json for the seq-node map)
+    with their exact treedef — the artifact's call signature requires it; a
     guess-from-keys heuristic would turn {"0","1"} dicts into lists and
     could never rebuild tuples."""
     from protoclip_tpu.io.export import _flatten, _seq_nodes, _unflatten
@@ -158,7 +168,10 @@ def test_flatten_roundtrips_exact_tree_structure():
         "digit_keyed": {"0": np.zeros(1), "1": np.ones(1)},
     }
     flat, _ = _flatten(tree)
-    rebuilt = _unflatten(flat, _seq_nodes(tree))
+    np.savez(tmp_path / "p.npz", **flat)
+    seq_nodes = json.loads(json.dumps(_seq_nodes(tree)))  # manifest trip
+    with np.load(tmp_path / "p.npz") as npz:
+        rebuilt = _unflatten({k: npz[k] for k in npz.files}, seq_nodes)
     assert jax.tree_util.tree_structure(rebuilt) == jax.tree_util.tree_structure(tree)
     for a, b in zip(jax.tree_util.tree_leaves(rebuilt), jax.tree_util.tree_leaves(tree)):
         np.testing.assert_array_equal(a, b)

@@ -11,8 +11,15 @@ from PIL import Image
 from protoclip_tpu import native
 from protoclip_tpu.data.transforms import center_crop, clip_preprocess, resize_shorter
 
+def _native_available() -> bool:
+    try:
+        return native.load() is not None
+    except RuntimeError:  # PROTOCLIP_NATIVE=1 with a broken toolchain:
+        return False      # collection must SKIP, not error
+
+
 pytestmark = pytest.mark.skipif(
-    native.load() is None, reason="native preprocess unavailable (no g++)"
+    not _native_available(), reason="native preprocess unavailable (no g++)"
 )
 
 
@@ -57,9 +64,25 @@ def test_fuzz_geometries():
         np.testing.assert_array_equal(got, ref, err_msg=f"{h}x{w} n_px={n_px}")
 
 
+@pytest.mark.parametrize("size,crop", [(256, 224), (288, 224), (300, 96), (97, 64)])
+def test_size_not_equal_crop_pixel_exact(size, crop):
+    """The binding's full (size, crop) surface — the torchvision-style
+    resize-256/crop-224 eval recipe — not just size == crop."""
+    src = np.random.default_rng(size * 31 + crop).integers(
+        0, 256, (375, 500, 3), np.uint8
+    ).astype(np.uint8)
+    ref = np.asarray(center_crop(resize_shorter(Image.fromarray(src), size), crop))
+    got = native.resize_shorter_center_crop(src, size, crop)
+    assert got is not None
+    np.testing.assert_array_equal(got, ref)
+
+
 def test_clip_preprocess_native_matches_pil(monkeypatch):
     src = np.random.default_rng(5).integers(0, 256, (375, 500, 3), np.uint8).astype(np.uint8)
     img = Image.fromarray(src)
+    # guard against a tautological PIL-vs-PIL pass: the native path must
+    # actually accept this input, or the first call silently falls back
+    assert native.resize_shorter_center_crop(src, 224, 224) is not None
     via_native = clip_preprocess(img, 224)
     monkeypatch.setenv("PROTOCLIP_NATIVE", "0")
     via_pil = clip_preprocess(img, 224)
