@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import concurrent.futures as _futures
 import random as _random
-from typing import Iterator, Optional, Sequence, Tuple
+from typing import Iterator, Sequence, Tuple
 
 import numpy as np
 

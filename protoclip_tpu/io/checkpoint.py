@@ -19,7 +19,7 @@ the reference); otherwise a sidecar ``.npz`` is written.
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 

@@ -3,7 +3,6 @@
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 
 def quick_gelu(x: jax.Array) -> jax.Array:

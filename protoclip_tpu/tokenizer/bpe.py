@@ -51,7 +51,6 @@ try:
         return _re.findall(_WORD_PATTERN, text)
 
 except ImportError:  # pragma: no cover - `regex` ships with transformers
-    import re as _std_re
     import unicodedata
 
     def _find_words(text: str) -> List[str]:

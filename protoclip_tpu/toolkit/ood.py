@@ -7,8 +7,6 @@ from __future__ import annotations
 import os
 from typing import List, Optional
 
-import jax.numpy as jnp
-import numpy as np
 
 from protoclip_tpu.core.config import Config
 from protoclip_tpu.core.protoclip import accuracy, from_arrays

@@ -8,12 +8,9 @@ from __future__ import annotations
 import os
 from typing import Optional
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 from protoclip_tpu.core.config import Config
-from protoclip_tpu.core.protoclip import ProtoClip
 from protoclip_tpu.data import BatchLoader
 from protoclip_tpu.data.transforms import TrainTransform
 from protoclip_tpu.io.checkpoint import checkpoint_paths, save_checkpoint_triple

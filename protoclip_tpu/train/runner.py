@@ -46,7 +46,6 @@ from protoclip_tpu.models import (
 from protoclip_tpu.models.adapters import adapter_from_torch_state
 from protoclip_tpu.obs.logging import MetricLogger
 from protoclip_tpu.train.episodic import EpisodicTrainer
-from protoclip_tpu.train.qt import QTTrainer
 
 
 def make_encode_fns(cfg: Config, mesh=None):
