@@ -38,7 +38,10 @@ def build_parser() -> argparse.ArgumentParser:
         p.add_argument("--adapter_weights", help="query_adapter.pt")
         p.add_argument("--camera", default="Fetch")
         if mode == "grasp":
-            p.add_argument("--verbs", help="verbs dictionary txt (one per line)")
+            p.add_argument(
+                "--verbs", required=True,
+                help="verbs dictionary txt (one per line)",
+            )
             p.add_argument("--nouns", help="nouns dictionary txt (default: from splits)")
             p.add_argument("--republish", type=int, default=10,
                            help="times to republish the selected label")
@@ -71,8 +74,6 @@ def build_tagger(args):
         noun_dictionary_from_splits,
     )
 
-    if args.verbs is None:
-        raise SystemExit("grasp mode requires --verbs (the verb dictionary)")
     if args.nouns:
         return VerbAndNounTagger(args.verbs, noun_dictionary_path=args.nouns)
     return VerbAndNounTagger(
@@ -81,20 +82,29 @@ def build_tagger(args):
 
 
 def main(argv=None) -> None:  # pragma: no cover - the node loops need ROS
+    import time
+
     args = build_parser().parse_args(argv)
+    import rospy  # before the (slow) classifier build: fail fast without ROS
+
     classifier = build_classifier(args)
     if args.mode == "grasp":
         from protoclip_tpu.toolkit.ros_nodes import ProtoClipGraspNode
 
+        # node registration must precede any subscriber/publisher
+        # construction (ref proto_clip_node.py:36)
+        rospy.init_node("proto_clip_with_asr")
         node = ProtoClipGraspNode(
             classifier, tagger=build_tagger(args),
             camera=args.camera, republish_count=args.republish,
         )
-        while True:
-            node.run_once()
+        while not rospy.is_shutdown():
+            if node.run_once() is None:
+                time.sleep(0.5)  # no frame / no match: don't busy-spin
     else:
         from protoclip_tpu.toolkit.ros_nodes import ProtoClipResultsNode
 
+        rospy.init_node("proto_clip_result_pub")  # ref results_node.py:30
         ProtoClipResultsNode(
             classifier, camera=args.camera, period_s=args.period
         ).spin()

@@ -107,6 +107,7 @@ def make_encode_route(bundle_dir: str, warmup: bool = True) -> tuple:
             feats.append(encode(block)[: len(chunk)])
         return {"features": np.concatenate(feats).tolist()}
 
+    route.pool = pool  # shut down by the server's server_close()
     info = {
         "mode": "encode",
         "backbone": encode.manifest.get("backbone"),
@@ -235,7 +236,15 @@ def build_server(
     handler = type("Handler", (_Handler,), {
         "routes": routes, "info": info, "quiet": quiet,
     })
-    return HTTPServer((host, port), handler)
+    pools = [p for p in (getattr(r, "pool", None) for r in routes.values()) if p]
+
+    class _Server(HTTPServer):
+        def server_close(self):  # reap route worker pools with the server
+            super().server_close()
+            for pool in pools:
+                pool.shutdown(wait=False)
+
+    return _Server((host, port), handler)
 
 
 def main() -> None:
