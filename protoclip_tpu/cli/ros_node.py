@@ -43,6 +43,12 @@ def build_parser() -> argparse.ArgumentParser:
                 help="verbs dictionary txt (one per line)",
             )
             p.add_argument("--nouns", help="nouns dictionary txt (default: from splits)")
+            p.add_argument(
+                "--asr_config",
+                help="asr_config.json with whisper/mic knobs (default: "
+                "transcribe_stream defaults) — the launcher's "
+                "--asr_config_path (run_proto_clip_node.sh)",
+            )
             p.add_argument("--republish", type=int, default=10,
                            help="times to republish the selected label")
         else:
@@ -81,6 +87,16 @@ def build_tagger(args):
     )
 
 
+def build_asr_kwargs(args) -> dict:
+    """ROS-free: ``--asr_config`` JSON -> ``transcribe_stream`` kwargs
+    (empty dict = library defaults when the flag is omitted)."""
+    if not getattr(args, "asr_config", None):
+        return {}
+    from protoclip_tpu.cli.transcribe import load_asr_config, stream_kwargs
+
+    return stream_kwargs(load_asr_config(args.asr_config))
+
+
 def main(argv=None) -> None:  # pragma: no cover - the node loops need ROS
     import time
 
@@ -97,6 +113,7 @@ def main(argv=None) -> None:  # pragma: no cover - the node loops need ROS
         node = ProtoClipGraspNode(
             classifier, tagger=build_tagger(args),
             camera=args.camera, republish_count=args.republish,
+            asr_kwargs=build_asr_kwargs(args),
         )
         while not rospy.is_shutdown():
             if node.run_once() is None:

@@ -134,6 +134,7 @@ class ProtoClipGraspNode:
         tagger=None,
         camera: str = "Fetch",
         republish_count: int = 10,
+        asr_kwargs: Optional[dict] = None,
     ):  # pragma: no cover - needs ROS
         _require_ros()
         import rospy
@@ -143,6 +144,9 @@ class ProtoClipGraspNode:
         self.tagger = tagger
         self.listener = SegImageListener(camera)
         self.republish_count = republish_count
+        # transcribe_stream knobs from asr_config.json — the reference node
+        # reads them via --asr_config_path (run_proto_clip_node.sh)
+        self.asr_kwargs = dict(asr_kwargs or {})
         self.label_pub = rospy.Publisher("/selected_seg_label", Int32, queue_size=10)
         self.score_pub = rospy.Publisher("/selected_seg_score", Float32, queue_size=10)
 
@@ -154,7 +158,9 @@ class ProtoClipGraspNode:
             return None
         crops, mask_ids = crop_object_images(label, rgb)
         names, probs = self.classifier.classify_objects(crops, log=True, rgb_image=rgb)
-        _, noun = transcribe_with_verb_and_noun_matching(self.tagger)
+        _, noun = transcribe_with_verb_and_noun_matching(
+            self.tagger, **self.asr_kwargs
+        )
         if noun is None:
             return None
         for obj_idx, top_k in enumerate(names):

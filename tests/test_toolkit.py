@@ -653,3 +653,34 @@ def test_ros_node_cli_plumbing(classifier_env):
 
     with pytest.raises(SystemExit):  # missing required subcommand
         parser.parse_args([])
+
+
+def test_ros_node_cli_asr_config_plumbing(tmp_path):
+    """--asr_config (the launcher's --asr_config_path) resolves to the
+    transcribe_stream kwargs the grasp node forwards; omitted -> defaults."""
+    import json
+
+    from protoclip_tpu.cli.ros_node import build_asr_kwargs, build_parser
+
+    parser = build_parser()
+    base = ["grasp", "--config", "c.yml", "--splits", "s.json",
+            "--verbs", "verbs.txt"]
+    assert build_asr_kwargs(parser.parse_args(base)) == {}
+
+    cfg = tmp_path / "asr_config.json"
+    cfg.write_text(json.dumps({
+        "model": "whisper-small", "energy_threshold": 700,
+        "record_timeout": 1.5, "phrase_timeout": 2.5,
+    }))
+    kwargs = build_asr_kwargs(
+        parser.parse_args(base + ["--asr_config", str(cfg)])
+    )
+    assert kwargs == {
+        "model_name": "small.en", "energy_threshold": 700,
+        "record_timeout": 1.5, "phrase_timeout": 2.5,
+        "microphone_name": None,
+    }
+
+    cfg.write_text(json.dumps({"energy_threshold": "loud"}))
+    with pytest.raises(ValueError, match="energy_threshold"):
+        build_asr_kwargs(parser.parse_args(base + ["--asr_config", str(cfg)]))
