@@ -23,14 +23,22 @@ Protocol (JSON; images are base64-encoded JPEG/PNG bytes)::
                                -> {"classnames": [[...], ...],
                                    "scores": [[...], ...]}
 
+    GET  /statz                -> micro-batcher dispatch statistics
+
 Errors are JSON ``{"error": ...}``: 400 bad payload/negative length, 404
 unknown route (lists available routes), 411 missing/unparseable
 Content-Length, 413 body over 256 MB, 500 internal (surfaced, server
 stays up).  Requests larger than the compiled batch are chunked.
 
-Single-threaded by design: one process owns the TPU and requests are
-serialized (CLAUDE.md "only one process may hold the TPU"); put batching /
-replica fan-out in front of it.
+Threading model: HTTP handler threads do host work only (decode, bicubic
+preprocess); all /encode device dispatches go through one
+``MicroBatcher`` thread (``toolkit/microbatch.py``) that coalesces
+concurrent requests into full fixed-size batches — so the process still
+owns the TPU from a single dispatch site (CLAUDE.md "only one process may
+hold the TPU") while N concurrent small requests cost one dispatch
+instead of N.  Coalesced results are bit-identical to serial serving
+(per-image independence; asserted in tests).  ``--coalesce-ms`` sets the
+fill window (0 = dispatch whatever is queued, never wait).
 
     python -m protoclip_tpu.cli.serve --bundle bundle/ --port 8421
     python -m protoclip_tpu.cli.serve --config configs/fewsol_198.yml \
@@ -45,7 +53,8 @@ import io
 import json
 import os
 import sys
-from http.server import BaseHTTPRequestHandler, HTTPServer
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Callable, Dict, Optional
 
 
@@ -68,7 +77,9 @@ def _decode_images(payload: dict) -> list:
     return out
 
 
-def make_encode_route(bundle_dir: str, warmup: bool = True) -> tuple:
+def make_encode_route(
+    bundle_dir: str, warmup: bool = True, coalesce_ms: float = 5.0
+) -> tuple:
     """(handler, info) for /encode over an AOT serving bundle.
 
     ``warmup`` runs one dummy batch at startup so the first real request
@@ -79,6 +90,7 @@ def make_encode_route(bundle_dir: str, warmup: bool = True) -> tuple:
 
     from protoclip_tpu.data.transforms import clip_preprocess
     from protoclip_tpu.io.export import load_serving_bundle
+    from protoclip_tpu.toolkit.microbatch import MicroBatcher
     from PIL import Image
 
     encode = load_serving_bundle(bundle_dir)
@@ -90,30 +102,34 @@ def make_encode_route(bundle_dir: str, warmup: bool = True) -> tuple:
     import concurrent.futures as futures
 
     pool = futures.ThreadPoolExecutor(max_workers=max(1, os.cpu_count() or 1))
+    batcher = MicroBatcher(
+        encode, batch, (n_px, n_px, 3), np.uint8,
+        max_wait_s=max(0.0, coalesce_ms) / 1e3,
+    )
 
     def route(payload: dict) -> dict:
         crops = _decode_images(payload)
-        feats = []
-        for start in range(0, len(crops), batch):
-            chunk = crops[start : start + batch]
-            block = np.zeros((batch, n_px, n_px, 3), np.uint8)
-            # parallel host preprocess (PIL releases the GIL; same shape as
-            # the extract CLI's decode pool)
-            def prep(i_arr):
-                i, arr = i_arr
-                block[i] = clip_preprocess(Image.fromarray(arr), n_px)
+        block = np.zeros((len(crops), n_px, n_px, 3), np.uint8)
+        # parallel host preprocess (PIL releases the GIL; same shape as
+        # the extract CLI's decode pool)
+        def prep(i_arr):
+            i, arr = i_arr
+            block[i] = clip_preprocess(Image.fromarray(arr), n_px)
 
-            list(pool.map(prep, enumerate(chunk)))
-            feats.append(encode(block)[: len(chunk)])
-        return {"features": np.concatenate(feats).tolist()}
+        list(pool.map(prep, enumerate(crops)))
+        # one dispatch site for the whole server; over-batch requests are
+        # split and concurrent requests coalesced inside the batcher
+        return {"features": batcher.submit(block).tolist()}
 
     route.pool = pool  # shut down by the server's server_close()
+    route.batcher = batcher
     info = {
         "mode": "encode",
         "backbone": encode.manifest.get("backbone"),
         "batch_size": batch,
         "image_resolution": n_px,
         "int8": encode.manifest.get("int8"),
+        "coalesce_ms": max(0.0, coalesce_ms),
     }
     return route, info
 
@@ -127,16 +143,22 @@ def make_classify_route(classifier, warmup: bool = True) -> tuple:
             [np.zeros((8, 8, 3), np.uint8)]
         )
 
+    # handler threads serialize here: the classifier path keeps its own
+    # dispatch site (letterbox geometry varies per crop, so it does not go
+    # through the /encode micro-batcher)
+    lock = threading.Lock()
+
     def route(payload: dict) -> dict:
         crops = _decode_images(payload)
         names, scores = [], []
         # chunk to the classifier's compiled batch, like /encode does —
         # requests larger than max_batch must not 400
         step = classifier.max_batch
-        for start in range(0, len(crops), step):
-            n, s = classifier.classify_objects(crops[start : start + step])
-            names.extend(n)
-            scores.extend(s)
+        with lock:
+            for start in range(0, len(crops), step):
+                n, s = classifier.classify_objects(crops[start : start + step])
+                names.extend(n)
+                scores.extend(s)
         return {
             "classnames": [list(row) for row in names],
             "scores": [[float(x) for x in row] for row in scores],
@@ -173,6 +195,13 @@ class _Handler(BaseHTTPRequestHandler):
     def do_GET(self) -> None:  # noqa: N802 (http.server API)
         if self.path == "/healthz":
             self._send(200, {"status": "ok", **self.info})
+        elif self.path == "/statz":
+            stats = {
+                path: route.batcher.stats
+                for path, route in self.routes.items()
+                if getattr(route, "batcher", None) is not None
+            }
+            self._send(200, stats)
         else:
             self._send(404, {"error": f"no route {self.path}"})
 
@@ -215,11 +244,14 @@ def build_server(
     classifier=None,
     quiet: bool = False,
     warmup: bool = True,
-) -> HTTPServer:
+    coalesce_ms: float = 5.0,
+) -> ThreadingHTTPServer:
     """Construct (not start) the server; ``port=0`` picks a free port."""
     routes, infos = {}, {}
     if bundle is not None:
-        routes["/encode"], infos["encode"] = make_encode_route(bundle, warmup=warmup)
+        routes["/encode"], infos["encode"] = make_encode_route(
+            bundle, warmup=warmup, coalesce_ms=coalesce_ms
+        )
     if classifier is not None:
         routes["/classify"], infos["classify"] = make_classify_route(
             classifier, warmup=warmup
@@ -237,10 +269,15 @@ def build_server(
         "routes": routes, "info": info, "quiet": quiet,
     })
     pools = [p for p in (getattr(r, "pool", None) for r in routes.values()) if p]
+    batchers = [
+        b for b in (getattr(r, "batcher", None) for r in routes.values()) if b
+    ]
 
-    class _Server(HTTPServer):
-        def server_close(self):  # reap route worker pools with the server
+    class _Server(ThreadingHTTPServer):
+        def server_close(self):  # reap route workers with the server
             super().server_close()
+            for batcher in batchers:
+                batcher.close()
             for pool in pools:
                 pool.shutdown(wait=False)
 
@@ -261,6 +298,12 @@ def main() -> None:
         "--no-warmup", action="store_true",
         help="skip the startup dummy batch (first request pays the compile)",
     )
+    parser.add_argument(
+        "--coalesce-ms", type=float, default=5.0,
+        help="micro-batch fill window: after a request arrives, wait up to "
+        "this long for concurrent requests to share its device dispatch "
+        "(0 = never wait; dispatch whatever is queued)",
+    )
     args = parser.parse_args()
     if not args.bundle and not args.config:
         parser.error("provide --bundle (encode mode) and/or --config (classify mode)")
@@ -280,7 +323,7 @@ def main() -> None:
 
     server = build_server(
         args.host, args.port, bundle=args.bundle, classifier=classifier,
-        warmup=not args.no_warmup,
+        warmup=not args.no_warmup, coalesce_ms=args.coalesce_ms,
     )
     host, port = server.server_address[:2]
     routes = sorted(server.RequestHandlerClass.routes)

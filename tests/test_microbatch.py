@@ -1,0 +1,175 @@
+"""MicroBatcher (toolkit/microbatch.py): request coalescing, splitting,
+error propagation, backpressure, and close semantics.
+
+The batcher is the serving layer's single device-dispatch site; these
+tests drive it with a host fake whose per-row results are deterministic
+functions of the row, so correctness under any packing is checkable.
+"""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from protoclip_tpu.toolkit.microbatch import MicroBatcher
+
+SHAPE = (2, 2, 1)
+
+
+def _row_fn(block):
+    """Per-row deterministic 'feature': row-sum and row-max stacked."""
+    flat = block.reshape(len(block), -1).astype(np.float32)
+    return np.stack([flat.sum(axis=1), flat.max(axis=1)], axis=1)
+
+
+def _items(rng, n):
+    return rng.integers(0, 255, (n,) + SHAPE, dtype=np.uint8)
+
+
+def test_single_request_matches_direct_call():
+    rng = np.random.default_rng(0)
+    mb = MicroBatcher(_row_fn, 4, SHAPE, max_wait_s=0.0)
+    try:
+        x = _items(rng, 3)
+        got = mb.submit(x)
+        block = np.zeros((4,) + SHAPE, np.uint8)
+        block[:3] = x
+        np.testing.assert_array_equal(got, _row_fn(block)[:3])
+    finally:
+        mb.close()
+
+
+def test_concurrent_submits_coalesce_into_one_dispatch():
+    rng = np.random.default_rng(1)
+    calls = []
+
+    def run(block):
+        calls.append(len(block))
+        return _row_fn(block)
+
+    n_threads = 8
+    mb = MicroBatcher(run, n_threads, SHAPE, max_wait_s=0.5)
+    barrier = threading.Barrier(n_threads)
+    inputs = [_items(rng, 1) for _ in range(n_threads)]
+    results = [None] * n_threads
+
+    def worker(i):
+        barrier.wait()
+        results[i] = mb.submit(inputs[i])
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(n_threads)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+    try:
+        for i in range(n_threads):
+            np.testing.assert_array_equal(results[i], _row_fn(inputs[i]))
+        # all 8 rows shared device batches; with the 500 ms window this
+        # should be exactly one dispatch, but never one per request
+        assert mb.stats["images"] == n_threads
+        assert mb.stats["dispatches"] < n_threads
+        assert mb.stats["mean_fill"] > 1.0
+    finally:
+        mb.close()
+
+
+def test_request_larger_than_batch_splits_across_dispatches():
+    rng = np.random.default_rng(2)
+    mb = MicroBatcher(_row_fn, 4, SHAPE, max_wait_s=0.0)
+    try:
+        x = _items(rng, 10)
+        got = mb.submit(x)
+        assert got.shape == (10, 2)
+        np.testing.assert_array_equal(got, _row_fn(x.astype(np.uint8)))
+        assert mb.stats["dispatches"] == 3  # 4 + 4 + 2
+    finally:
+        mb.close()
+
+
+def test_packing_never_changes_results():
+    """The invariant the serving layer relies on: any interleaving of
+    concurrent requests yields each request its own rows, exactly."""
+    rng = np.random.default_rng(3)
+    mb = MicroBatcher(_row_fn, 3, SHAPE, max_wait_s=0.05)
+    sizes = [1, 5, 2, 7, 3, 1, 4]
+    inputs = [_items(rng, n) for n in sizes]
+    results = [None] * len(sizes)
+
+    def worker(i):
+        results[i] = mb.submit(inputs[i])
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(len(sizes))]
+    try:
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=30)
+        for x, got in zip(inputs, results):
+            np.testing.assert_array_equal(got, _row_fn(x))
+    finally:
+        mb.close()
+
+
+def test_device_error_fails_the_request_not_the_loop():
+    boom = {"armed": False}
+
+    def run(block):
+        if boom["armed"]:
+            raise RuntimeError("device fell over")
+        return _row_fn(block)
+
+    rng = np.random.default_rng(4)
+    mb = MicroBatcher(run, 4, SHAPE, max_wait_s=0.0)
+    try:
+        mb.submit(_items(rng, 2))  # healthy
+        boom["armed"] = True
+        with pytest.raises(RuntimeError, match="device fell over"):
+            mb.submit(_items(rng, 2))
+        boom["armed"] = False
+        got = mb.submit(_items(rng, 3))  # loop survived the failure
+        assert got.shape == (3, 2)
+    finally:
+        mb.close()
+
+
+def test_input_validation():
+    mb = MicroBatcher(_row_fn, 4, SHAPE, max_wait_s=0.0, max_pending=16)
+    try:
+        with pytest.raises(ValueError, match="expected"):
+            mb.submit(np.zeros((2, 3, 3, 1), np.uint8))
+        with pytest.raises(ValueError, match="empty"):
+            mb.submit(np.zeros((0,) + SHAPE, np.uint8))
+        with pytest.raises(ValueError, match="queue cap"):
+            mb.submit(np.zeros((17,) + SHAPE, np.uint8))
+    finally:
+        mb.close()
+
+
+def test_close_flushes_inflight_work_then_rejects():
+    done = threading.Event()
+
+    def slow_run(block):
+        time.sleep(0.05)
+        return _row_fn(block)
+
+    mb = MicroBatcher(slow_run, 4, SHAPE, max_wait_s=0.2)
+    rng = np.random.default_rng(5)
+    x = _items(rng, 2)
+    out = {}
+
+    def worker():
+        out["got"] = mb.submit(x)
+        done.set()
+
+    t = threading.Thread(target=worker)
+    t.start()
+    time.sleep(0.01)  # let the submit enqueue
+    mb.close()  # must flush the queued request, not drop it
+    assert done.wait(timeout=10)
+    t.join(timeout=10)
+    np.testing.assert_array_equal(out["got"], _row_fn(x))
+    with pytest.raises(RuntimeError, match="closed"):
+        mb.submit(x)
+    mb.close()  # idempotent

@@ -228,3 +228,67 @@ def test_dual_mode_healthz_reports_both_routes(tmp_path):
         assert set(srv.RequestHandlerClass.routes) == {"/encode", "/classify"}
     finally:
         srv.server_close()
+
+
+def test_concurrent_encode_requests_coalesce_and_stay_bitidentical(server):
+    """N concurrent 1-image requests share device dispatches (the
+    micro-batcher's reason to exist) AND return exactly the features the
+    same images get when posted serially — per-image independence makes
+    coalescing bit-identical, whatever the batch neighbors are."""
+    _, bundle = server
+    # dedicated server: a wide fill window so the concurrent burst below
+    # coalesces deterministically even under slow thread scheduling
+    srv = build_server(port=0, bundle=bundle, quiet=True, coalesce_ms=250.0)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    try:
+        port = srv.server_address[1]
+        rng = np.random.default_rng(7)
+        arrs = [
+            rng.integers(0, 256, (36 + i, 41 - i, 3)).astype(np.uint8)
+            for i in range(4)
+        ]
+        payloads = [{"images": [_b64_jpeg(a)]} for a in arrs]
+
+        serial = []
+        for p in payloads:
+            status, body = _post(port, "/encode", p)
+            assert status == 200
+            serial.append(np.asarray(body["features"], np.float32))
+
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/statz") as resp:
+            before = json.loads(resp.read())["/encode"]
+        assert before["dispatches"] == len(payloads)  # serial: one each
+
+        barrier = threading.Barrier(len(payloads))
+        results = [None] * len(payloads)
+
+        def worker(i):
+            barrier.wait()
+            status, body = _post(port, "/encode", payloads[i])
+            results[i] = (status, body)
+
+        threads = [
+            threading.Thread(target=worker, args=(i,))
+            for i in range(len(payloads))
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=60)
+
+        for i, (status, body) in enumerate(results):
+            assert status == 200
+            got = np.asarray(body["features"], np.float32)
+            np.testing.assert_array_equal(got, serial[i])
+
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/statz") as resp:
+            after = json.loads(resp.read())["/encode"]
+        assert after["images"] - before["images"] == len(payloads)
+        # the 4 concurrent single-image requests must not each have paid
+        # a dispatch (batch_size=4; any coalescing at all -> <4)
+        assert after["dispatches"] - before["dispatches"] < len(payloads)
+    finally:
+        srv.shutdown()
+        srv.server_close()
+        thread.join(timeout=5)
