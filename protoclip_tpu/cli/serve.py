@@ -274,6 +274,11 @@ def build_server(
     ]
 
     class _Server(ThreadingHTTPServer):
+        # socketserver's default listen backlog is 5: a burst of concurrent
+        # clients (the very load micro-batching exists for) gets connection
+        # resets at the kernel before a handler thread ever runs
+        request_queue_size = 128
+
         def server_close(self):  # reap route workers with the server
             super().server_close()
             for batcher in batchers:

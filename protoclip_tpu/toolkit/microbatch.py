@@ -121,6 +121,9 @@ class MicroBatcher:
         req = _Request(images)
         with self._submit_lock:
             if self._closed:
+                # return our tokens so other submitters blocked on
+                # backpressure can also drain through the closed check
+                self._capacity.release(len(images))
                 raise RuntimeError("MicroBatcher is closed")
             self._q.put(req)
         req.event.wait()

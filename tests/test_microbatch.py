@@ -173,3 +173,46 @@ def test_close_flushes_inflight_work_then_rejects():
     with pytest.raises(RuntimeError, match="closed"):
         mb.submit(x)
     mb.close()  # idempotent
+
+
+def test_close_unblocks_all_backpressured_submitters():
+    """Submitters blocked on the capacity semaphore when close() runs must
+    all terminate — each either served or rejected with the closed error.
+    Regression: a closed-out submitter must return its acquired tokens so
+    the *other* blocked submitters can drain through too."""
+    gate = threading.Event()
+
+    def gated_run(block):
+        gate.wait(timeout=30)
+        return _row_fn(block)
+
+    # capacity == batch == 4: one in-flight dispatch holds every token
+    mb = MicroBatcher(gated_run, 4, SHAPE, max_wait_s=0.0, max_pending=4)
+    rng = np.random.default_rng(6)
+    outcomes = {}
+
+    def worker(name, n):
+        try:
+            outcomes[name] = mb.submit(_items(rng, n))
+        except RuntimeError as exc:
+            outcomes[name] = exc
+
+    t_a = threading.Thread(target=worker, args=("a", 4))
+    t_a.start()
+    time.sleep(0.1)  # a's rows are in the gated dispatch, capacity at 0
+    blocked = [
+        threading.Thread(target=worker, args=(f"b{i}", 3)) for i in range(3)
+    ]
+    for t in blocked:
+        t.start()
+    time.sleep(0.1)  # b* are blocked mid-acquire (3 tokens each, 0 free)
+    closer = threading.Thread(target=mb.close)
+    closer.start()
+    gate.set()  # let a's dispatch finish so close can flush + join
+    for t in [t_a, *blocked, closer]:
+        t.join(timeout=10)
+        assert not t.is_alive(), "a submitter hung across close()"
+    assert isinstance(outcomes["a"], np.ndarray)
+    for i in range(3):
+        out = outcomes[f"b{i}"]
+        assert isinstance(out, (np.ndarray, RuntimeError))

@@ -292,3 +292,29 @@ def test_concurrent_encode_requests_coalesce_and_stay_bitidentical(server):
         srv.shutdown()
         srv.server_close()
         thread.join(timeout=5)
+
+
+def test_connection_burst_is_not_reset(server):
+    """A burst of concurrent clients must all be served, none reset.
+    Regression: socketserver's default listen backlog of 5 made the kernel
+    reset connections under exactly the concurrent load micro-batching
+    exists for (measured on hardware via scripts/bench_serve_http.py)."""
+    srv, _ = server
+    assert type(srv).request_queue_size >= 64
+    port = srv.server_address[1]
+    n = 48
+    payload = {"images": [_b64_jpeg(np.zeros((24, 24, 3), np.uint8))]}
+    statuses = [None] * n
+    barrier = threading.Barrier(n)
+
+    def worker(i):
+        barrier.wait()  # all n connect at once
+        statuses[i], _ = _post(port, "/encode", payload)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+        assert not t.is_alive()
+    assert statuses == [200] * n
