@@ -106,7 +106,6 @@ _VOCAB_ENV = "PROTOCLIP_BPE_PATH"
 _VOCAB_CANDIDATES = (
     os.path.join(os.path.dirname(os.path.abspath(__file__)), "bpe_simple_vocab_16e6.txt.gz"),
     os.path.expanduser("~/.cache/clip/bpe_simple_vocab_16e6.txt.gz"),
-    "/root/reference/clip/bpe_simple_vocab_16e6.txt.gz",
 )
 
 

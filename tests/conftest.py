@@ -28,6 +28,13 @@ import pytest  # noqa: E402
 
 REFERENCE_DIR = "/root/reference"
 
+# The shipped package only discovers the BPE vocab via $PROTOCLIP_BPE_PATH,
+# the packaged file, or ~/.cache/clip; in this sandbox the vocab lives in
+# the mounted reference snapshot — point the env var there for the tests.
+_REF_VOCAB = os.path.join(REFERENCE_DIR, "clip", "bpe_simple_vocab_16e6.txt.gz")
+if "PROTOCLIP_BPE_PATH" not in os.environ and os.path.exists(_REF_VOCAB):
+    os.environ["PROTOCLIP_BPE_PATH"] = _REF_VOCAB
+
 
 def reference_available() -> bool:
     return os.path.isdir(REFERENCE_DIR)
