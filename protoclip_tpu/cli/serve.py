@@ -334,6 +334,15 @@ def main() -> None:
     routes = sorted(server.RequestHandlerClass.routes)
     print(f"[serve] listening on http://{host}:{port} routes={routes}",
           file=sys.stderr)
+
+    # graceful stop on SIGTERM (the supervisor/container default): finish
+    # in-flight requests, flush the micro-batcher, release the device
+    import signal
+
+    def _term(signum, frame):
+        threading.Thread(target=server.shutdown, daemon=True).start()
+
+    signal.signal(signal.SIGTERM, _term)
     try:
         server.serve_forever()
     except KeyboardInterrupt:

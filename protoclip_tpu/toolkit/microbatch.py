@@ -92,6 +92,8 @@ class MicroBatcher:
         self._stats_lock = threading.Lock()
         self._dispatches = 0
         self._images = 0
+        # ring of recent per-dispatch wall times for the latency quantiles
+        self._recent_s: collections.deque = collections.deque(maxlen=256)
         self._thread = threading.Thread(
             target=self._loop, name="microbatch-dispatch", daemon=True
         )
@@ -149,12 +151,19 @@ class MicroBatcher:
     def stats(self) -> dict:
         with self._stats_lock:
             d, n = self._dispatches, self._images
-        return {
+            recent = list(self._recent_s)
+        out = {
             "dispatches": d,
             "images": n,
             "mean_fill": (n / d) if d else 0.0,
             "batch_size": self.batch_size,
         }
+        if recent:  # dispatch-latency quantiles over the last <=256 calls
+            q = sorted(recent)
+            out["dispatch_ms_p50"] = round(1e3 * q[len(q) // 2], 2)
+            out["dispatch_ms_p99"] = round(1e3 * q[min(len(q) - 1, int(len(q) * 0.99))], 2)
+            out["dispatch_ms_max"] = round(1e3 * q[-1], 2)
+        return out
 
     # -- dispatcher side ------------------------------------------------
 
@@ -213,6 +222,7 @@ class MicroBatcher:
             fill += n
             if entry[1] == len(req.images):
                 pending.popleft()
+        t_start = time.monotonic()
         try:
             out = self._run_batch(block)
         except BaseException as exc:  # noqa: BLE001 — fail the requests, not the loop
@@ -234,5 +244,6 @@ class MicroBatcher:
             with self._stats_lock:
                 self._dispatches += 1
                 self._images += fill
+                self._recent_s.append(time.monotonic() - t_start)
         finally:
             self._capacity.release(fill)

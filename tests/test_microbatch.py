@@ -134,6 +134,19 @@ def test_device_error_fails_the_request_not_the_loop():
         mb.close()
 
 
+def test_stats_expose_dispatch_latency_quantiles():
+    rng = np.random.default_rng(8)
+    mb = MicroBatcher(_row_fn, 4, SHAPE, max_wait_s=0.0)
+    try:
+        for _ in range(5):
+            mb.submit(_items(rng, 4))
+        s = mb.stats
+        assert s["dispatches"] == 5
+        assert 0.0 <= s["dispatch_ms_p50"] <= s["dispatch_ms_p99"] <= s["dispatch_ms_max"]
+    finally:
+        mb.close()
+
+
 def test_input_validation():
     mb = MicroBatcher(_row_fn, 4, SHAPE, max_wait_s=0.0, max_pending=16)
     try:

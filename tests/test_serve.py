@@ -294,6 +294,48 @@ def test_concurrent_encode_requests_coalesce_and_stay_bitidentical(server):
         thread.join(timeout=5)
 
 
+def test_cli_sigterm_graceful_shutdown(server):
+    """The CLI process must exit 0 on SIGTERM (supervisor/container stop):
+    serve_forever unwinds, server_close reaps the batcher + pools."""
+    import os
+    import signal
+    import socket
+    import subprocess
+    import sys
+    import time
+
+    _, bundle = server
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    env = dict(os.environ)
+    env.update({"PALLAS_AXON_POOL_IPS": "", "JAX_PLATFORMS": "cpu"})
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "protoclip_tpu.cli.serve",
+         "--bundle", bundle, "--port", str(port)],
+        env=env, stderr=subprocess.DEVNULL,
+    )
+    try:
+        deadline = time.monotonic() + 120
+        while time.monotonic() < deadline:
+            try:
+                with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/healthz", timeout=2
+                ) as resp:
+                    assert json.loads(resp.read())["status"] == "ok"
+                    break
+            except (urllib.error.URLError, ConnectionError):
+                time.sleep(0.3)
+        else:
+            pytest.fail("server never became healthy")
+        proc.send_signal(signal.SIGTERM)
+        assert proc.wait(timeout=30) == 0
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait(timeout=10)
+
+
 def test_connection_burst_is_not_reset(server):
     """A burst of concurrent clients must all be served, none reset.
     Regression: socketserver's default listen backlog of 5 made the kernel
