@@ -31,11 +31,11 @@ Content-Length, 413 body over 256 MB, 500 internal (surfaced, server
 stays up).  Requests larger than the compiled batch are chunked.
 
 Threading model: HTTP handler threads do host work only (decode, bicubic
-preprocess); all /encode device dispatches go through one
+preprocess); each route's device dispatches go through its own
 ``MicroBatcher`` thread (``toolkit/microbatch.py``) that coalesces
 concurrent requests into full fixed-size batches — so the process still
-owns the TPU from a single dispatch site (CLAUDE.md "only one process may
-hold the TPU") while N concurrent small requests cost one dispatch
+owns the TPU from serialized dispatch sites (CLAUDE.md "only one process
+may hold the TPU") while N concurrent small requests cost one dispatch
 instead of N.  Coalesced results are bit-identical to serial serving
 (per-image independence; asserted in tests).  ``--coalesce-ms`` sets the
 fill window (0 = dispatch whatever is queued, never wait).
@@ -134,41 +134,72 @@ def make_encode_route(
     return route, info
 
 
-def make_classify_route(classifier, warmup: bool = True) -> tuple:
-    """(handler, info) for /classify over a ProtoClipClassifier."""
-    if warmup:  # compile the jitted infer path before serving traffic
-        import numpy as np
+def make_classify_route(
+    classifier, warmup: bool = True, coalesce_ms: float = 5.0
+) -> tuple:
+    """(handler, info) for /classify over a ProtoClipClassifier.
 
-        classifier.classify_objects(
-            [np.zeros((8, 8, 3), np.uint8)]
+    Same dispatch discipline as /encode: the letterbox is per-crop (rows
+    independent), so concurrent requests' crops coalesce into one
+    fixed-size device batch via ``classifier.infer_canvases``; over-batch
+    requests split across dispatches.  Results are bit-identical to
+    serial ``classify_objects`` calls (asserted in
+    ``tests/test_toolkit.py::test_serve_classify_route``)."""
+    import concurrent.futures as futures
+
+    import numpy as np
+
+    from protoclip_tpu.data.transforms import clip_preprocess
+    from protoclip_tpu.toolkit.microbatch import MicroBatcher
+    from PIL import Image
+
+    n_px = classifier.clip_cfg.image_resolution
+    top_k = max(1, classifier.cfg.top_k)
+    if warmup:  # compile the jitted infer path before serving traffic
+        classifier.infer_canvases(
+            np.zeros((classifier.max_batch, n_px, n_px, 3), np.uint8)
         )
 
-    # handler threads serialize here: the classifier path keeps its own
-    # dispatch site (letterbox geometry varies per crop, so it does not go
-    # through the /encode micro-batcher)
-    lock = threading.Lock()
+    pool = futures.ThreadPoolExecutor(max_workers=max(1, os.cpu_count() or 1))
+
+    def run_block(block: np.ndarray) -> np.ndarray:
+        probs, idxs = classifier.infer_canvases(block)
+        # pack (probs, ids) into one sliceable row block; class ids are
+        # far below 2^24 so the float32 round trip is exact
+        return np.concatenate(
+            [probs.astype(np.float32), idxs.astype(np.float32)], axis=1
+        )
+
+    batcher = MicroBatcher(
+        run_block, classifier.max_batch, (n_px, n_px, 3), np.uint8,
+        max_wait_s=max(0.0, coalesce_ms) / 1e3,
+    )
 
     def route(payload: dict) -> dict:
         crops = _decode_images(payload)
-        names, scores = [], []
-        # chunk to the classifier's compiled batch, like /encode does —
-        # requests larger than max_batch must not 400
-        step = classifier.max_batch
-        with lock:
-            for start in range(0, len(crops), step):
-                n, s = classifier.classify_objects(crops[start : start + step])
-                names.extend(n)
-                scores.extend(s)
+        block = np.zeros((len(crops), n_px, n_px, 3), np.uint8)
+
+        def prep(i_arr):
+            i, arr = i_arr
+            block[i] = clip_preprocess(Image.fromarray(arr), n_px)
+
+        list(pool.map(prep, enumerate(crops)))
+        packed = batcher.submit(block)
+        probs, idxs = packed[:, :top_k], packed[:, top_k:].astype(np.int64)
         return {
-            "classnames": [list(row) for row in names],
-            "scores": [[float(x) for x in row] for row in scores],
+            "classnames": classifier.names_for_ids(idxs),
+            "scores": [[float(x) for x in row] for row in probs],
         }
 
+    route.pool = pool
+    route.batcher = batcher
     info = {
         "mode": "classify",
         "backbone": classifier.cfg.backbone,
         "top_k": classifier.cfg.top_k,
         "num_classes": len(classifier.class_id_mapping),
+        "batch_size": classifier.max_batch,
+        "coalesce_ms": max(0.0, coalesce_ms),
     }
     return route, info
 
@@ -254,7 +285,7 @@ def build_server(
         )
     if classifier is not None:
         routes["/classify"], infos["classify"] = make_classify_route(
-            classifier, warmup=warmup
+            classifier, warmup=warmup, coalesce_ms=coalesce_ms
         )
     if not routes:
         raise ValueError("provide a bundle and/or a classifier")

@@ -118,6 +118,23 @@ class ProtoClipClassifier:
             out[i] = clip_preprocess(Image.fromarray(np.asarray(crop)), n_px)
         return out
 
+    def infer_canvases(self, canvases_u8: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """Device dispatch on already-letterboxed canvases: (B, n_px, n_px, 3)
+        uint8 -> (top-k probs, top-k class ids), both (B, top_k).  Rows are
+        independent (the letterbox is per-crop), so callers may batch crops
+        from unrelated requests — the serving front-end's micro-batcher hook
+        (``cli/serve.py``)."""
+        probs, idxs = self._infer(jnp.asarray(canvases_u8))
+        return np.asarray(probs), np.asarray(idxs)
+
+    def names_for_ids(self, idxs: np.ndarray) -> List[List[str]]:
+        """Top-k id rows -> display classnames (splits-file mapping,
+        underscores as spaces — ref ``proto_clip_classifier.py:120-128``)."""
+        return [
+            [self.class_id_mapping.get(int(i), str(int(i))).replace("_", " ") for i in row]
+            for row in idxs
+        ]
+
     def classify_objects(
         self,
         cropped_images: Sequence[np.ndarray],
@@ -132,13 +149,10 @@ class ProtoClipClassifier:
         if n > self.max_batch:
             raise ValueError(f"at most {self.max_batch} crops per call (got {n})")
         batch = self._preprocess_crops(cropped_images)
-        probs, idxs = self._infer(jnp.asarray(batch))
-        probs = np.asarray(probs)[:n]
-        idxs = np.asarray(idxs)[:n]
-        names = [
-            [self.class_id_mapping.get(int(i), str(int(i))).replace("_", " ") for i in row]
-            for row in idxs
-        ]
+        probs, idxs = self.infer_canvases(batch)
+        probs = probs[:n]
+        idxs = idxs[:n]
+        names = self.names_for_ids(idxs)
         if log:
             os.makedirs(log_dir, exist_ok=True)
             np.save(

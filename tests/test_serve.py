@@ -206,10 +206,13 @@ def test_dual_mode_healthz_reports_both_routes(tmp_path):
             backbone = "tiny"
             top_k = 2
 
+        class clip_cfg:
+            image_resolution = 8
+
         class_id_mapping = {0: "a", 1: "b"}
         max_batch = 4
 
-        def classify_objects(self, crops):
+        def infer_canvases(self, canvases):
             raise AssertionError("not dispatched in this construction-only test")
 
     bundle = str(tmp_path / "bundle")
