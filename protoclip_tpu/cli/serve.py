@@ -58,9 +58,12 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Callable, Dict, Optional
 
 
-def _decode_images(payload: dict) -> list:
-    """b64 JPEG/PNG list -> list of RGB uint8 HWC arrays."""
-    import numpy as np
+def _decode_images(payload: dict, draft_px: Optional[int] = None) -> list:
+    """b64 JPEG/PNG list -> list of RGB PIL images (no numpy round trip;
+    the routes letterbox these directly).  ``draft_px`` opts into
+    libjpeg's DCT-domain scaled decode (~2x at camera sizes, BASELINE.md
+    "Host preprocess"; JPEG-only, not bit-exact — the ``--fast-decode``
+    serving mode); other formats ignore it."""
     from PIL import Image
 
     images = payload.get("images")
@@ -70,15 +73,18 @@ def _decode_images(payload: dict) -> list:
     for i, b64 in enumerate(images):
         try:
             raw = base64.b64decode(b64, validate=True)
-            with Image.open(io.BytesIO(raw)) as im:
-                out.append(np.asarray(im.convert("RGB"), dtype=np.uint8))
+            im = Image.open(io.BytesIO(raw))
+            if draft_px is not None:
+                im.draft("RGB", (draft_px, draft_px))
+            out.append(im.convert("RGB"))
         except Exception as exc:
             raise ValueError(f"images[{i}]: not decodable image bytes ({exc})")
     return out
 
 
 def make_encode_route(
-    bundle_dir: str, warmup: bool = True, coalesce_ms: float = 5.0
+    bundle_dir: str, warmup: bool = True, coalesce_ms: float = 5.0,
+    fast_decode: bool = False,
 ) -> tuple:
     """(handler, info) for /encode over an AOT serving bundle.
 
@@ -91,7 +97,6 @@ def make_encode_route(
     from protoclip_tpu.data.transforms import clip_preprocess
     from protoclip_tpu.io.export import load_serving_bundle
     from protoclip_tpu.toolkit.microbatch import MicroBatcher
-    from PIL import Image
 
     encode = load_serving_bundle(bundle_dir)
     batch = encode.manifest["batch_size"]
@@ -108,15 +113,15 @@ def make_encode_route(
     )
 
     def route(payload: dict) -> dict:
-        crops = _decode_images(payload)
-        block = np.zeros((len(crops), n_px, n_px, 3), np.uint8)
+        imgs = _decode_images(payload, n_px if fast_decode else None)
+        block = np.zeros((len(imgs), n_px, n_px, 3), np.uint8)
         # parallel host preprocess (PIL releases the GIL; same shape as
         # the extract CLI's decode pool)
-        def prep(i_arr):
-            i, arr = i_arr
-            block[i] = clip_preprocess(Image.fromarray(arr), n_px)
+        def prep(i_img):
+            i, img = i_img
+            block[i] = clip_preprocess(img, n_px)
 
-        list(pool.map(prep, enumerate(crops)))
+        list(pool.map(prep, enumerate(imgs)))
         # one dispatch site for the whole server; over-batch requests are
         # split and concurrent requests coalesced inside the batcher
         return {"features": batcher.submit(block).tolist()}
@@ -130,12 +135,14 @@ def make_encode_route(
         "image_resolution": n_px,
         "int8": encode.manifest.get("int8"),
         "coalesce_ms": max(0.0, coalesce_ms),
+        "fast_decode": bool(fast_decode),
     }
     return route, info
 
 
 def make_classify_route(
-    classifier, warmup: bool = True, coalesce_ms: float = 5.0
+    classifier, warmup: bool = True, coalesce_ms: float = 5.0,
+    fast_decode: bool = False,
 ) -> tuple:
     """(handler, info) for /classify over a ProtoClipClassifier.
 
@@ -151,7 +158,6 @@ def make_classify_route(
 
     from protoclip_tpu.data.transforms import clip_preprocess
     from protoclip_tpu.toolkit.microbatch import MicroBatcher
-    from PIL import Image
 
     n_px = classifier.clip_cfg.image_resolution
     top_k = max(1, classifier.cfg.top_k)
@@ -176,14 +182,14 @@ def make_classify_route(
     )
 
     def route(payload: dict) -> dict:
-        crops = _decode_images(payload)
-        block = np.zeros((len(crops), n_px, n_px, 3), np.uint8)
+        imgs = _decode_images(payload, n_px if fast_decode else None)
+        block = np.zeros((len(imgs), n_px, n_px, 3), np.uint8)
 
-        def prep(i_arr):
-            i, arr = i_arr
-            block[i] = clip_preprocess(Image.fromarray(arr), n_px)
+        def prep(i_img):
+            i, img = i_img
+            block[i] = clip_preprocess(img, n_px)
 
-        list(pool.map(prep, enumerate(crops)))
+        list(pool.map(prep, enumerate(imgs)))
         packed = batcher.submit(block)
         probs, idxs = packed[:, :top_k], packed[:, top_k:].astype(np.int64)
         return {
@@ -276,16 +282,19 @@ def build_server(
     quiet: bool = False,
     warmup: bool = True,
     coalesce_ms: float = 5.0,
+    fast_decode: bool = False,
 ) -> ThreadingHTTPServer:
     """Construct (not start) the server; ``port=0`` picks a free port."""
     routes, infos = {}, {}
     if bundle is not None:
         routes["/encode"], infos["encode"] = make_encode_route(
-            bundle, warmup=warmup, coalesce_ms=coalesce_ms
+            bundle, warmup=warmup, coalesce_ms=coalesce_ms,
+            fast_decode=fast_decode,
         )
     if classifier is not None:
         routes["/classify"], infos["classify"] = make_classify_route(
-            classifier, warmup=warmup, coalesce_ms=coalesce_ms
+            classifier, warmup=warmup, coalesce_ms=coalesce_ms,
+            fast_decode=fast_decode,
         )
     if not routes:
         raise ValueError("provide a bundle and/or a classifier")
@@ -340,6 +349,11 @@ def main() -> None:
         "this long for concurrent requests to share its device dispatch "
         "(0 = never wait; dispatch whatever is queued)",
     )
+    parser.add_argument(
+        "--fast-decode", action="store_true",
+        help="libjpeg DCT-scaled decode for JPEG payloads (~2x host decode "
+        "at camera sizes, BASELINE.md; NOT bit-exact with full decode)",
+    )
     args = parser.parse_args()
     if not args.bundle and not args.config:
         parser.error("provide --bundle (encode mode) and/or --config (classify mode)")
@@ -360,6 +374,7 @@ def main() -> None:
     server = build_server(
         args.host, args.port, bundle=args.bundle, classifier=classifier,
         warmup=not args.no_warmup, coalesce_ms=args.coalesce_ms,
+        fast_decode=args.fast_decode,
     )
     host, port = server.server_address[:2]
     routes = sorted(server.RequestHandlerClass.routes)

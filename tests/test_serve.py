@@ -297,6 +297,40 @@ def test_concurrent_encode_requests_coalesce_and_stay_bitidentical(server):
         thread.join(timeout=5)
 
 
+def test_fast_decode_mode_serves_jpegs(server):
+    """--fast-decode (libjpeg DCT-scaled draft) must decode JPEG payloads
+    and stay a no-op for PNGs; /healthz reports the mode."""
+    _, bundle = server
+    srv = build_server(port=0, bundle=bundle, quiet=True, fast_decode=True)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    try:
+        port = srv.server_address[1]
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz") as resp:
+            assert json.loads(resp.read())["fast_decode"] is True
+
+        rng = np.random.default_rng(11)
+        arr = rng.integers(0, 256, (300, 400, 3)).astype(np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, "JPEG", quality=90)
+        jpeg_b64 = base64.b64encode(buf.getvalue()).decode()
+        png_b64 = _b64_jpeg(arr)  # PNG: draft is a documented no-op
+        status, body = _post(port, "/encode", {"images": [jpeg_b64, png_b64]})
+        assert status == 200
+        feats = np.asarray(body["features"], np.float32)
+        assert feats.shape[0] == 2 and np.isfinite(feats).all()
+        # the DCT-scaled decode is approximate, not garbage: both decodes
+        # of the same source image must produce nearby features
+        cos = np.dot(feats[0], feats[1]) / (
+            np.linalg.norm(feats[0]) * np.linalg.norm(feats[1])
+        )
+        assert cos > 0.9
+    finally:
+        srv.shutdown()
+        srv.server_close()
+        thread.join(timeout=5)
+
+
 def test_cli_sigterm_graceful_shutdown(server):
     """The CLI process must exit 0 on SIGTERM (supervisor/container stop):
     serve_forever unwinds, server_close reaps the batcher + pools."""
