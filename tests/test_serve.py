@@ -297,6 +297,57 @@ def test_concurrent_encode_requests_coalesce_and_stay_bitidentical(server):
         thread.join(timeout=5)
 
 
+def test_serve_client_encode_and_errors(server):
+    """ServeClient (client.py) speaks the protocol: healthz/statz,
+    array/bytes/path image forms all encode to the same features as a raw
+    protocol post, and server errors surface as ServeError."""
+    from protoclip_tpu.client import ServeClient, ServeError
+
+    srv, _ = server
+    client = ServeClient(f"http://127.0.0.1:{srv.server_address[1]}")
+    assert client.healthz()["status"] == "ok"
+
+    rng = np.random.default_rng(13)
+    arr = rng.integers(0, 256, (40, 30, 3)).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, "PNG")
+
+    feats = client.encode([arr, buf.getvalue()])  # array + raw bytes
+    _, raw = _post(srv.server_address[1], "/encode",
+                   {"images": [_b64_jpeg(arr)]})
+    want = np.asarray(raw["features"], np.float32)
+    np.testing.assert_array_equal(feats[0], want[0])
+    np.testing.assert_array_equal(feats[1], want[0])  # same pixels
+
+    assert client.statz()["/encode"]["dispatches"] > 0
+
+    with pytest.raises(ServeError, match="not decodable"):
+        client.encode([b"junk-bytes"])
+    with pytest.raises(ServeError) as exc_info:
+        client._post("/nope", [arr])
+    assert exc_info.value.status == 404
+    with pytest.raises(ValueError, match="uint8"):
+        client.encode([arr.astype(np.float32)])
+
+    # jax-free import contract: client machines must not need jax.  (A
+    # runtime sys.modules probe is impossible here — this sandbox's
+    # sitecustomize preloads jax into every interpreter — so check the
+    # module's import graph statically: stdlib + numpy + lazy PIL only.)
+    import ast
+
+    import protoclip_tpu.client as client_mod
+
+    with open(client_mod.__file__) as fh:
+        tree = ast.parse(fh.read())
+    roots = set()
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Import):
+            roots.update(alias.name.split(".")[0] for alias in node.names)
+        elif isinstance(node, ast.ImportFrom) and node.module:
+            roots.add(node.module.split(".")[0])
+    assert "jax" not in roots and "protoclip_tpu" not in roots, roots
+
+
 def test_fast_decode_mode_serves_jpegs(server):
     """--fast-decode (libjpeg DCT-scaled draft) must decode JPEG payloads
     and stay a no-op for PNGs; /healthz reports the mode."""

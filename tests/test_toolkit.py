@@ -600,6 +600,13 @@ def test_serve_classify_route(classifier_env):
         with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz") as resp:
             health = json.loads(resp.read())
         assert health["mode"] == "classify" and health["num_classes"] == 3
+
+        # the client wrapper returns the same names/probs
+        from protoclip_tpu.client import ServeClient
+
+        names, probs = ServeClient(f"http://127.0.0.1:{port}").classify(crops)
+        assert names == [list(r) for r in want_names]
+        np.testing.assert_allclose(probs, want_probs, atol=1e-6)
     finally:
         srv.shutdown()
         srv.server_close()
