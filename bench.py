@@ -177,8 +177,49 @@ def bench_text_encode(
     return batch * inner / min(times)
 
 
+def _tpu_backend_responds(timeout_s: float = 600.0) -> bool:
+    """Probe device init in a child process.
+
+    The remote axon tunnel can wedge at backend init (observed in this
+    environment: the chip claim hangs indefinitely while the tunnel is
+    down).  ``import jax; jax.devices()`` in the parent would then hang
+    the whole bench with no output; probing in a child bounds the wait so
+    the harness always terminates and reports an honest backend."""
+    import os
+    import subprocess
+    import sys
+
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        return True  # explicitly CPU: nothing to probe
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices(); print('ok')"],
+            capture_output=True, timeout=timeout_s,
+        )
+        return proc.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> None:
+    import os
+    import sys
+
+    if not _tpu_backend_responds(
+        float(os.environ.get("PROTOCLIP_BENCH_PROBE_TIMEOUT", "600"))
+    ):
+        print(
+            "[bench] device backend did not initialize within the probe "
+            "timeout (tunnel down?); falling back to the CPU debug run",
+            file=sys.stderr,
+        )
+        os.environ["PALLAS_AXON_POOL_IPS"] = ""
+        os.environ["JAX_PLATFORMS"] = "cpu"
+
     import jax
+
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")  # the plugin overrides env
 
     _enable_compilation_cache()
     backend = jax.default_backend()
