@@ -494,7 +494,10 @@ def load_pt(path: str) -> Any:
 
     Tensors become ``np.ndarray`` (fp16 stays fp16; bf16 becomes
     ``ml_dtypes.bfloat16``).  ``state_dict``-style OrderedDicts come back as
-    plain dicts of arrays.
+    plain dicts of arrays.  Accepts all four artifact shapes: zip archives
+    (torch >= 1.6 and TorchScript), the legacy pre-1.6 stream, and — when
+    the file is neither — a plain ``pickle.dump``'d container (e.g. a
+    numpy state dict), decoded through the same restricted unpickler.
     """
     with open(path, "rb") as fh:
         head = fh.read(4)
@@ -503,7 +506,14 @@ def load_pt(path: str) -> Any:
             result = _load_zip(zf)
         return _plainify(result)
     with open(path, "rb") as fh:
-        return _plainify(_load_legacy(fh))
+        try:  # legacy sniff: the stream must OPEN with the pickled magic
+            is_legacy = _load_primitive(fh) == _LEGACY_MAGIC
+        except Exception:  # noqa: BLE001 — any non-primitive preamble
+            is_legacy = False
+    if is_legacy:
+        with open(path, "rb") as fh:
+            return _plainify(_load_legacy(fh))
+    return load_pkl(path)
 
 
 def _plainify(obj: Any) -> Any:

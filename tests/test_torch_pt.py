@@ -433,8 +433,6 @@ def test_load_pt_malformed_files_raise_cleanly(tmp_path):
         "random.pt": rng.integers(0, 256, 4096).astype(np.uint8).tobytes(),
         "truncated_zip.pt": b"PK\x03\x04" + b"\x00" * 64,
         "text.pt": b"definitely not a checkpoint\n" * 10,
-        # valid pickle but wrong payload type for a legacy stream
-        "wrong_magic.pt": _pickle.dumps(12345),
     }
     # a real zip missing data.pkl
     bad_zip = tmp_path / "nodatapkl.pt"
@@ -457,6 +455,33 @@ def test_load_pt_malformed_files_raise_cleanly(tmp_path):
         ), (name, type(exc_info.value))
     with pytest.raises(ValueError):
         load_pt(str(bad_zip))
+
+    # a valid plain pickle that is NOT a legacy stream is accepted via the
+    # restricted plain-pickle fallback (not an error)
+    plain = tmp_path / "plain.pt"
+    plain.write_bytes(_pickle.dumps(12345))
+    assert load_pt(str(plain)) == 12345
+
+
+def test_load_pt_plain_pickle_state_dict(tmp_path):
+    """A plain ``pickle.dump``'d numpy state dict loads through load_pt —
+    the torch-free way to author checkpoints (examples/train_quickstart.py
+    writes its tiny CLIP weights this way)."""
+    import pickle as _pickle
+
+    from protoclip_tpu.io.torch_pt import load_pt
+
+    rng = np.random.default_rng(3)
+    sd = {
+        "visual.proj": rng.standard_normal((8, 4)).astype(np.float32),
+        "logit_scale": np.float32(2.0),
+    }
+    path = tmp_path / "plain_sd.pt"
+    with open(path, "wb") as fh:
+        _pickle.dump(sd, fh)
+    out = load_pt(str(path))
+    assert set(out) == set(sd)
+    np.testing.assert_array_equal(out["visual.proj"], sd["visual.proj"])
 
 
 def test_download_and_extract_tar_and_zip(tmp_path):
