@@ -153,6 +153,43 @@ def test_qt_trainer_step(rng):
     assert model.bank_v.shape == keys.shape
 
 
+def test_sharded_qt_step_matches_single_device(rng):
+    """One sharded Q^T step over the 8-device mesh must produce the same
+    loss and updated params as the single-device step on identical inputs.
+    InfoNCE couples rows across the GLOBAL batch, so a wrong out_spec or a
+    per-shard loss reduction would silently train on shard-local
+    statistics while every smoke test still passes."""
+    from protoclip_tpu.models.clip import init_clip_params
+    from protoclip_tpu.parallel import make_mesh
+    from protoclip_tpu.train.qt import QTTrainer
+    from tests.test_models import TINY_VIT
+
+    clip_params = init_clip_params(jax.random.PRNGKey(0), TINY_VIT)
+    keys, bank_t, _ = _separable_problem(rng, N=3, K=2, d=TINY_VIT.embed_dim)
+    images = rng.integers(0, 256, (8, 32, 32, 3), dtype=np.uint8)
+    labels = np.asarray([0, 1, 2, 0, 1, 2, 0, 1], np.int32)
+
+    def one_step(mesh):
+        trainer = QTTrainer(
+            clip_params=clip_params, clip_cfg=TINY_VIT,
+            bank_v_init=keys, bank_t_init=bank_t, n_class=3, k_shots=2,
+            adapter_kind="fc", alpha=0.5, beta=5.0, seed=0, mesh=mesh,
+            compute_dtype="float32",
+        )
+        stats = trainer.train_step(images, labels, n_valid=8)
+        leaves = [
+            np.asarray(x, np.float64)
+            for x in jax.tree_util.tree_leaves(trainer.params)
+        ]
+        return stats["loss"], leaves
+
+    loss_single, params_single = one_step(None)
+    loss_mesh, params_mesh = one_step(make_mesh(8))
+    assert np.isclose(loss_single, loss_mesh, rtol=1e-5, atol=1e-6)
+    for a, b in zip(params_single, params_mesh):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+
 def test_config_load_and_validation(tmp_path):
     cfg = load_config("configs/caltech101.yml")
     assert cfg.dataset == "caltech101"
