@@ -82,9 +82,36 @@ def _decode_images(payload: dict, draft_px: Optional[int] = None) -> list:
     return out
 
 
+def _make_pool():
+    import concurrent.futures as futures
+
+    return futures.ThreadPoolExecutor(max_workers=max(1, os.cpu_count() or 1))
+
+
+def _preprocess_block(payload: dict, n_px: int, pool, fast_decode: bool):
+    """Decode a request payload and letterbox every image into one
+    ``(n, n_px, n_px, 3)`` uint8 block, preprocessing in parallel on
+    ``pool`` (PIL releases the GIL; same shape as the extract CLI's
+    decode pool).  Shared by the /encode and /classify routes so the
+    decode/preprocess path cannot drift between them."""
+    import numpy as np
+
+    from protoclip_tpu.data.transforms import clip_preprocess
+
+    imgs = _decode_images(payload, n_px if fast_decode else None)
+    block = np.zeros((len(imgs), n_px, n_px, 3), np.uint8)
+
+    def prep(i_img):
+        i, img = i_img
+        block[i] = clip_preprocess(img, n_px)
+
+    list(pool.map(prep, enumerate(imgs)))
+    return block
+
+
 def make_encode_route(
     bundle_dir: str, warmup: bool = True, coalesce_ms: float = 5.0,
-    fast_decode: bool = False,
+    fast_decode: bool = False, pool=None,
 ) -> tuple:
     """(handler, info) for /encode over an AOT serving bundle.
 
@@ -94,7 +121,6 @@ def make_encode_route(
     minutes; warm requests are sub-second)."""
     import numpy as np
 
-    from protoclip_tpu.data.transforms import clip_preprocess
     from protoclip_tpu.io.export import load_serving_bundle
     from protoclip_tpu.toolkit.microbatch import MicroBatcher
 
@@ -104,24 +130,14 @@ def make_encode_route(
     if warmup:
         encode(np.zeros((batch, n_px, n_px, 3), np.uint8))
 
-    import concurrent.futures as futures
-
-    pool = futures.ThreadPoolExecutor(max_workers=max(1, os.cpu_count() or 1))
+    pool = pool if pool is not None else _make_pool()
     batcher = MicroBatcher(
         encode, batch, (n_px, n_px, 3), np.uint8,
         max_wait_s=max(0.0, coalesce_ms) / 1e3,
     )
 
     def route(payload: dict) -> dict:
-        imgs = _decode_images(payload, n_px if fast_decode else None)
-        block = np.zeros((len(imgs), n_px, n_px, 3), np.uint8)
-        # parallel host preprocess (PIL releases the GIL; same shape as
-        # the extract CLI's decode pool)
-        def prep(i_img):
-            i, img = i_img
-            block[i] = clip_preprocess(img, n_px)
-
-        list(pool.map(prep, enumerate(imgs)))
+        block = _preprocess_block(payload, n_px, pool, fast_decode)
         # one dispatch site for the whole server; over-batch requests are
         # split and concurrent requests coalesced inside the batcher
         return {"features": batcher.submit(block).tolist()}
@@ -142,7 +158,7 @@ def make_encode_route(
 
 def make_classify_route(
     classifier, warmup: bool = True, coalesce_ms: float = 5.0,
-    fast_decode: bool = False,
+    fast_decode: bool = False, pool=None,
 ) -> tuple:
     """(handler, info) for /classify over a ProtoClipClassifier.
 
@@ -152,11 +168,8 @@ def make_classify_route(
     requests split across dispatches.  Results are bit-identical to
     serial ``classify_objects`` calls (asserted in
     ``tests/test_toolkit.py::test_serve_classify_route``)."""
-    import concurrent.futures as futures
-
     import numpy as np
 
-    from protoclip_tpu.data.transforms import clip_preprocess
     from protoclip_tpu.toolkit.microbatch import MicroBatcher
 
     n_px = classifier.clip_cfg.image_resolution
@@ -166,7 +179,7 @@ def make_classify_route(
             np.zeros((classifier.max_batch, n_px, n_px, 3), np.uint8)
         )
 
-    pool = futures.ThreadPoolExecutor(max_workers=max(1, os.cpu_count() or 1))
+    pool = pool if pool is not None else _make_pool()
 
     def run_block(block: np.ndarray) -> np.ndarray:
         probs, idxs = classifier.infer_canvases(block)
@@ -182,14 +195,7 @@ def make_classify_route(
     )
 
     def route(payload: dict) -> dict:
-        imgs = _decode_images(payload, n_px if fast_decode else None)
-        block = np.zeros((len(imgs), n_px, n_px, 3), np.uint8)
-
-        def prep(i_img):
-            i, img = i_img
-            block[i] = clip_preprocess(img, n_px)
-
-        list(pool.map(prep, enumerate(imgs)))
+        block = _preprocess_block(payload, n_px, pool, fast_decode)
         packed = batcher.submit(block)
         probs, idxs = packed[:, :top_k], packed[:, top_k:].astype(np.int64)
         return {
@@ -206,6 +212,7 @@ def make_classify_route(
         "num_classes": len(classifier.class_id_mapping),
         "batch_size": classifier.max_batch,
         "coalesce_ms": max(0.0, coalesce_ms),
+        "fast_decode": bool(fast_decode),
     }
     return route, info
 
@@ -218,7 +225,7 @@ class _Handler(BaseHTTPRequestHandler):
     info: dict = {}
     quiet = False
     # socket timeout: a stalled client (short body, held connection) must
-    # not block the single-threaded server forever
+    # not pin its handler thread forever
     timeout = 120
 
     def _send(self, code: int, obj: dict) -> None:
@@ -286,15 +293,18 @@ def build_server(
 ) -> ThreadingHTTPServer:
     """Construct (not start) the server; ``port=0`` picks a free port."""
     routes, infos = {}, {}
+    # one preprocess pool for the whole server: per-route pools would
+    # oversubscribe the host with 2x cpu_count threads in dual mode
+    pool = _make_pool()
     if bundle is not None:
         routes["/encode"], infos["encode"] = make_encode_route(
             bundle, warmup=warmup, coalesce_ms=coalesce_ms,
-            fast_decode=fast_decode,
+            fast_decode=fast_decode, pool=pool,
         )
     if classifier is not None:
         routes["/classify"], infos["classify"] = make_classify_route(
             classifier, warmup=warmup, coalesce_ms=coalesce_ms,
-            fast_decode=fast_decode,
+            fast_decode=fast_decode, pool=pool,
         )
     if not routes:
         raise ValueError("provide a bundle and/or a classifier")
@@ -308,7 +318,11 @@ def build_server(
     handler = type("Handler", (_Handler,), {
         "routes": routes, "info": info, "quiet": quiet,
     })
-    pools = [p for p in (getattr(r, "pool", None) for r in routes.values()) if p]
+    pools = list({  # dedupe: routes share the server-wide pool
+        id(p): p
+        for p in (getattr(r, "pool", None) for r in routes.values())
+        if p
+    }.values())
     batchers = [
         b for b in (getattr(r, "batcher", None) for r in routes.values()) if b
     ]

@@ -84,7 +84,13 @@ class MicroBatcher:
         self.max_wait_s = float(max_wait_s)
         self.max_pending = int(max_pending or max(8 * batch_size, 1024))
         self._q: queue.Queue = queue.Queue()
-        self._capacity = threading.Semaphore(self.max_pending)
+        # backpressure counter. A Condition (not a Semaphore) because a
+        # request's tokens must be acquired ATOMICALLY: with one-at-a-time
+        # semaphore acquires, two concurrent large submits can interleave
+        # (each holding half the capacity, each blocked on the next token,
+        # neither enqueued) and deadlock the whole server.
+        self._cap = threading.Condition()
+        self._available = self.max_pending
         self._closed = False
         # orders enqueues against the close sentinel: nothing may be
         # queued after it (the dispatcher thread exits once it drains)
@@ -105,7 +111,14 @@ class MicroBatcher:
         """Encode ``(n, *item_shape)`` items; returns the ``(n, ...)``
         results.  Blocks until this request's rows have been dispatched
         (possibly coalesced with other callers' rows)."""
-        images = np.asarray(images, self.dtype)
+        images = np.asarray(images)
+        if images.dtype != self.dtype:
+            # reject rather than coerce, mirroring the bundle wrapper
+            # (io/export.py): silently casting float [0,1] pixels to uint8
+            # would truncate them to zeros and serve garbage features
+            raise ValueError(
+                f"expected {self.dtype.name} input, got {images.dtype.name}"
+            )
         if images.ndim != 1 + len(self.item_shape) or images.shape[1:] != self.item_shape:
             raise ValueError(
                 f"expected (n, {', '.join(map(str, self.item_shape))}) "
@@ -118,16 +131,25 @@ class MicroBatcher:
                 f"request of {len(images)} images exceeds the queue cap "
                 f"({self.max_pending})"
             )
-        for _ in range(len(images)):  # backpressure: block when saturated
-            self._capacity.acquire()
+        n = len(images)
+        with self._cap:  # backpressure: block until ALL n tokens fit at once
+            while not self._closed and self._available < n:
+                self._cap.wait()
+            if self._closed:
+                raise RuntimeError("MicroBatcher is closed")
+            self._available -= n
         req = _Request(images)
+        rejected = False
         with self._submit_lock:
             if self._closed:
                 # return our tokens so other submitters blocked on
                 # backpressure can also drain through the closed check
-                self._capacity.release(len(images))
-                raise RuntimeError("MicroBatcher is closed")
-            self._q.put(req)
+                rejected = True
+            else:
+                self._q.put(req)
+        if rejected:
+            self._release_capacity(n)
+            raise RuntimeError("MicroBatcher is closed")
         req.event.wait()
         if req.error is not None:
             raise req.error
@@ -142,10 +164,18 @@ class MicroBatcher:
                 return
             self._closed = True
             self._q.put(None)
+        with self._cap:
+            # wake submitters stuck on backpressure: they re-check
+            # _closed under the condition and raise instead of enqueueing
+            self._cap.notify_all()
         self._thread.join()
-        # unblock any submitter stuck on backpressure (it will re-raise
-        # via the closed check or get its error set by the drain below)
-        self._capacity.release(self.max_pending)
+
+    def _release_capacity(self, n: int) -> None:
+        if n <= 0:
+            return
+        with self._cap:
+            self._available += n
+            self._cap.notify_all()
 
     @property
     def stats(self) -> dict:
@@ -223,6 +253,7 @@ class MicroBatcher:
             if entry[1] == len(req.images):
                 pending.popleft()
         t_start = time.monotonic()
+        dropped_rows = 0
         try:
             out = self._run_batch(block)
         except BaseException as exc:  # noqa: BLE001 — fail the requests, not the loop
@@ -232,9 +263,13 @@ class MicroBatcher:
                     failed.add(id(req))
                     req.error = exc
                     req.event.set()
-            # a partially-consumed (failed) request may still head the queue
+            # a partially-consumed (failed) request may still head the queue;
+            # its UNCONSUMED rows hold capacity tokens from submit() too —
+            # release them below or every failed over-batch request shrinks
+            # the effective queue cap until submit() blocks forever
             if pending and id(pending[0][0]) in failed:
-                pending.popleft()
+                head_req, head_consumed = pending.popleft()
+                dropped_rows = len(head_req.images) - head_consumed
         else:
             for req, boff, n in parts:
                 req.parts.append(np.asarray(out[boff : boff + n]))
@@ -246,4 +281,4 @@ class MicroBatcher:
                 self._images += fill
                 self._recent_s.append(time.monotonic() - t_start)
         finally:
-            self._capacity.release(fill)
+            self._release_capacity(fill + dropped_rows)

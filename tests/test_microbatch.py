@@ -160,6 +160,80 @@ def test_input_validation():
         mb.close()
 
 
+def test_float_input_is_rejected_not_coerced():
+    """Regression: submit() used to np.asarray(images, uint8)-coerce, so
+    float [0,1] pixels silently truncated to zeros — bypassing the bundle
+    wrapper's deliberate reject-don't-coerce rule (io/export.py)."""
+    mb = MicroBatcher(_row_fn, 4, SHAPE, max_wait_s=0.0)
+    try:
+        with pytest.raises(ValueError, match="got float32"):
+            mb.submit(np.random.default_rng(9).random((2,) + SHAPE, np.float32))
+    finally:
+        mb.close()
+
+
+def test_concurrent_large_submits_do_not_deadlock():
+    """Regression: one-token-at-a-time semaphore acquisition let two
+    concurrent submits (each under max_pending but summing over it)
+    interleave until each held part of the capacity and both blocked on
+    the next token forever — wedging every later submit too.  Capacity is
+    now acquired atomically per request."""
+    rng = np.random.default_rng(10)
+    mb = MicroBatcher(_row_fn, 2, SHAPE, max_wait_s=0.0, max_pending=8)
+    inputs = [_items(rng, 6) for _ in range(4)]  # any 2 together > cap
+    results = [None] * len(inputs)
+
+    def worker(i):
+        results[i] = mb.submit(inputs[i])
+
+    threads = [
+        threading.Thread(target=worker, args=(i,), daemon=True)
+        for i in range(len(inputs))
+    ]
+    try:
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=30)
+            assert not t.is_alive(), "concurrent large submits deadlocked"
+        for x, got in zip(inputs, results):
+            np.testing.assert_array_equal(got, _row_fn(x))
+    finally:
+        mb.close()
+
+
+def test_failed_dispatch_releases_the_dropped_requests_tokens():
+    """Regression: when an over-batch request's dispatch failed, only the
+    dispatched rows' capacity tokens were released — the dropped
+    remainder's tokens leaked, permanently shrinking the queue cap until
+    submit() blocked forever."""
+    state = {"fail": True}
+
+    def run(block):
+        if state["fail"]:
+            raise RuntimeError("transient device error")
+        return _row_fn(block)
+
+    rng = np.random.default_rng(11)
+    mb = MicroBatcher(run, 4, SHAPE, max_wait_s=0.0, max_pending=8)
+    try:
+        with pytest.raises(RuntimeError, match="transient"):
+            mb.submit(_items(rng, 6))  # dispatch of rows 0-3 fails; 4-5 dropped
+        state["fail"] = False
+        done = threading.Event()
+        out = {}
+
+        def worker():
+            out["got"] = mb.submit(_items(rng, 8))  # needs the FULL cap back
+            done.set()
+
+        threading.Thread(target=worker, daemon=True).start()
+        assert done.wait(timeout=10), "leaked tokens: full-cap submit blocked"
+        assert out["got"].shape == (8, 2)
+    finally:
+        mb.close()
+
+
 def test_close_flushes_inflight_work_then_rejects():
     done = threading.Event()
 
@@ -218,7 +292,7 @@ def test_close_unblocks_all_backpressured_submitters():
     ]
     for t in blocked:
         t.start()
-    time.sleep(0.1)  # b* are blocked mid-acquire (3 tokens each, 0 free)
+    time.sleep(0.1)  # b* are blocked on backpressure (3 tokens each, 0 free)
     closer = threading.Thread(target=mb.close)
     closer.start()
     gate.set()  # let a's dispatch finish so close can flush + join
