@@ -93,6 +93,13 @@ def main() -> None:
                 file=sys.stderr,
             )
 
+    # fail fast on an unwritable --out BEFORE hours of encode work: the
+    # features only hit disk after the whole corpus is processed
+    out_dir = os.path.dirname(os.path.abspath(args.out)) or "."
+    os.makedirs(out_dir, exist_ok=True)
+    if not os.access(out_dir, os.W_OK):
+        raise SystemExit(f"[extract] --out directory is not writable: {out_dir}")
+
     cfg, params = load_clip(args.backbone, args.weights, dtype=jnp.bfloat16)
     n_px = cfg.image_resolution
 
@@ -135,7 +142,6 @@ def main() -> None:
     print(file=sys.stderr)
 
     features = np.concatenate(feats_out)
-    os.makedirs(os.path.dirname(os.path.abspath(args.out)) or ".", exist_ok=True)
     np.savez(args.out, files=np.asarray(files), features=features)
     print(f"Wrote {args.out}: {features.shape[0]} x {features.shape[1]} fp32")
 

@@ -78,14 +78,21 @@ def load_asr_config(path: str) -> AsrConfig:
     return cfg
 
 
+# sizes whisper ships English-only ".en" variants of; "large*"/"turbo"
+# have none, so blindly appending ".en" (as the reference does at
+# asr/transcribe.py:46-47 — it also crashes outright on "whisper-large-v3"
+# via a two-way split unpack) would request nonexistent checkpoints
+_EN_VARIANT_SIZES = frozenset({"tiny", "base", "small", "medium"})
+
+
 def resolve_whisper_model(model: str, non_english: bool = False) -> str:
     """Map the config's ``whisper-<size>`` to a whisper checkpoint name:
-    English-only ``.en`` variants unless the size is ``large`` or
-    ``non_english`` is set (ref ``asr/transcribe.py:43-47``)."""
-    if not model.startswith("whisper-"):
+    English-only ``.en`` variants where they exist, unless ``non_english``
+    is set (ref ``asr/transcribe.py:43-47``)."""
+    if not model.startswith("whisper-") or model == "whisper-":
         raise ValueError(f"unsupported ASR model {model!r} (expected 'whisper-<size>')")
     size = model.split("-", 1)[1]
-    if size != "large" and not non_english:
+    if size in _EN_VARIANT_SIZES and not non_english:
         size = size + ".en"
     return size
 

@@ -15,6 +15,7 @@ from __future__ import annotations
 import hashlib
 import os
 import urllib.request
+import uuid
 from typing import Optional
 
 # SHA256-pinned release URLs (public constants, ref clip/clip.py:30-39)
@@ -73,35 +74,45 @@ def download_url(url: str, root: str, expected_sha256: Optional[str] = None,
             file=sys.stderr,
         )
 
-    tmp = target + ".part"
+    # unique temp per writer: a SHARED <target>.part would let two
+    # concurrent downloaders interleave writes into one file while each
+    # hashes its own intact network stream — the winner would then
+    # os.replace interleaved garbage into place as "verified"
+    tmp = f"{target}.part-{os.getpid()}-{uuid.uuid4().hex[:8]}"
     hasher = hashlib.sha256()
     # timeout so an opted-in auto-download can't hang startup on a stalled
     # connection; the caller falls back to local lookup/random init
-    with urllib.request.urlopen(url, timeout=30) as source, open(tmp, "wb") as out:
-        total = source.info().get("Content-Length")
-        done = 0
-        while True:
-            buf = source.read(1 << 20)
-            if not buf:
-                break
-            hasher.update(buf)
-            out.write(buf)
-            done += len(buf)
+    try:
+        with urllib.request.urlopen(url, timeout=30) as source, open(tmp, "wb") as out:
+            total = source.info().get("Content-Length")
+            done = 0
+            while True:
+                buf = source.read(1 << 20)
+                if not buf:
+                    break
+                hasher.update(buf)
+                out.write(buf)
+                done += len(buf)
+                if progress and total:
+                    import sys
+
+                    pct = 100.0 * done / max(int(total), 1)
+                    print(f"\r[protoclip_tpu] downloading {filename}: {pct:5.1f}%",
+                          end="", file=sys.stderr)
             if progress and total:
                 import sys
 
-                pct = 100.0 * done / max(int(total), 1)
-                print(f"\r[protoclip_tpu] downloading {filename}: {pct:5.1f}%",
-                      end="", file=sys.stderr)
-        if progress and total:
-            import sys
-
-            print(file=sys.stderr)
-    if expected_sha256 is not None and hasher.hexdigest() != expected_sha256:
-        os.remove(tmp)
-        raise ChecksumError(
-            f"downloaded {url} but SHA-256 {hasher.hexdigest()} != {expected_sha256}"
-        )
+                print(file=sys.stderr)
+        if expected_sha256 is not None and hasher.hexdigest() != expected_sha256:
+            raise ChecksumError(
+                f"downloaded {url} but SHA-256 {hasher.hexdigest()} != {expected_sha256}"
+            )
+    except BaseException:
+        try:  # unique temps must not accumulate on failed downloads
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
     os.replace(tmp, target)  # atomic: no torn cache entries
     return target
 

@@ -71,13 +71,21 @@ def _build() -> Optional[str]:
         out = os.path.join(_cache_dir(), f"preprocess_{tag}.so")
         if os.path.exists(out):
             return out
-        tmp = tempfile.mktemp(suffix=".so", dir=_cache_dir())
+        # mkstemp (not mktemp): the name is created, not just reserved, so
+        # two concurrent builders can never share one temp path and
+        # os.replace a torn object into the cache
+        fd, tmp = tempfile.mkstemp(suffix=".so", dir=_cache_dir())
+        os.close(fd)
         try:
             subprocess.run(
                 ["g++", *flags, _SRC, "-o", tmp], check=True,
                 capture_output=True, timeout=120,
             )
         except (OSError, subprocess.SubprocessError):
+            try:  # don't litter the cache with failed/timed-out objects
+                os.unlink(tmp)
+            except OSError:
+                pass
             continue  # e.g. toolchains without -march=native
         os.replace(tmp, out)  # atomic: concurrent builders race benignly
         return out

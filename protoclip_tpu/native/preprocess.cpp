@@ -61,6 +61,11 @@ Coeffs precompute(int in_size, int full_out, int out_begin, int out_end) {
   Coeffs c;
   const double scale = static_cast<double>(in_size) / full_out;
   const double filterscale = scale < 1.0 ? 1.0 : scale;
+  // PIL (Resample.c precompute_coeffs) divides by filterscale via a
+  // precomputed reciprocal MULTIPLY (ss = 1.0/filterscale; w = f(x*ss)).
+  // x/filterscale and x*(1.0/filterscale) can differ by 1 ulp, which can
+  // flip a quantized coefficient — reproduce the multiply exactly.
+  const double ss = 1.0 / filterscale;
   const double support = kSupport * filterscale;
   const int n = out_end - out_begin;
   c.bounds_min.resize(n);
@@ -78,7 +83,7 @@ Coeffs precompute(int in_size, int full_out, int out_begin, int out_end) {
     w.assign(size, 0.0);
     double total = 0.0;
     for (int j = 0; j < size; ++j) {
-      const double weight = bicubic((j + xmin - center + 0.5) / filterscale);
+      const double weight = bicubic((j + xmin - center + 0.5) * ss);
       w[j] = weight;
       total += weight;
     }

@@ -55,7 +55,19 @@ def init_distributed(
         # no explicit cluster: try TPU-pod auto-detection, tolerate absence
         try:
             jax.distributed.initialize()
-        except Exception:
+        except Exception as exc:
+            # absence of a cluster is the normal single-process case, but a
+            # swallowed REAL failure (unreachable coordinator, stale pod
+            # env, "already initialized" after a private-API change above)
+            # would silently run a multi-host pod as N independent
+            # single-process jobs — at least leave a diagnostic
+            import sys
+
+            print(
+                "[protoclip_tpu] multi-host auto-detection found no usable "
+                f"cluster; continuing single-process ({type(exc).__name__}: {exc})",
+                file=sys.stderr,
+            )
             return False
         return jax.process_count() > 1
     missing = [

@@ -25,7 +25,10 @@ def _tsne_embed(img_protos: np.ndarray, text_protos: np.ndarray, perplexity: flo
     X = np.vstack([img_protos, text_protos])
     emb = TSNE(
         n_components=2,
-        perplexity=min(perplexity, max(2, n_class - 1)),
+        # sklearn requires perplexity < n_samples; the joint embedding has
+        # 2*n_class rows (img + text prototypes), and the bound must stay
+        # >= 1 so a single-class set still renders instead of raising
+        perplexity=min(perplexity, max(1, 2 * n_class - 1)),
         random_state=1,
     ).fit_transform(X)
     return emb[:n_class], emb[n_class:]

@@ -239,6 +239,20 @@ def test_tsne_plot(classifier_env):
     assert os.path.exists(out)
 
 
+def test_tsne_plot_single_class(tmp_path):
+    """Regression: the perplexity clamp was derived from n_class instead of
+    the joint sample count (2*n_class rows), so a one-class prototype set
+    violated sklearn's perplexity < n_samples and raised."""
+    from protoclip_tpu.toolkit.tsne import plot_prototype_tsne
+
+    rng = np.random.default_rng(1)
+    out = plot_prototype_tsne(
+        rng.standard_normal((1, 16)), rng.standard_normal((1, 16)),
+        ["only"], os.path.join(str(tmp_path), "tsne1.png"),
+    )
+    assert os.path.exists(out)
+
+
 def test_paper_figures(classifier_env, tmp_path):
     from protoclip_tpu.toolkit import ProtoClipClassifier
     from protoclip_tpu.toolkit.paper_figures import generate_prediction_figures
@@ -437,14 +451,19 @@ def test_asr_config_rejects_unknown_keys_and_bad_values(tmp_path):
 
 
 def test_resolve_whisper_model_en_suffix_rules():
-    """'.en' variants except for large / non_english (asr/transcribe.py:43-47)."""
+    """'.en' only where whisper ships English variants (asr/transcribe.py:43-47);
+    regression: 'large-v3'/'turbo' must NOT get a nonexistent '.en' suffix."""
     from protoclip_tpu.cli.transcribe import resolve_whisper_model
 
     assert resolve_whisper_model("whisper-medium") == "medium.en"
     assert resolve_whisper_model("whisper-large") == "large"
+    assert resolve_whisper_model("whisper-large-v3") == "large-v3"
+    assert resolve_whisper_model("whisper-turbo") == "turbo"
     assert resolve_whisper_model("whisper-base", non_english=True) == "base"
     with pytest.raises(ValueError, match="whisper"):
         resolve_whisper_model("wav2vec2-base")
+    with pytest.raises(ValueError, match="whisper"):
+        resolve_whisper_model("whisper-")
 
 
 def test_transcribe_cli_arg_validation():
