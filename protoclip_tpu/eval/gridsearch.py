@@ -109,11 +109,19 @@ def triples_to_sweep(
     return acc
 
 
+def best_cell(acc: np.ndarray) -> Tuple[int, int]:
+    """Grid indices of the best cell; ties resolve to the earliest cell in
+    alpha-major order, matching ``argmax`` over the reference's row list.
+    The single source of truth for sweep-grid selection — value lookups
+    (:func:`best_operating_point`) and index-based lookups (the test-phase
+    searched operating point) must agree on tie-breaking."""
+    i, j = np.unravel_index(int(np.argmax(acc)), acc.shape)
+    return int(i), int(j)
+
+
 def best_operating_point(
     acc: np.ndarray, alphas: np.ndarray, betas: np.ndarray
 ) -> Tuple[float, float, float]:
-    """(best_alpha, best_beta, best_acc); ties resolve to the earliest cell in
-    alpha-major order, matching ``argmax`` over the reference's row list."""
-    flat_idx = int(np.argmax(acc))
-    i, j = np.unravel_index(flat_idx, acc.shape)
+    """(best_alpha, best_beta, best_acc) of the grid (see :func:`best_cell`)."""
+    i, j = best_cell(acc)
     return float(alphas[i]), float(betas[j]), float(acc[i, j])

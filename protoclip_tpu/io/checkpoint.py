@@ -70,6 +70,13 @@ def _as_f32(x: np.ndarray) -> np.ndarray:
     return np.asarray(x, dtype=np.float32)
 
 
+def _savez_exact(path: str, arrays: Dict[str, np.ndarray]) -> None:
+    """``np.savez`` to EXACTLY ``path`` (the path form appends ``.npz`` to
+    names without the suffix, which would break tmp-file atomic renames)."""
+    with open(path, "wb") as fh:
+        np.savez(fh, **arrays)
+
+
 def load_checkpoint_triple(
     path_v: str | None, path_t: str, path_a: str | None
 ) -> Tuple[np.ndarray | None, np.ndarray, Dict[str, np.ndarray] | None]:
@@ -132,15 +139,38 @@ def save_checkpoint_triple(
     bank_v = np.asarray(bank_v, dtype=np_dtype)
     bank_t = np.asarray(bank_t, dtype=np_dtype)
     adapter_state = {k: np.asarray(v, dtype=np_dtype) for k, v in adapter_state.items()}
+
+    def _atomic(write_fn, path: str, stale: str) -> None:
+        # tmp + os.replace per file (the resume.py discipline): a crash
+        # mid-save must never leave a torn .pt / a mixed-generation triple.
+        # Also drop the OTHER format's stale file: _read_any prefers .pt,
+        # so e.g. a torch-less retrain that only wrote .npz sidecars would
+        # otherwise be silently shadowed by the previous run's .pt.
+        tmp = path + ".tmp"
+        write_fn(tmp)
+        os.replace(tmp, path)
+        if os.path.exists(stale):
+            os.remove(stale)
+
     try:
         import torch
 
-        torch.save(torch.from_numpy(bank_v.copy()), path_v)
-        torch.save(torch.from_numpy(bank_t.copy()), path_t)
-        torch.save(
-            {k: torch.from_numpy(v.copy()) for k, v in adapter_state.items()}, path_a
-        )
+        payloads = [
+            (path_v, torch.from_numpy(bank_v.copy())),
+            (path_t, torch.from_numpy(bank_t.copy())),
+            (path_a, {k: torch.from_numpy(v.copy()) for k, v in adapter_state.items()}),
+        ]
+        for path, obj in payloads:
+            _atomic(lambda tmp, obj=obj: torch.save(obj, tmp), path, path + ".npz")
     except ImportError:  # pragma: no cover - torch is an optional dependency
-        np.savez(path_v + ".npz", weight=bank_v)
-        np.savez(path_t + ".npz", weight=bank_t)
-        np.savez(path_a + ".npz", **adapter_state)
+        payloads = [
+            (path_v, {"weight": bank_v}),
+            (path_t, {"weight": bank_t}),
+            (path_a, dict(adapter_state)),
+        ]
+        for path, arrays in payloads:
+            _atomic(
+                lambda tmp, arrays=arrays: _savez_exact(tmp, arrays),
+                path + ".npz",
+                path,
+            )

@@ -84,11 +84,18 @@ def build_visual_memory_bank(
     augment_epochs: int,
     cache: Optional[FeatureCache] = None,
     progress: bool = True,
+    expected_classes: Optional[int] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Build (or load) the visual memory bank.
 
     Returns ``keys (N*K, d)`` L2-normalized label-sorted features and
     ``values (N*K, N)`` one-hot labels.
+
+    ``expected_classes``: dataset-variant guard, same hazard as
+    :func:`pre_load_features` — the cache stems carry only backbone+shots,
+    and e.g. the 52- and 198-class FewSOL variants share ``caches/fewsol``,
+    so a cached bank from the other variant must be rejected and rebuilt,
+    not silently adopted.
     """
     if cache is not None:
         key_stem, value_stem = cache.visual_bank_stems(augment_epochs)
@@ -99,10 +106,24 @@ def build_visual_memory_bank(
             if keys is not None and values is not None:
                 keys = np.asarray(keys, np.float32)
                 values = np.asarray(values, np.float32)
-                # reference stores keys transposed (d, N*K); values' row count
-                # is the ground truth for N*K
-                keys = _orient_rows(keys, values.shape[0])
-                return keys, values
+                if (
+                    expected_classes is not None
+                    and values.shape[1] != expected_classes
+                ):
+                    import sys
+
+                    print(
+                        f"[protoclip_tpu] cached visual bank has "
+                        f"{values.shape[1]} classes, expected "
+                        f"{expected_classes} (different dataset variant?); "
+                        "rebuilding",
+                        file=sys.stderr,
+                    )
+                else:
+                    # reference stores keys transposed (d, N*K); values' row
+                    # count is the ground truth for N*K
+                    keys = _orient_rows(keys, values.shape[0])
+                    return keys, values
 
     if getattr(loader, "shuffle", False):
         raise ValueError(
@@ -161,7 +182,20 @@ def build_textual_memory_bank(
                 bank = np.asarray(bank, np.float32)
                 # reference stores the bank transposed (d, N)
                 bank = _orient_rows(bank, len(classnames))
-                return bank
+                if bank.shape[0] != len(classnames):
+                    # dataset-variant guard (see build_visual_memory_bank):
+                    # a bank cached by the other variant sharing this cache
+                    # tree has the wrong class count — rebuild
+                    import sys
+
+                    print(
+                        f"[protoclip_tpu] cached textual bank has "
+                        f"{bank.shape[0]} classes, expected {len(classnames)} "
+                        "(different dataset variant?); rebuilding",
+                        file=sys.stderr,
+                    )
+                else:
+                    return bank
 
     prompts = [
         t.format(name.replace("_", " ")) for name in classnames for t in template

@@ -13,15 +13,17 @@ import numpy as np
 from protoclip_tpu.core.config import Config
 from protoclip_tpu.data import BatchLoader
 from protoclip_tpu.data.transforms import TrainTransform
-from protoclip_tpu.io.checkpoint import checkpoint_paths, save_checkpoint_triple
-from protoclip_tpu.models import adapter_to_torch_state
+from protoclip_tpu.io.checkpoint import checkpoint_paths
 from protoclip_tpu.obs.logging import MetricLogger
 from protoclip_tpu.train.qt import QTTrainer
 from protoclip_tpu.train.runner import (
+    TERM_TAGS,
     ExperimentResult,
     evaluate_checkpoint,
+    log_epoch_scalars,
     make_val_metrics_fn,
     prepare_experiment,
+    save_model_checkpoint,
     zero_shot_sweep_phase,
 )
 
@@ -87,14 +89,6 @@ def run_qt(cfg: Config, mesh=None, progress: bool = True, logger: Optional[Metri
             from tqdm import tqdm
 
             iterator = tqdm(iterator, desc=f"train-qt {cfg.dataset}")
-        # per-term TensorBoard tags matching the reference (main.qt.py:227-243)
-        term_tags = {
-            "L1": "Loss/train/L1-negLog",
-            "L2": "Loss/train/L2-img2txt_align",
-            "L3": "Loss/train/L3-txt2img_align",
-            "L4": "Loss/train/L4-img_inter_cluster",
-            "L5": "Loss/train/L5-txt_inter_cluster",
-        }
         for epoch in iterator:
             losses, accs = [], []
             term_sums: dict = {}
@@ -104,29 +98,23 @@ def run_qt(cfg: Config, mesh=None, progress: bool = True, logger: Optional[Metri
                 # weight by valid samples: epoch accuracy is correct/all
                 # like the reference, not a mean over ragged batches
                 accs.append((stats["acc"] * n_valid, n_valid))
-                for term in term_tags:
+                for term in TERM_TAGS:
                     if term in stats:
                         term_sums.setdefault(term, []).append(stats[term])
             trainer.finish_epoch()
             model = trainer.model()
             va_j, vl_j = val_acc_fn(model)
             va = float(va_j)
-            logger.scalar("Loss/train", float(np.mean(losses)), epoch)
-            logger.scalar("Loss/val", float(vl_j), epoch)
             epoch_acc = sum(c for c, _ in accs) / max(sum(n for _, n in accs), 1)
-            logger.scalar("Accuracy/train", float(epoch_acc), epoch)
-            logger.scalar("Accuracy/val", va, epoch)
-            logger.scalar("HP/lr", stats["lr"], epoch)
-            for term, tag in term_tags.items():
-                if term in term_sums:
-                    logger.scalar(tag, float(np.mean(term_sums[term])), epoch)
+            log_epoch_scalars(
+                logger, epoch,
+                train_loss=float(np.mean(losses)), val_loss=float(vl_j),
+                train_acc=float(epoch_acc), val_acc=va, lr=float(stats["lr"]),
+                term_values={t: float(np.mean(v)) for t, v in term_sums.items()},
+            )
             if va >= best_val:
                 best_val, best_epoch = va, epoch
-                save_checkpoint_triple(
-                    ckpt_v, ckpt_t, ckpt_a,
-                    np.asarray(model.bank_v), np.asarray(model.bank_t),
-                    adapter_to_torch_state(model.adapter, cfg.adapter),
-                )
+                save_model_checkpoint(model, cfg.adapter, (ckpt_v, ckpt_t, ckpt_a))
         if progress:
             print(f"Best val acc {best_val*100:.2f}% @ epoch {best_epoch}")
 

@@ -6,6 +6,13 @@ preemption recovery, so trainers can snapshot their complete state and resume
 bit-exactly: the episodic trainer derives its episode RNG from
 ``(seed, epoch index)`` inside ``run_epoch``, so a resumed run samples the
 exact same episodes as an uninterrupted one.
+
+Snapshot format: a plain-pickled dict of primitive containers and numpy
+arrays ONLY — the optimizer state is stored as its flattened leaves plus a
+treedef fingerprint, never as optax's namedtuple classes.  That keeps the
+file loadable through the same restricted unpickler as every other pickle
+input this package reads (``io/torch_pt.py``), so a tampered snapshot
+cannot execute code at load time.
 """
 
 from __future__ import annotations
@@ -17,6 +24,8 @@ from typing import Any, Dict
 import jax
 import numpy as np
 
+from protoclip_tpu.io.torch_pt import load_pkl
+
 
 def _to_host(tree: Any) -> Any:
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
@@ -25,9 +34,11 @@ def _to_host(tree: Any) -> Any:
 def save_train_state(path: str, trainer) -> None:
     """Snapshot a trainer (EpisodicTrainer or QTTrainer) to ``path``."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    opt_leaves, opt_treedef = jax.tree_util.tree_flatten(trainer.opt_state)
     state: Dict[str, Any] = {
         "params": _to_host(trainer.params),
-        "opt_state": _to_host(trainer.opt_state),
+        "opt_leaves": [np.asarray(x) for x in opt_leaves],
+        "opt_treedef": str(opt_treedef),
         "epoch": trainer.epoch,
         "kind": type(trainer).__name__,
     }
@@ -40,11 +51,11 @@ def save_train_state(path: str, trainer) -> None:
 def load_train_state(path: str, trainer) -> int:
     """Restore a snapshot into a trainer; returns the epoch to resume from.
 
-    The optimizer-state pytree structure must match (same config); params
-    are transferred to device lazily on the next step.
+    The parameter/optimizer pytrees must match the trainer's in structure
+    AND leaf shape/dtype (same config); params are transferred to device
+    lazily on the next step.
     """
-    with open(path, "rb") as fh:
-        state = pickle.load(fh)
+    state = load_pkl(path)  # restricted unpickler: no code execution
     if state["kind"] != type(trainer).__name__:
         raise ValueError(
             f"checkpoint is for {state['kind']}, trainer is {type(trainer).__name__}"
@@ -53,15 +64,29 @@ def load_train_state(path: str, trainer) -> int:
     flat_cur, treedef_cur = jax.tree_util.tree_flatten(trainer.params)
     if treedef_saved != treedef_cur:
         raise ValueError("parameter tree structure mismatch (different config?)")
+    # structure alone is not enough: a snapshot from a different (N, K)
+    # split with the same N*K and d has identical treedefs but reshapes
+    # into wrong class groupings — compare every leaf's geometry too
+    for saved, cur in zip(flat_saved, flat_cur):
+        saved = np.asarray(saved)
+        cur_shape = tuple(np.shape(cur))
+        if tuple(saved.shape) != cur_shape:
+            raise ValueError(
+                f"parameter shape mismatch: checkpoint {tuple(saved.shape)} vs "
+                f"trainer {cur_shape} (different config?)"
+            )
     trainer.params = jax.tree_util.tree_unflatten(
         treedef_cur, [np.asarray(x) for x in flat_saved]
     )
-    opt_saved = jax.tree_util.tree_structure(state["opt_state"])
-    opt_cur = jax.tree_util.tree_structure(trainer.opt_state)
-    if opt_saved != opt_cur:
+    opt_leaves_cur, opt_treedef_cur = jax.tree_util.tree_flatten(trainer.opt_state)
+    if state["opt_treedef"] != str(opt_treedef_cur) or len(
+        state["opt_leaves"]
+    ) != len(opt_leaves_cur):
         raise ValueError(
             "optimizer-state tree structure mismatch (different optimizer config?)"
         )
-    trainer.opt_state = state["opt_state"]
+    trainer.opt_state = jax.tree_util.tree_unflatten(
+        opt_treedef_cur, [np.asarray(x) for x in state["opt_leaves"]]
+    )
     trainer.epoch = int(state["epoch"])
     return trainer.epoch

@@ -25,6 +25,7 @@ from protoclip_tpu.data import BatchLoader, build_dataset, normalize_batch
 from protoclip_tpu.data.transforms import EvalTransform, TrainTransform
 from protoclip_tpu.eval.gridsearch import (
     alpha_beta_sweep,
+    best_cell,
     best_operating_point,
     default_alpha_beta_grid,
     sweep_to_triples,
@@ -194,6 +195,50 @@ def zero_shot_sweep_phase(cfg, setup, logger, progress: bool) -> Dict[str, float
     return zs
 
 
+# per-term TensorBoard tags matching the reference (main.py:287-302,
+# main.qt.py:227-243); shared by the episodic and Q^T runners so the tag
+# names cannot drift between the two training loops
+TERM_TAGS = {
+    "L1": "Loss/train/L1-negLog",
+    "L2": "Loss/train/L2-img2txt_align",
+    "L3": "Loss/train/L3-txt2img_align",
+    "L4": "Loss/train/L4-img_inter_cluster",
+    "L5": "Loss/train/L5-txt_inter_cluster",
+}
+
+
+def log_epoch_scalars(
+    logger: MetricLogger,
+    epoch: int,
+    *,
+    train_loss: float,
+    val_loss: float,
+    train_acc: float,
+    val_acc: float,
+    lr: float,
+    term_values: Dict[str, float],
+) -> None:
+    """One epoch's scalar block (both runners; ref ``main.py:372-378``)."""
+    logger.scalar("Loss/train", train_loss, epoch)
+    logger.scalar("Loss/val", val_loss, epoch)
+    logger.scalar("Accuracy/train", train_acc, epoch)
+    logger.scalar("Accuracy/val", val_acc, epoch)
+    logger.scalar("HP/lr", lr, epoch)
+    for term, tag in TERM_TAGS.items():
+        if term in term_values:
+            logger.scalar(tag, term_values[term], epoch)
+
+
+def save_model_checkpoint(model, adapter_kind: str, paths) -> None:
+    """Write a model's ``_v/_t/_a`` triple (the best-val save of both
+    runners, ref ``main.py:350-369``)."""
+    save_checkpoint_triple(
+        paths[0], paths[1], paths[2],
+        np.asarray(model.bank_v), np.asarray(model.bank_t),
+        adapter_to_torch_state(model.adapter, adapter_kind),
+    )
+
+
 def make_val_metrics_fn(val_feats, val_labels, alpha, beta):
     """Jitted (val accuracy, val loss) of a ProtoClip model at fixed α/β.
 
@@ -243,7 +288,8 @@ def prepare_experiment(cfg: Config, mesh=None, progress: bool = True) -> Experim
     )
 
     bank_v, bank_values = build_visual_memory_bank(
-        encode_fn, train_loader, cfg.augment_epoch, cache, progress=progress
+        encode_fn, train_loader, cfg.augment_epoch, cache, progress=progress,
+        expected_classes=dataset.num_classes,
     )
     bank_t = build_textual_memory_bank(
         text_fn, dataset.classnames, dataset.template, cache,
@@ -353,10 +399,9 @@ def evaluate_checkpoint(
     val_grid = alpha_beta_sweep(val_adapted, setup.val_labels, img_p, txt_p, alphas, betas)
     test_grid = alpha_beta_sweep(test_adapted, setup.test_labels, img_p, txt_p, alphas, betas)
     train_grid = alpha_beta_sweep(train_adapted, train_labels, img_p, txt_p, alphas, betas)
-    # index-based lookup: best_operating_point ties to the exact grid cell,
-    # no float round-trip
-    flat = int(np.argmax(val_grid))
-    ai, bi = np.unravel_index(flat, val_grid.shape)
+    # index-based lookup via the shared selector: ties to the exact grid
+    # cell, no float round-trip
+    ai, bi = best_cell(val_grid)
     a_s, b_s = float(alphas[ai]), float(betas[bi])
     test_acc_searched = float(test_grid[ai, bi])
     logger.scalar("Accuracy/test_searched", test_acc_searched, 0)
@@ -456,34 +501,20 @@ def run(cfg: Config, mesh=None, progress: bool = True, logger: Optional[MetricLo
             from tqdm import tqdm
 
             iterator = tqdm(iterator, desc=f"train {cfg.dataset}")
-        # per-term TensorBoard tags matching the reference (main.py:287-302)
-        term_tags = {
-            "L1": "Loss/train/L1-negLog",
-            "L2": "Loss/train/L2-img2txt_align",
-            "L3": "Loss/train/L3-txt2img_align",
-            "L4": "Loss/train/L4-img_inter_cluster",
-            "L5": "Loss/train/L5-txt_inter_cluster",
-        }
         for epoch in iterator:
             stats = trainer.run_epoch()
             model = trainer.model()
             va_j, vl_j = val_acc_fn(model)
-            va, vl = float(va_j), float(vl_j)
-            logger.scalar("Loss/train", stats["loss"], epoch)
-            logger.scalar("Loss/val", vl, epoch)
-            logger.scalar("Accuracy/train", stats["acc"], epoch)
-            logger.scalar("Accuracy/val", va, epoch)
-            logger.scalar("HP/lr", stats["lr"], epoch)
-            for term, tag in term_tags.items():
-                if term in stats:
-                    logger.scalar(tag, stats[term], epoch)
+            va = float(va_j)
+            log_epoch_scalars(
+                logger, epoch,
+                train_loss=float(stats["loss"]), val_loss=float(vl_j),
+                train_acc=float(stats["acc"]), val_acc=va, lr=float(stats["lr"]),
+                term_values={t: float(stats[t]) for t in TERM_TAGS if t in stats},
+            )
             if va >= best_val:
                 best_val, best_epoch = va, epoch
-                save_checkpoint_triple(
-                    ckpt_v, ckpt_t, ckpt_a,
-                    np.asarray(model.bank_v), np.asarray(model.bank_t),
-                    adapter_to_torch_state(model.adapter, cfg.adapter),
-                )
+                save_model_checkpoint(model, cfg.adapter, (ckpt_v, ckpt_t, ckpt_a))
         if progress:
             print(f"Best val acc {best_val*100:.2f}% @ epoch {best_epoch}")
 

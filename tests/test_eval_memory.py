@@ -100,6 +100,34 @@ def test_visual_bank_build(rng, tmp_path):
     np.testing.assert_array_equal(values, values2)
 
 
+def test_bank_caches_reject_other_dataset_variant(rng, tmp_path):
+    """fewsol (52-class) and fewsol_198 share one cache tree; a cached bank
+    from the other variant must be rebuilt, not silently adopted (the same
+    guard pre_load_features applies via expected_count)."""
+    images = np.stack([np.full((8, 8, 3), v, np.uint8) for v in (10, 10, 200, 200, 90, 90)])
+    labels = np.asarray([2, 2, 0, 0, 1, 1], np.int32)
+    loader = ArrayLoader(images, labels, batch_size=4)
+    cache = FeatureCache(str(tmp_path), "RN50", 2)
+    # poison the cache as if a 7-class variant ran first
+    key_stem, value_stem = cache.visual_bank_stems(3)
+    cache.save(key_stem, keys=np.ones((14, 4), np.float32))
+    cache.save(value_stem, values=np.eye(7, dtype=np.float32)[np.zeros(14, np.int64)])
+    keys, values = build_visual_memory_bank(
+        _fake_encode, loader, augment_epochs=3, cache=cache, progress=False,
+        expected_classes=3,
+    )
+    assert values.shape == (6, 3)  # rebuilt at the requested variant
+
+    from protoclip_tpu.memory.banks import build_textual_memory_bank
+
+    cache.save(cache.text_bank_stem(), bank=np.ones((7, 4), np.float32))
+    bank = build_textual_memory_bank(
+        lambda toks: np.ones((toks.shape[0], 4), np.float32),
+        ["a", "b", "c"], ["a photo of a {}."], cache, batch_size=4,
+    )
+    assert bank.shape == (3, 4)  # rebuilt, not the poisoned 7-row bank
+
+
 def test_visual_bank_reads_reference_layout_pt(tmp_path):
     torch = pytest.importorskip("torch")
     cache = FeatureCache(str(tmp_path), "RN50", 2)

@@ -405,6 +405,39 @@ def test_checkpoint_triple_npz_roundtrip(tmp_path, monkeypatch):
     np.testing.assert_allclose(la["fc.weight"], adapter["fc.weight"])
 
 
+def test_torchless_save_removes_stale_pt(tmp_path, monkeypatch):
+    """Regression: _read_any prefers .pt over the .npz sidecar, so a
+    torch-less retrain that only wrote .npz would be silently shadowed by
+    a previous torch run's stale .pt — the npz save must drop it."""
+    import builtins
+
+    from protoclip_tpu.io.checkpoint import (
+        load_checkpoint_triple,
+        save_checkpoint_triple,
+    )
+
+    torch = pytest.importorskip("torch")
+    pv, pt, pa = (str(tmp_path / f"sh_{s}.pt") for s in "vta")
+    old_v = np.zeros((6, 4), np.float32)
+    old_t = np.zeros((3, 4), np.float32)
+    save_checkpoint_triple(pv, pt, pa, old_v, old_t, {"fc.weight": old_v[:4]})
+    assert os.path.exists(pv)  # torch run wrote real .pt files
+
+    real_import = builtins.__import__
+
+    def no_torch(name, *args, **kwargs):
+        if name == "torch":
+            raise ImportError("torch disabled for test")
+        return real_import(name, *args, **kwargs)
+
+    monkeypatch.setattr(builtins, "__import__", no_torch)
+    new_t = np.full((3, 4), 7.0, np.float32)
+    save_checkpoint_triple(pv, pt, pa, old_v + 1, new_t, {"fc.weight": old_v[:4]})
+    assert not os.path.exists(pv) and os.path.exists(pv + ".npz")
+    _, lt, _ = load_checkpoint_triple(pv, pt, pa)
+    np.testing.assert_allclose(lt, new_t, atol=2e-3)  # the NEW bank, not stale
+
+
 def test_legacy_preamble_rejects_globals(tmp_path):
     """The legacy preamble streams are primitives-only: a GLOBAL opcode in
     the very first pickle (the classic RCE vector) must be rejected."""

@@ -267,6 +267,34 @@ def test_train_state_resume(rng, tmp_path):
     with pytest.raises(ValueError):
         load_train_state(path, t3)
 
+    # SHAPE mismatch with identical tree structure is rejected too: a
+    # (4, 5) split has the same N*K=20 rows and the same treedef as the
+    # (5, 4) snapshot, but its prototypes reshape into wrong class groups
+    t4 = EpisodicTrainer(
+        frozen_keys=keys, bank_t_init=np.asarray(bank_t)[:4], n_class=4,
+        k_shots=5, adapter_kind="fc", alpha=0.5, beta=10.0, seed=0,
+    )
+    with pytest.raises(ValueError, match="shape"):
+        load_train_state(path, t4)
+
+
+def test_train_state_snapshot_is_restricted_unpickled(tmp_path):
+    """A tampered snapshot must not execute code at load time: snapshots go
+    through the same restricted unpickler as every other pickle input."""
+    import pickle
+
+    from protoclip_tpu.train.resume import load_train_state
+
+    class Evil:
+        def __reduce__(self):
+            return (print, ("pwned",))
+
+    path = str(tmp_path / "evil.pkl")
+    with open(path, "wb") as fh:
+        pickle.dump({"kind": "EpisodicTrainer", "params": Evil()}, fh)
+    with pytest.raises(Exception, match="(?i)pickle|allow|disallow|forbid|global"):
+        load_train_state(path, object())
+
 
 def test_make_episode_queries_consistent_with_masks():
     from protoclip_tpu.train.episodic import make_episode_queries, max_queries
