@@ -40,6 +40,17 @@ def get_arguments() -> argparse.Namespace:
     parser.add_argument("--train_epoch", type=int)
     parser.add_argument("--seed", type=int)
     parser.add_argument("--weights_path", help="CLIP weights .pt path")
+    parser.add_argument(
+        "--snapshot_every", type=int,
+        help="snapshot full trainer state (params+optimizer+epoch) every N "
+        "epochs for preemption recovery (0 = off)",
+    )
+    parser.add_argument(
+        "--resume", action="store_true", default=None,
+        help="resume from the operating point's train_state.pkl snapshot "
+        "if one exists (replay-exact: same episodes/batches as an "
+        "uninterrupted run)",
+    )
     parser.add_argument("--qt", action="store_true", help="use the F-Q^T trainer (main.qt.py equivalent)")
     parser.add_argument("--mesh", type=int, default=0, help="shard batches over N devices (0 = no mesh)")
     parser.add_argument(

@@ -43,6 +43,13 @@ class Config:
     batch_size: int = 1024  # eval/encode batch size (main.py:505)
     compute_dtype: str = "bfloat16"
     weights_path: Optional[str] = None
+    # preemption recovery (train/resume.py; the reference has none):
+    # snapshot the FULL trainer state (params + optimizer + epoch) every N
+    # epochs, and resume from the snapshot when one exists.  The episodic
+    # trainer derives episode RNG from (seed, epoch), so a resumed run is
+    # replay-exact vs an uninterrupted one.
+    snapshot_every: int = 0  # epochs; 0 = off
+    resume: bool = False
 
     @property
     def cache_dir(self) -> str:
@@ -72,6 +79,8 @@ class Config:
                 f"compute_dtype must be 'bfloat16' or 'float32', got "
                 f"{self.compute_dtype!r} (typos would silently fall back)"
             )
+        if self.snapshot_every < 0:
+            raise ValueError("snapshot_every must be >= 0 (0 disables snapshots)")
         return self
 
     def to_dict(self) -> dict:

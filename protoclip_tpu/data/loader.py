@@ -68,6 +68,13 @@ class BatchLoader:
     def __len__(self) -> int:
         return (len(self.items) + self.batch_size - 1) // self.batch_size
 
+    def set_epoch(self, epoch: int) -> None:
+        """Pin the epoch counter that seeds shuffling and per-image
+        augmentation RNG.  Order and augmentations are pure functions of
+        ``(seed, epoch)``, so a resumed run (train/resume.py) that calls
+        this replays the exact batches an uninterrupted run would see."""
+        self._epoch = int(epoch)
+
     @property
     def num_items(self) -> int:
         return len(self.items)

@@ -22,8 +22,11 @@ from protoclip_tpu.train.runner import (
     evaluate_checkpoint,
     log_epoch_scalars,
     make_val_metrics_fn,
+    maybe_resume,
+    maybe_snapshot,
     prepare_experiment,
     save_model_checkpoint,
+    snapshot_path,
     zero_shot_sweep_phase,
 )
 
@@ -84,11 +87,19 @@ def run_qt(cfg: Config, mesh=None, progress: bool = True, logger: Optional[Metri
             setup.val_feats, setup.val_labels, alpha, beta
         )
 
-        iterator = range(cfg.train_epoch)
+        snap_path = snapshot_path(ckpt_v)
+        start_epoch, best_val, best_epoch = maybe_resume(
+            cfg, trainer, snap_path, best_val, best_epoch, progress
+        )
+        # the shuffled loader's order/augment RNG is a pure function of
+        # (seed, epoch): pin it so the resumed run replays exact batches
+        train_loader.set_epoch(start_epoch)
+        iterator = range(start_epoch, cfg.train_epoch)
         if progress:
             from tqdm import tqdm
 
-            iterator = tqdm(iterator, desc=f"train-qt {cfg.dataset}")
+            iterator = tqdm(iterator, desc=f"train-qt {cfg.dataset}",
+                            initial=start_epoch, total=cfg.train_epoch)
         for epoch in iterator:
             losses, accs = [], []
             term_sums: dict = {}
@@ -115,6 +126,7 @@ def run_qt(cfg: Config, mesh=None, progress: bool = True, logger: Optional[Metri
             if va >= best_val:
                 best_val, best_epoch = va, epoch
                 save_model_checkpoint(model, cfg.adapter, (ckpt_v, ckpt_t, ckpt_a))
+            maybe_snapshot(cfg, trainer, snap_path, epoch, best_val, best_epoch)
         if progress:
             print(f"Best val acc {best_val*100:.2f}% @ epoch {best_epoch}")
 

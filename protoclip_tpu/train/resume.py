@@ -31,8 +31,13 @@ def _to_host(tree: Any) -> Any:
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
 
 
-def save_train_state(path: str, trainer) -> None:
-    """Snapshot a trainer (EpisodicTrainer or QTTrainer) to ``path``."""
+def save_train_state(path: str, trainer, extra: Dict[str, Any] | None = None) -> None:
+    """Snapshot a trainer (EpisodicTrainer or QTTrainer) to ``path``.
+
+    ``extra``: small plain-container payload the runner wants back on
+    resume (e.g. best-val bookkeeping so a resumed run never overwrites a
+    better checkpoint with a worse post-resume epoch).
+    """
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     opt_leaves, opt_treedef = jax.tree_util.tree_flatten(trainer.opt_state)
     state: Dict[str, Any] = {
@@ -41,6 +46,7 @@ def save_train_state(path: str, trainer) -> None:
         "opt_treedef": str(opt_treedef),
         "epoch": trainer.epoch,
         "kind": type(trainer).__name__,
+        "extra": dict(extra or {}),
     }
     tmp = path + ".tmp"
     with open(tmp, "wb") as fh:
@@ -48,8 +54,8 @@ def save_train_state(path: str, trainer) -> None:
     os.replace(tmp, path)  # atomic: a crash never leaves a torn checkpoint
 
 
-def load_train_state(path: str, trainer) -> int:
-    """Restore a snapshot into a trainer; returns the epoch to resume from.
+def load_train_state(path: str, trainer) -> tuple[int, Dict[str, Any]]:
+    """Restore a snapshot into a trainer; returns ``(resume_epoch, extra)``.
 
     The parameter/optimizer pytrees must match the trainer's in structure
     AND leaf shape/dtype (same config); params are transferred to device
@@ -89,4 +95,4 @@ def load_train_state(path: str, trainer) -> int:
         opt_treedef_cur, [np.asarray(x) for x in state["opt_leaves"]]
     )
     trainer.epoch = int(state["epoch"])
-    return trainer.epoch
+    return trainer.epoch, dict(state.get("extra", {}))

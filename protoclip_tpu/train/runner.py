@@ -239,6 +239,46 @@ def save_model_checkpoint(model, adapter_kind: str, paths) -> None:
     )
 
 
+def snapshot_path(ckpt_v: str) -> str:
+    """The trainer-state snapshot lives next to the best-checkpoint triple
+    (one snapshot per operating point, like the triple itself)."""
+    return os.path.join(os.path.dirname(ckpt_v), "train_state.pkl")
+
+
+def maybe_resume(
+    cfg: Config, trainer, snap_path: str, best_val: float, best_epoch: int,
+    progress: bool,
+):
+    """``cfg.resume`` handling shared by both runners: restore the trainer
+    (and the best-val bookkeeping, so a post-resume epoch can never replace
+    a better pre-preemption checkpoint) from an existing snapshot."""
+    if not cfg.resume or not os.path.exists(snap_path):
+        return 0, best_val, best_epoch
+    from protoclip_tpu.train.resume import load_train_state
+
+    start_epoch, extra = load_train_state(snap_path, trainer)
+    best_val = float(extra.get("best_val", best_val))
+    best_epoch = int(extra.get("best_epoch", best_epoch))
+    if progress:
+        print(f"[resume] restored {snap_path} at epoch {start_epoch} "
+              f"(best val {best_val*100:.2f}% @ {best_epoch})")
+    return start_epoch, best_val, best_epoch
+
+
+def maybe_snapshot(
+    cfg: Config, trainer, snap_path: str, epoch: int, best_val: float,
+    best_epoch: int,
+) -> None:
+    """Periodic preemption snapshot (``cfg.snapshot_every`` epochs)."""
+    if cfg.snapshot_every and (epoch + 1) % cfg.snapshot_every == 0:
+        from protoclip_tpu.train.resume import save_train_state
+
+        save_train_state(
+            snap_path, trainer,
+            extra={"best_val": best_val, "best_epoch": best_epoch},
+        )
+
+
 def make_val_metrics_fn(val_feats, val_labels, alpha, beta):
     """Jitted (val accuracy, val loss) of a ProtoClip model at fixed α/β.
 
@@ -496,11 +536,16 @@ def run(cfg: Config, mesh=None, progress: bool = True, logger: Optional[MetricLo
         )
         val_acc_fn = make_val_metrics_fn(val_feats, val_labels, alpha, beta)
 
-        iterator = range(cfg.train_epoch)
+        snap_path = snapshot_path(ckpt_v)
+        start_epoch, best_val, best_epoch = maybe_resume(
+            cfg, trainer, snap_path, best_val, best_epoch, progress
+        )
+        iterator = range(start_epoch, cfg.train_epoch)
         if progress:
             from tqdm import tqdm
 
-            iterator = tqdm(iterator, desc=f"train {cfg.dataset}")
+            iterator = tqdm(iterator, desc=f"train {cfg.dataset}", initial=start_epoch,
+                            total=cfg.train_epoch)
         for epoch in iterator:
             stats = trainer.run_epoch()
             model = trainer.model()
@@ -515,6 +560,7 @@ def run(cfg: Config, mesh=None, progress: bool = True, logger: Optional[MetricLo
             if va >= best_val:
                 best_val, best_epoch = va, epoch
                 save_model_checkpoint(model, cfg.adapter, (ckpt_v, ckpt_t, ckpt_a))
+            maybe_snapshot(cfg, trainer, snap_path, epoch, best_val, best_epoch)
         if progress:
             print(f"Best val acc {best_val*100:.2f}% @ epoch {best_epoch}")
 

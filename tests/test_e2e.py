@@ -116,6 +116,68 @@ def test_full_run_and_only_test(tiny_env):
     assert result2.test_acc_fixed == pytest.approx(result.test_acc_fixed, abs=1e-5)
 
 
+def test_runner_snapshot_and_resume(tiny_env):
+    """cfg.snapshot_every writes the trainer-state snapshot during training
+    and cfg.resume continues from it: a run preempted after its snapshot
+    and resumed must end in the same trainer state as an uninterrupted run
+    (episode RNG derives from (seed, epoch) — replay-exact).  Compared via
+    the FINAL snapshots, which both runs write unconditionally."""
+    import jax
+
+    from protoclip_tpu.io.torch_pt import load_pkl
+    from protoclip_tpu.train.runner import run, snapshot_path
+
+    def op_snapshot(cfg, train_epoch):
+        from protoclip_tpu.io.checkpoint import checkpoint_paths
+
+        return snapshot_path(checkpoint_paths(
+            cfg.cache_dir, cfg.backbone, cfg.shots, cfg.alpha, cfg.beta,
+            cfg.lr, cfg.augment_epoch, train_epoch,
+        )[0])
+
+    cfg = _config(
+        tiny_env, train_epoch=4, snapshot_every=2,
+        cache_root=os.path.join(tiny_env["tmp"], "caches_resume"),
+    )
+    run(cfg, progress=False)
+    straight = load_pkl(op_snapshot(cfg, 4))
+    assert straight["epoch"] == 4
+
+    # fresh cache tree; SAME config (the cosine LR schedule depends on
+    # train_epoch, so a shorter run would not be a faithful preemption) —
+    # kill the run mid-epoch-2 via a logger that raises
+    from protoclip_tpu.obs.logging import MetricLogger
+
+    class _Preempt(Exception):
+        pass
+
+    class PreemptingLogger(MetricLogger):
+        def scalar(self, tag, value, step):
+            if tag == "Loss/train" and step == 2:
+                raise _Preempt()
+            super().scalar(tag, value, step)
+
+    cache2 = os.path.join(tiny_env["tmp"], "caches_resume2")
+    cfg_killed = _config(tiny_env, train_epoch=4, snapshot_every=2, cache_root=cache2)
+    with pytest.raises(_Preempt):
+        run(cfg_killed, progress=False,
+            logger=PreemptingLogger(os.path.join(tiny_env["tmp"], "logs_pre")))
+    snap = op_snapshot(cfg_killed, 4)
+    assert load_pkl(snap)["epoch"] == 2  # the epoch-2 snapshot survived
+
+    cfg_resumed = _config(
+        tiny_env, train_epoch=4, snapshot_every=2, resume=True, cache_root=cache2,
+    )
+    run(cfg_resumed, progress=False)
+    resumed = load_pkl(snap)
+    assert resumed["epoch"] == 4
+    flat_a, tree_a = jax.tree_util.tree_flatten(straight["params"])
+    flat_b, tree_b = jax.tree_util.tree_flatten(resumed["params"])
+    assert tree_a == tree_b
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_qt_run(tiny_env):
     from protoclip_tpu.train.qt_runner import run_qt
 

@@ -249,8 +249,8 @@ def test_train_state_resume(rng, tmp_path):
     save_train_state(path, t1)
 
     t2 = make()
-    epoch = load_train_state(path, t2)
-    assert epoch == 3
+    epoch, extra = load_train_state(path, t2)
+    assert epoch == 3 and extra == {}
     for leaf1, leaf2 in zip(
         jax.tree_util.tree_leaves(t1.params), jax.tree_util.tree_leaves(t2.params)
     ):
@@ -345,7 +345,7 @@ def test_resume_is_replay_exact(rng, tmp_path):
     path = str(tmp_path / "state.pkl")
     save_train_state(path, half)
     resumed = make()
-    assert load_train_state(path, resumed) == 2
+    assert load_train_state(path, resumed)[0] == 2
     for _ in range(2):
         resumed.run_epoch()
 
