@@ -103,10 +103,10 @@ def clip_forward(
     params: Params, images: jax.Array, tokens: jax.Array, cfg: CLIPConfig
 ) -> Tuple[jax.Array, jax.Array]:
     """Contrastive logits as in ``clip/model.py:356-370``."""
-    img = encode_image(params, images, cfg).astype(jnp.float32)
-    txt = encode_text(params, tokens, cfg).astype(jnp.float32)
-    img = img / jnp.linalg.norm(img, axis=-1, keepdims=True)
-    txt = txt / jnp.linalg.norm(txt, axis=-1, keepdims=True)
+    from protoclip_tpu.ops.proto import l2_normalize
+
+    img = l2_normalize(encode_image(params, images, cfg).astype(jnp.float32))
+    txt = l2_normalize(encode_text(params, tokens, cfg).astype(jnp.float32))
     scale = jnp.exp(params["logit_scale"].astype(jnp.float32))
     logits_per_image = scale * img @ txt.T
     return logits_per_image, logits_per_image.T
@@ -444,14 +444,34 @@ def load_clip(
         sd = load_pt(path)
         if not isinstance(sd, dict):
             raise ValueError(f"{path} did not contain a state dict")
-        # JIT archives come back with a 'model.' / module prefix sometimes.
+        # JIT archives come back with a 'module.' (DataParallel) prefix
+        # sometimes; strip it PER KEY — wrappers can register extra buffers
+        # outside the wrapped module, and slicing those keys would corrupt
+        # them (e.g. 'logit_scale' -> 'cale')
         if any(k.startswith("module.") for k in sd):
-            sd = {k[len("module.") :]: v for k, v in sd.items()}
+            sd = {
+                (k[len("module.") :] if k.startswith("module.") else k): v
+                for k, v in sd.items()
+            }
         cfg, np_params = convert_clip_state_dict(sd)
         return cfg, _maybe_quantize(jax.jit(lambda p: cast_params(p, dtype))(np_params))
 
     import sys
 
+    if os.environ.get("PROTOCLIP_STRICT_WEIGHTS", "0").lower() in ("1", "true", "on"):
+        # production deployments opt into fail-loud: a typo'd weights dir or
+        # a broken download must not boot a server that silently serves
+        # random-weight predictions
+        raise FileNotFoundError(
+            f"no weights found for {backbone!r} and $PROTOCLIP_STRICT_WEIGHTS "
+            f"forbids random initialization (set ${_WEIGHT_ENV} or pass "
+            "weights_path)"
+        )
+    if backbone not in BACKBONE_CONFIGS:
+        raise ValueError(
+            f"unknown backbone {backbone!r} and no weights file to infer an "
+            f"architecture from; known: {sorted(BACKBONE_CONFIGS)}"
+        )
     cfg = BACKBONE_CONFIGS[backbone]
     print(
         f"[protoclip_tpu] WARNING: no weights found for {backbone!r} "

@@ -307,6 +307,42 @@ def test_load_clip_from_torchscript_archive(tmp_path):
     assert out.shape == (2, 32) and np.isfinite(np.asarray(out)).all()
 
 
+def test_load_clip_strips_module_prefix_per_key(tmp_path):
+    """Regression: the DataParallel 'module.' strip sliced 7 chars off
+    EVERY key once any one key was prefixed, corrupting un-prefixed keys
+    in mixed state dicts (e.g. 'logit_scale' -> 'cale')."""
+    import pickle
+
+    import jax.numpy as jnp
+
+    from protoclip_tpu.models.clip import load_clip
+
+    sd, _ = _make_ts_clip(tmp_path)
+    mixed = {f"module.{k}": v for k, v in sd.items() if k != "logit_scale"}
+    mixed["logit_scale"] = sd["logit_scale"]  # wrapper-registered buffer
+    path = str(tmp_path / "mixed.pt")
+    with open(path, "wb") as fh:
+        pickle.dump(mixed, fh)
+    cfg, params = load_clip("custom", weights_path=path, dtype=jnp.float32)
+    assert cfg.vision_width == 64
+    assert "logit_scale" in params
+
+
+def test_load_clip_strict_weights_and_unknown_backbone(monkeypatch, tmp_path):
+    """$PROTOCLIP_STRICT_WEIGHTS forbids the silent random-init fallback;
+    without weights an unknown backbone gets a named error, not a bare
+    KeyError from the registry lookup."""
+    from protoclip_tpu.models.clip import load_clip
+
+    monkeypatch.setenv("PROTOCLIP_WEIGHTS_DIR", str(tmp_path))  # empty dir
+    monkeypatch.setenv("PROTOCLIP_STRICT_WEIGHTS", "1")
+    with pytest.raises(FileNotFoundError, match="STRICT_WEIGHTS"):
+        load_clip("RN50")
+    monkeypatch.delenv("PROTOCLIP_STRICT_WEIGHTS")
+    with pytest.raises(ValueError, match="unknown backbone"):
+        load_clip("RN50x64")
+
+
 # ---------------------------------------------------------------------------
 # checksum-verified downloader (ref clip/clip.py:30-70) — file:// URLs stand
 # in for the network in this zero-egress environment
