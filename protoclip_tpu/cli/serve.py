@@ -60,7 +60,7 @@ from typing import Callable, Dict, Optional
 
 def _decode_images(payload: dict, draft_px: Optional[int] = None) -> list:
     """b64 JPEG/PNG list -> list of RGB PIL images (no numpy round trip;
-    the routes letterbox these directly).  ``draft_px`` opts into
+    the routes preprocess these directly).  ``draft_px`` opts into
     libjpeg's DCT-domain scaled decode (~2x at camera sizes, BASELINE.md
     "Host preprocess"; JPEG-only, not bit-exact — the ``--fast-decode``
     serving mode); other formats ignore it."""
@@ -89,7 +89,8 @@ def _make_pool():
 
 
 def _preprocess_block(payload: dict, n_px: int, pool, fast_decode: bool):
-    """Decode a request payload and letterbox every image into one
+    """Decode a request payload and resize-shorter + center-crop every
+    image (the reference CLIP preprocess) into one
     ``(n, n_px, n_px, 3)`` uint8 block, preprocessing in parallel on
     ``pool`` (PIL releases the GIL; same shape as the extract CLI's
     decode pool).  Shared by the /encode and /classify routes so the
@@ -162,7 +163,7 @@ def make_classify_route(
 ) -> tuple:
     """(handler, info) for /classify over a ProtoClipClassifier.
 
-    Same dispatch discipline as /encode: the letterbox is per-crop (rows
+    Same dispatch discipline as /encode: the preprocess is per-crop (rows
     independent), so concurrent requests' crops coalesce into one
     fixed-size device batch via ``classifier.infer_canvases``; over-batch
     requests split across dispatches.  Results are bit-identical to

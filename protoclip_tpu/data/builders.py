@@ -148,6 +148,14 @@ def build_stanford_cars_split(dataset_dir: str, image_dir: str, seed: int) -> Sp
     val: List[Datum] = []
     for label in sorted(by_label):
         items = by_label[label]
+        if len(items) < 2:
+            # like the sibling builders: a 1-item class would put its only
+            # item in val, silently dropping the class from train and
+            # desyncing the visual bank's class count from bank_t/test
+            raise ValueError(
+                f"stanford_cars class {items[0].classname!r} has only "
+                f"{len(items)} trainval item(s); need >= 2 for a train/val split"
+            )
         rng.shuffle(items)
         n_val = max(1, round(len(items) * 0.2))
         val.extend(items[:n_val])

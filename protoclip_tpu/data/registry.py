@@ -112,6 +112,13 @@ def _build_fewsol_198(root: str, shots: int, seed: int) -> FewShotDataset:
     candidates = _FEWSOL_198_CANDIDATES
     env_path = os.environ.get("PROTOCLIP_FEWSOL198_SPLIT")
     if env_path:
+        if not os.path.exists(env_path):
+            # fail loudly like bpe.default_vocab_path: silently falling
+            # through to another candidate would benchmark the wrong split
+            raise FileNotFoundError(
+                f"$PROTOCLIP_FEWSOL198_SPLIT points at {env_path!r}, which "
+                "does not exist"
+            )
         candidates = (env_path,) + candidates
     for cand in candidates:
         path = cand if os.path.isabs(cand) else os.path.join(dataset_dir, cand)
@@ -235,6 +242,11 @@ def _build_imagenet(root: str, shots: int, seed: int) -> FewShotDataset:
             cname = classnames[label] if label < len(classnames) else wnid
             wdir = os.path.join(split_dir, wnid)
             for fname in sorted(os.listdir(wdir)):
+                # skip hidden/sidecar files (.DS_Store etc.) — PIL would
+                # abort the feature pass decoding them (same filter as
+                # _imagenet_flat_val)
+                if fname.startswith("."):
+                    continue
                 items.append(Datum(os.path.join(wdir, fname), label, cname))
         return items
 

@@ -284,7 +284,16 @@ class _Unpickler(pickle.Unpickler):
         # pid = ('storage', StorageType, key, location, numel)
         if not (isinstance(pid, tuple) and pid and pid[0] == "storage"):
             raise pickle.UnpicklingError(f"Unexpected persistent id {pid!r}")
-        # 5-tuple classically; newer torch may append trailing metadata.
+        # 5-tuple classically, with an optional 6th view_metadata element
+        # (view_key, offset, view_size) for storages that are VIEWS of
+        # another storage.  Decoding a view as its root would silently
+        # materialize tensors from the wrong bytes — fail loudly instead
+        # (no real-world CLIP/Proto-CLIP artifact uses legacy views).
+        if len(pid) > 5 and pid[5] is not None:
+            raise pickle.UnpicklingError(
+                "legacy checkpoint uses storage views (view_metadata="
+                f"{pid[5]!r}), which this reader does not support"
+            )
         _, storage_type, key, _location, numel = pid[:5]
         dtype = (
             storage_type.dtype

@@ -69,6 +69,7 @@ except ImportError:  # pragma: no cover - `regex` ships with transformers
             return "O"
 
         contractions = ("'s", "'t", "'re", "'ve", "'m", "'ll", "'d")
+        specials = ("<|startoftext|>", "<|endoftext|>")
         while i < n:
             ch = text[i]
             if ch.isspace():
@@ -76,10 +77,19 @@ except ImportError:  # pragma: no cover - `regex` ships with transformers
                 continue
             low = text[i:].lower()
             matched = None
-            for con in contractions:
-                if low.startswith(con):
-                    matched = text[i : i + len(con)]
+            # the specials are alternatives in the regex branch (and the
+            # reference pattern): without this, '<|endoftext|>' would split
+            # into ordinary tokens here and tokenize differently depending
+            # on whether the `regex` package is installed
+            for special in specials:
+                if low.startswith(special):
+                    matched = text[i : i + len(special)]
                     break
+            if matched is None:
+                for con in contractions:
+                    if low.startswith(con):
+                        matched = text[i : i + len(con)]
+                        break
             if matched is not None:
                 words.append(matched)
                 i += len(matched)

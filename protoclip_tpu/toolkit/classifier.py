@@ -8,7 +8,7 @@ id->classname mapping.  Prediction-canvas rendering and ``.npy`` logging are
 kept for demo parity.
 
 TPU notes: the whole inference path (normalize -> encode -> adapter -> P ->
-top-k) is one jitted program; crops are letterboxed host-side to the
+top-k) is one jitted program; crops are resize-shorter + center-cropped host-side to the
 backbone's resolution and batched to a fixed shape to avoid recompiles.
 """
 
@@ -119,9 +119,10 @@ class ProtoClipClassifier:
         return out
 
     def infer_canvases(self, canvases_u8: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-        """Device dispatch on already-letterboxed canvases: (B, n_px, n_px, 3)
+        """Device dispatch on already-preprocessed canvases (resize-shorter
+        + center-crop, the reference CLIP preprocess): (B, n_px, n_px, 3)
         uint8 -> (top-k probs, top-k class ids), both (B, top_k).  Rows are
-        independent (the letterbox is per-crop), so callers may batch crops
+        independent (the preprocess is per-crop), so callers may batch crops
         from unrelated requests — the serving front-end's micro-batcher hook
         (``cli/serve.py``)."""
         probs, idxs = self._infer(jnp.asarray(canvases_u8))

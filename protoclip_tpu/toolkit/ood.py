@@ -28,9 +28,20 @@ def class_folder_items(root_dir: str) -> List[Datum]:
     items: List[Datum] = []
     for label, cls in enumerate(classes):
         cls_dir = os.path.join(root_dir, cls)
-        for fname in sorted(os.listdir(cls_dir)):
+        for fname in _image_files(cls_dir):
             items.append(Datum(os.path.join(cls_dir, fname), label, cls))
     return items
+
+
+def _image_files(cls_dir: str) -> List[str]:
+    # hidden/non-image entries (.DS_Store, READMEs) must not become Datum
+    # rows — PIL would abort the whole eval decoding them
+    from protoclip_tpu.data.splits import _IMAGE_EXTS, listdir_nohidden
+
+    return [
+        f for f in listdir_nohidden(cls_dir, sort=True)
+        if f.lower().endswith(_IMAGE_EXTS)
+    ]
 
 
 def imagenet_v2_items(root_dir: str) -> List[Datum]:
@@ -43,7 +54,7 @@ def imagenet_v2_items(root_dir: str) -> List[Datum]:
     for cls in classes:
         label = int(cls)
         cls_dir = os.path.join(root_dir, cls)
-        for fname in sorted(os.listdir(cls_dir)):
+        for fname in _image_files(cls_dir):
             items.append(Datum(os.path.join(cls_dir, fname), label, cls))
     return items
 

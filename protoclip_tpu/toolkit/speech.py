@@ -176,26 +176,34 @@ def transcribe_stream(
     def record_callback(_, audio):
         data_queue.put(audio.get_raw_data())
 
-    recorder.listen_in_background(source, record_callback, phrase_time_limit=record_timeout)
+    # capture the stopper: leaving the background listener running after
+    # return would keep the mic stream open and enqueue audio forever
+    # (unbounded queue growth + device contention on the next call)
+    stop_listening = recorder.listen_in_background(
+        source, record_callback, phrase_time_limit=record_timeout
+    )
 
-    phrase_time = None
-    buffer = b""
-    while True:
-        if data_queue.empty():
-            time.sleep(0.1)  # don't spin a core while the mic is silent
-            continue
-        now = datetime.utcnow()
-        if phrase_time and now - phrase_time > timedelta(seconds=phrase_timeout):
-            buffer = b""
-        phrase_time = now
-        while not data_queue.empty():
-            buffer += data_queue.get()
-        audio_np = (
-            np.frombuffer(buffer, dtype=np.int16).astype(np.float32) / 32768.0
-        )
-        text = audio_model.transcribe(audio_np, fp16=False)["text"].strip()
-        if on_text(text):
-            return text
+    try:
+        phrase_time = None
+        buffer = b""
+        while True:
+            if data_queue.empty():
+                time.sleep(0.1)  # don't spin a core while the mic is silent
+                continue
+            now = datetime.utcnow()
+            if phrase_time and now - phrase_time > timedelta(seconds=phrase_timeout):
+                buffer = b""
+            phrase_time = now
+            while not data_queue.empty():
+                buffer += data_queue.get()
+            audio_np = (
+                np.frombuffer(buffer, dtype=np.int16).astype(np.float32) / 32768.0
+            )
+            text = audio_model.transcribe(audio_np, fp16=False)["text"].strip()
+            if on_text(text):
+                return text
+    finally:
+        stop_listening(wait_for_stop=False)
 
 
 def transcribe_with_verb_and_noun_matching(

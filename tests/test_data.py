@@ -234,6 +234,16 @@ def test_fewsol_198_from_reference_splits(tmp_path, monkeypatch):
     assert len(ds.test) > 0
 
 
+def test_fewsol_198_env_typo_fails_loudly(tmp_path, monkeypatch):
+    """A SET-but-nonexistent $PROTOCLIP_FEWSOL198_SPLIT must raise, not
+    silently fall through to a different candidate split file (which would
+    benchmark the wrong split)."""
+    monkeypatch.setenv("PROTOCLIP_FEWSOL198_SPLIT", str(tmp_path / "nope.json"))
+    (tmp_path / "fewsol").mkdir()
+    with pytest.raises(FileNotFoundError, match="PROTOCLIP_FEWSOL198_SPLIT"):
+        build_dataset("fewsol_198", str(tmp_path), shots=2, seed=1)
+
+
 # ---------------------------------------------------------------------------
 # generate-if-missing split builders (round-2: dataset-layer completion)
 # ---------------------------------------------------------------------------
@@ -344,6 +354,38 @@ def test_stanford_cars_split_from_mat(tmp_path):
     assert len(ds.test) == n_test
     assert len(ds.val) + sum(1 for _ in ds.train_x) <= n_train  # few-shot subsample
     assert (ds_dir / "split_zhou_StanfordCars.json").exists()
+
+
+def test_stanford_cars_single_item_class_raises(tmp_path):
+    """Regression: a 1-item class put its only item in val, silently
+    leaving train with N-1 classes while bank_t/test assume N."""
+    scipy_io = pytest.importorskip("scipy.io")
+
+    from protoclip_tpu.data.registry import build_dataset
+
+    ds_dir = tmp_path / "stanford_cars"
+    (ds_dir / "devkit").mkdir(parents=True)
+    (ds_dir / "cars_train").mkdir()
+    (ds_dir / "cars_test").mkdir()
+    # class 1 gets 4 items, class 2 exactly ONE
+    rows = [(f"{i:05d}.jpg", 1) for i in range(4)] + [("00004.jpg", 2)]
+    arr = np.zeros((1, len(rows)), dtype=[("fname", "O"), ("class", "O")])
+    for i, (fname, cls) in enumerate(rows):
+        arr[0, i] = (fname, np.array([[cls]], np.uint16))
+        Image.new("RGB", (8, 8)).save(ds_dir / "cars_train" / fname)
+    test_arr = np.zeros((1, 1), dtype=[("fname", "O"), ("class", "O")])
+    test_arr[0, 0] = ("00100.jpg", np.array([[1]], np.uint16))
+    Image.new("RGB", (8, 8)).save(ds_dir / "cars_test" / "00100.jpg")
+    class_names = np.zeros((1, 2), object)
+    class_names[0, 0] = "AM General Hummer SUV 2000"
+    class_names[0, 1] = "Acura RL Sedan 2012"
+    scipy_io.savemat(str(ds_dir / "devkit" / "cars_meta.mat"), {"class_names": class_names})
+    scipy_io.savemat(str(ds_dir / "devkit" / "cars_train_annos.mat"), {"annotations": arr})
+    scipy_io.savemat(
+        str(ds_dir / "cars_test_annos_withlabels.mat"), {"annotations": test_arr}
+    )
+    with pytest.raises(ValueError, match="only 1 trainval item"):
+        build_dataset("stanford_cars", str(tmp_path), shots=2, seed=1)
 
 
 def test_imagenet_flat_val_devkit(tmp_path):

@@ -167,6 +167,34 @@ def test_encode_matches_hf_fuzz(hf_tokenizer):
         assert ours == theirs, f"{text!r}: {ours} != {theirs}"
 
 
+def test_stdlib_fallback_handles_specials_and_matches_regex():
+    """The pure-stdlib word splitter (used when the `regex` package is
+    absent) must treat <|startoftext|>/<|endoftext|> as single words like
+    the regex branch does — regression: it used to split the literal
+    specials into ordinary tokens, so the same text tokenized differently
+    across environments."""
+    import importlib
+    import sys
+
+    import protoclip_tpu.tokenizer.bpe as bpe_mod
+
+    regex_backup = sys.modules.get("regex")
+    sys.modules["regex"] = None  # force ImportError inside the module
+    try:
+        fallback = importlib.reload(bpe_mod)
+        words = fallback._find_words("grasp the <|endoftext|> mustard bottle")
+        assert "<|endoftext|>" in words
+        tok = fallback.ClipTokenizer(VOCAB)
+        ids = tok.encode("a photo <|endoftext|> of")
+        assert tok.eot_id in ids
+    finally:
+        if regex_backup is not None:
+            sys.modules["regex"] = regex_backup
+        else:
+            sys.modules.pop("regex", None)
+        importlib.reload(bpe_mod)
+
+
 def test_cjk_matches_reference_not_hf():
     """The reference regex ([\p{L}]+, clip/simple_tokenizer.py) keeps a
     letter run like 'cjk中文' as ONE word: only the final byte-token carries

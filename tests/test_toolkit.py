@@ -215,6 +215,12 @@ def test_ood_eval(classifier_env):
             Image.fromarray(rng.integers(0, 256, (32, 32, 3)).astype(np.uint8)).save(
                 os.path.join(root, str(cls), f"{i}.jpg")
             )
+    # hidden/non-image sidecars must be skipped, not decoded (regression:
+    # a .DS_Store used to become a Datum and crash the eval in PIL)
+    with open(os.path.join(root, "0", ".DS_Store"), "wb") as fh:
+        fh.write(b"\x00junk")
+    with open(os.path.join(root, "1", "README.txt"), "w") as fh:
+        fh.write("not an image")
     cfg = classifier_env["cfg"]
     encode_fn, _, clip_cfg, _ = make_encode_fns(cfg)
     acc = test_ood_performance(

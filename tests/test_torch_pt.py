@@ -307,6 +307,23 @@ def test_load_clip_from_torchscript_archive(tmp_path):
     assert out.shape == (2, 32) and np.isfinite(np.asarray(out)).all()
 
 
+def test_legacy_storage_view_metadata_rejected():
+    """Legacy persistent ids may carry (view_key, offset, size) in element
+    5 for storages that are VIEWS of another storage; decoding a view as
+    its root would silently read the wrong bytes — must fail loudly."""
+    import io as _io
+    import pickle as _pickle
+
+    from protoclip_tpu.io.torch_pt import _Unpickler
+
+    u = _Unpickler(_io.BytesIO(b""), lambda key: b"")
+    with pytest.raises(_pickle.UnpicklingError, match="view"):
+        u.persistent_load(("storage", None, "0", "cpu", 10, ("1", 4, 5)))
+    # a trailing None (what torch actually writes) stays accepted
+    ref = u.persistent_load(("storage", None, "0", "cpu", 10, None))
+    assert ref is not None
+
+
 def test_load_clip_strips_module_prefix_per_key(tmp_path):
     """Regression: the DataParallel 'module.' strip sliced 7 chars off
     EVERY key once any one key was prefixed, corrupting un-prefixed keys
