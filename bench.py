@@ -37,21 +37,10 @@ BASELINE_IMAGES_PER_SEC = 1100.0  # PyTorch-A100 fp16 ViT-B/16 encode (BASELINE.
 
 
 def _enable_compilation_cache() -> None:
-    """Persistent executable cache: remote-tunnel compiles can take many
-    minutes; caching makes repeated bench runs near-instant."""
-    import os
+    """Persistent executable cache (shared definition in obs/profiler.py)."""
+    from protoclip_tpu.obs.profiler import enable_compilation_cache
 
-    import jax
-
-    try:
-        cache_dir = os.environ.get(
-            "JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/jax_comp_cache")
-        )
-        os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass  # older jax or unsupported backend: benign
+    enable_compilation_cache()
 
 
 def measure_dispatch_overhead(iters: int = 12) -> float:
@@ -218,7 +207,10 @@ def main() -> None:
 
     import jax
 
-    if os.environ.get("JAX_PLATFORMS") == "cpu":
+    # normalize like the probe above ('CPU'/' cpu' must pin too — otherwise
+    # the probe is skipped but the config never pinned, and the bench lands
+    # on the real TPU the user explicitly opted out of)
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
         jax.config.update("jax_platforms", "cpu")  # the plugin overrides env
 
     _enable_compilation_cache()

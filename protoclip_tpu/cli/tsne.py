@@ -70,7 +70,11 @@ def main() -> None:
     img_protos = zs.mean(axis=1)
     img_protos /= np.maximum(np.linalg.norm(img_protos, axis=-1, keepdims=True), 1e-12)
     text_protos = np.asarray(bank_t, np.float32)
-    text_protos /= np.linalg.norm(text_protos, axis=-1, keepdims=True)
+    # same zero-norm guard as the visual side: an all-zero bank row (class
+    # absent from a partial artifact) must not NaN-poison the t-SNE
+    text_protos /= np.maximum(
+        np.linalg.norm(text_protos, axis=-1, keepdims=True), 1e-12
+    )
 
     with open(args.splits) as fh:
         data = json.load(fh)

@@ -86,6 +86,11 @@ def _parse_matrix(mdtype: int, data: bytes) -> Tuple[str, Any]:
         return _parse_matrix(*inner.read_element())
     if mdtype != _MI_MATRIX:
         raise ValueError(f"expected miMATRIX, got type {mdtype}")
+    if len(data) == 0:
+        # MATLAB encodes an empty array ([]) as a zero-byte miMATRIX
+        # element (scipy special-cases this identically); the ImageNet
+        # devkit meta.mat uses it for leaf synsets' empty children lists
+        return "", np.empty((0, 0), np.float64)
     r = _Reader(data)
 
     flags_type, flags_raw = r.read_element()

@@ -17,6 +17,7 @@ reference's raw pickles (``text_mb_*.pkl`` textual banks, the
 from __future__ import annotations
 
 import os
+import zipfile
 from typing import Dict, Optional
 
 import numpy as np
@@ -43,8 +44,20 @@ class FeatureCache:
             return None
         path = self._npz_path(stem)
         if os.path.exists(path):
-            with np.load(path) as data:
-                return {k: data[k] for k in data.files}
+            try:
+                with np.load(path) as data:
+                    return {k: data[k] for k in data.files}
+            except (zipfile.BadZipFile, ValueError, EOFError) as exc:
+                # a truncated archive (e.g. power loss before save() became
+                # atomic) must cause a rebuild, not a permanent crash
+                import sys
+
+                print(
+                    f"[protoclip_tpu] corrupt cache entry {path} ({exc}); "
+                    "discarding and recomputing",
+                    file=sys.stderr,
+                )
+                os.remove(path)
         pt_path = os.path.join(self.root, f"{stem}.pt")
         if os.path.exists(pt_path):
             from protoclip_tpu.io.torch_pt import load_pt
@@ -68,7 +81,12 @@ class FeatureCache:
             return
         path = self._npz_path(stem)
         os.makedirs(os.path.dirname(path), exist_ok=True)
-        np.savez(path, **arrays)
+        # tmp + rename (the io/checkpoint.py discipline): a preemption
+        # mid-save must never leave a truncated archive behind
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as fh:  # file handle: savez must not append .npz
+            np.savez(fh, **arrays)
+        os.replace(tmp, path)
 
     # -- named artifacts (reference stem naming) ----------------------------
 

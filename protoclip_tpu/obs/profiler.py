@@ -38,3 +38,25 @@ def trace_to(log_dir: str) -> Iterator[None]:
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+def enable_compilation_cache(min_compile_secs: float = 1.0) -> None:
+    """Turn on jax's persistent executable cache.
+
+    Remote-tunnel compiles can take many minutes; caching makes repeated
+    bench/entry runs near-instant.  Directory from
+    ``$JAX_COMPILATION_CACHE_DIR`` (default ``~/.cache/jax_comp_cache``).
+    The single definition shared by ``bench.py``, ``__graft_entry__.py``
+    and the ``scripts/`` micro-benches — keep cache policy changes here.
+    """
+    import os
+
+    try:
+        cache_dir = os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/jax_comp_cache")
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", min_compile_secs)
+    except Exception:
+        pass  # older jax or unsupported backend: benign

@@ -34,12 +34,9 @@ G = 16
 
 
 def _enable_cache():
-    import os
+    from protoclip_tpu.obs.profiler import enable_compilation_cache
 
-    cache_dir = os.path.expanduser("~/.cache/jax_comp_cache")
-    os.makedirs(cache_dir, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    enable_compilation_cache()
 
 
 def _ln(v, scale_ref, bias_ref, dtype, eps=1e-5):

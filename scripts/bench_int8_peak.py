@@ -24,9 +24,9 @@ def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 20
 
-    cache_dir = __import__("os").path.expanduser("~/.cache/jax_comp_cache")
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from protoclip_tpu.obs.profiler import enable_compilation_cache
+
+    enable_compilation_cache()
 
     rng = np.random.default_rng(0)
     a = jnp.asarray(rng.integers(-127, 128, (n, n)), jnp.int8)

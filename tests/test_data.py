@@ -445,6 +445,17 @@ def test_resize_crop_torchvision_pixel_parity():
     assert cropped[:, 0, 0].min() == 255
 
 
+def test_mat_reader_accepts_matlab_empty_array():
+    """MATLAB encodes [] as a ZERO-BYTE miMATRIX element (scipy
+    special-cases it); the real ImageNet devkit meta.mat uses it for leaf
+    synsets' empty children lists.  Regression: the parser crashed with
+    struct.error on it."""
+    from protoclip_tpu.io.mat import _parse_matrix
+
+    name, value = _parse_matrix(14, b"")
+    assert name == "" and value.shape == (0, 0)
+
+
 def test_mat_reader_malformed_bytes_raise_cleanly(tmp_path):
     """io/mat.py reads untrusted .mat downloads: corrupt bytes must raise a
     clean typed error, never hang or silently return wrong data."""

@@ -100,6 +100,25 @@ def test_visual_bank_build(rng, tmp_path):
     np.testing.assert_array_equal(values, values2)
 
 
+def test_cache_survives_truncated_npz(tmp_path):
+    """Regression: a preemption mid-save used to leave a truncated archive
+    that permanently crashed every later load (BadZipFile) until the user
+    hand-deleted it.  Saves are now atomic AND loads discard+recompute on
+    a corrupt entry."""
+    import os
+
+    cache = FeatureCache(str(tmp_path), "RN50", 2)
+    path = cache._npz_path("val_features")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "wb") as fh:
+        fh.write(b"PK\x03\x04 truncated")  # zip magic, garbage body
+    assert cache.load("val_features") is None  # discarded, not crashed
+    assert not os.path.exists(path)
+    cache.save("val_features", features=np.ones((3, 4), np.float32))
+    out = cache.load("val_features")
+    np.testing.assert_array_equal(out["features"], np.ones((3, 4), np.float32))
+
+
 def test_bank_caches_reject_other_dataset_variant(rng, tmp_path):
     """fewsol (52-class) and fewsol_198 share one cache tree; a cached bank
     from the other variant must be rebuilt, not silently adopted (the same
