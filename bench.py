@@ -277,16 +277,20 @@ def main() -> None:
     with open("bench_details.json", "w") as fh:
         json.dump(details, fh, indent=2)
 
-    print(
-        json.dumps(
-            {
-                "metric": "vit_b16_encode_images_per_sec_per_chip",
-                "value": round(headline, 1),
-                "unit": f"images/sec ({mode})",
-                "vs_baseline": round(headline / BASELINE_IMAGES_PER_SEC, 3),
-            }
+    line = {
+        "metric": "vit_b16_encode_images_per_sec_per_chip",
+        "value": round(headline, 1),
+        "unit": f"images/sec ({mode})",
+        "vs_baseline": round(headline / BASELINE_IMAGES_PER_SEC, 3),
+    }
+    if backend == "cpu":
+        # self-describing: a recorded CPU number must never read as a TPU
+        # regression (the tunnel to the shared chip can be down)
+        line["note"] = (
+            "CPU debug fallback (TPU backend unavailable); last validated "
+            "TPU numbers are in BASELINE.md / bench_details.json history"
         )
-    )
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":
