@@ -234,6 +234,59 @@ def test_failed_dispatch_releases_the_dropped_requests_tokens():
         mb.close()
 
 
+def test_capacity_conserved_under_concurrent_chaos():
+    """Invariant: after every request has completed (served or failed),
+    ALL capacity tokens are back — any leak would shrink the queue cap a
+    little more on each failure until the server wedges.  Hammers the
+    batcher with concurrent random-size submits and randomly failing
+    dispatches."""
+    import random
+
+    rng_fail = random.Random(42)
+
+    def flaky_run(block):
+        if rng_fail.random() < 0.3:
+            raise RuntimeError("injected failure")
+        return _row_fn(block)
+
+    mb = MicroBatcher(flaky_run, 4, SHAPE, max_wait_s=0.001, max_pending=32)
+    data_rng = np.random.default_rng(12)
+    errors = []
+
+    def worker(i):
+        local = np.random.default_rng(100 + i)
+        for _ in range(10):
+            n = int(local.integers(1, 12))
+            try:
+                out = mb.submit(_items(data_rng, n))
+                assert out.shape == (n, 2)
+            except RuntimeError as exc:
+                errors.append(exc)
+
+    threads = [
+        threading.Thread(target=worker, args=(i,), daemon=True) for i in range(6)
+    ]
+    try:
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=60)
+            assert not t.is_alive(), "chaos load wedged the batcher"
+        # quiesce: a full-capacity submit must not block (all tokens back);
+        # its dispatch may still hit an injected failure, which is fine
+        try:
+            out = mb.submit(_items(data_rng, 32))
+            assert out.shape == (32, 2)
+        except RuntimeError:
+            pass
+    finally:
+        mb.close()
+    with mb._cap:
+        assert mb._available == mb.max_pending, (
+            f"leaked {mb.max_pending - mb._available} capacity tokens"
+        )
+
+
 def test_close_flushes_inflight_work_then_rejects():
     done = threading.Event()
 
