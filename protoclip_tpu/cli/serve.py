@@ -128,13 +128,18 @@ def make_encode_route(
     encode = load_serving_bundle(bundle_dir)
     batch = encode.manifest["batch_size"]
     n_px = encode.manifest["image_resolution"]
-    if warmup:
-        encode(np.zeros((batch, n_px, n_px, 3), np.uint8))
+    buckets = [int(b) for b in encode.manifest.get("batch_sizes", [batch])]
+    if warmup:  # warm EVERY bucket: each size is its own compiled program
+        for size in buckets:
+            encode(np.zeros((size, n_px, n_px, 3), np.uint8))
 
     pool = pool if pool is not None else _make_pool()
     batcher = MicroBatcher(
         encode, batch, (n_px, n_px, 3), np.uint8,
         max_wait_s=max(0.0, coalesce_ms) / 1e3,
+        # bucketed bundle: hand the batcher's underfull dispatches to the
+        # smallest compiled bucket instead of padding to the max batch
+        trim_underfull=len(buckets) > 1,
     )
 
     def route(payload: dict) -> dict:
@@ -149,6 +154,7 @@ def make_encode_route(
         "mode": "encode",
         "backbone": encode.manifest.get("backbone"),
         "batch_size": batch,
+        "batch_sizes": buckets,
         "image_resolution": n_px,
         "int8": encode.manifest.get("int8"),
         "coalesce_ms": max(0.0, coalesce_ms),

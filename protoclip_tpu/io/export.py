@@ -39,6 +39,10 @@ _PARAMS = "params.npz"
 _SEP = "/"  # pytree path separator inside the npz
 
 
+def _bucket_artifact(size: int) -> str:
+    return f"encoder_b{size}.shlo"
+
+
 def _flatten(params) -> tuple:
     """(path-keyed npz-safe arrays, {path: original dtype name}).
 
@@ -134,11 +138,21 @@ def save_serving_bundle(
     params,
     batch_size: int = 256,
     *,
+    batch_sizes: Optional[Sequence[int]] = None,
     int8: bool = False,
     normalize: bool = True,
     platforms: Optional[Sequence[str]] = None,
 ) -> None:
     """Export the encoder for ``cfg``/``params`` at a fixed ``batch_size``.
+
+    ``batch_sizes`` additionally exports BUCKETED executables (e.g.
+    ``(8, 64, 256)``): the loader pads each call to the smallest compiled
+    bucket that fits, so an underfull dispatch does not pay the full
+    max-batch compute — a 1-image request on a 256-only bundle burns 256x
+    the necessary FLOPs.  Per-image math is row-local (LayerNorm/attention
+    act within an image's own tokens), so results are identical across
+    buckets (asserted in ``tests/test_export.py``).  ``batch_size`` is
+    always included and remains the compiled maximum.
 
     ``int8`` exports the W8A8 serving path (requires the Pallas kernels to
     lower for the target platform — export on/for TPU).  ``platforms``
@@ -160,6 +174,15 @@ def save_serving_bundle(
             "to force Mosaic lowering for a TPU target)"
         )
 
+    sizes = sorted({int(batch_size), *(int(b) for b in (batch_sizes or ()))})
+    if any(b < 1 for b in sizes):
+        raise ValueError(f"batch sizes must be >= 1, got {sizes}")
+    if max(sizes) != int(batch_size):
+        raise ValueError(
+            f"batch_size ({batch_size}) must be the maximum bucket; "
+            f"got batch_sizes={sizes}"
+        )
+
     encode = make_encode_fn(cfg, normalize=normalize)
     n_px = cfg.image_resolution
     # metadata only — np.asarray here would FETCH every device leaf to host
@@ -169,17 +192,19 @@ def save_serving_bundle(
         ),
         params,
     )
-    image_shape = jax.ShapeDtypeStruct((batch_size, n_px, n_px, 3), jnp.uint8)
     kwargs = {"platforms": tuple(platforms)} if platforms else {}
     # scope $PROTOCLIP_INT8 to THIS trace (set both ways — trace-time gate),
     # then restore: the exporter must not flip the caller's serving mode for
     # every later jit in the process
     prior_int8 = os.environ.get("PROTOCLIP_INT8")
     os.environ["PROTOCLIP_INT8"] = "1" if int8 else "0"
+    artifacts = {}
     try:
-        artifact = jax_export.export(jax.jit(encode), **kwargs)(
-            param_shapes, image_shape
-        )
+        for size in sizes:
+            image_shape = jax.ShapeDtypeStruct((size, n_px, n_px, 3), jnp.uint8)
+            artifacts[size] = jax_export.export(jax.jit(encode), **kwargs)(
+                param_shapes, image_shape
+            )
     finally:
         if prior_int8 is None:
             del os.environ["PROTOCLIP_INT8"]
@@ -188,8 +213,13 @@ def save_serving_bundle(
 
     flat, leaf_dtypes = _flatten(params)
     os.makedirs(path, exist_ok=True)
-    with open(os.path.join(path, _ARTIFACT), "wb") as fh:
-        fh.write(artifact.serialize())
+    for size, artifact in artifacts.items():
+        # the max bucket keeps the classic name (back-compat with v1
+        # single-bucket bundles); smaller buckets are suffixed
+        name = _ARTIFACT if size == max(sizes) else _bucket_artifact(size)
+        with open(os.path.join(path, name), "wb") as fh:
+            fh.write(artifact.serialize())
+    artifact = artifacts[max(sizes)]
     np.savez(os.path.join(path, _PARAMS), **flat)
     manifest = {
         "format": "protoclip_tpu.serving_bundle.v1",
@@ -197,6 +227,7 @@ def save_serving_bundle(
         "backbone_embed_dim": int(cfg.embed_dim),
         "image_resolution": int(n_px),
         "batch_size": int(batch_size),
+        "batch_sizes": sizes,
         "int8": bool(int8),
         "normalized": bool(normalize),
         "platforms": list(artifact.platforms),
@@ -222,14 +253,19 @@ def load_serving_bundle(path: str) -> Callable[[np.ndarray], np.ndarray]:
         manifest = json.load(fh)
     if manifest.get("format") != "protoclip_tpu.serving_bundle.v1":
         raise ValueError(f"not a protoclip_tpu serving bundle: {path}")
-    with open(os.path.join(path, _ARTIFACT), "rb") as fh:
-        raw = fh.read()
-    try:
-        artifact = jax_export.deserialize(raw)
-    except Exception as exc:
-        raise ValueError(
-            f"corrupt serving-bundle artifact {_ARTIFACT} in {path}: {exc}"
-        ) from exc
+    sizes = sorted(int(b) for b in manifest.get("batch_sizes", [manifest["batch_size"]]))
+    artifacts = {}
+    for size in sizes:
+        name = _ARTIFACT if size == max(sizes) else _bucket_artifact(size)
+        with open(os.path.join(path, name), "rb") as fh:
+            raw = fh.read()
+        try:
+            artifacts[size] = jax_export.deserialize(raw)
+        except Exception as exc:
+            raise ValueError(
+                f"corrupt serving-bundle artifact {name} in {path}: {exc}"
+            ) from exc
+    artifact = artifacts[max(sizes)]
     leaf_dtypes = manifest.get("param_dtypes", {})
     with np.load(os.path.join(path, _PARAMS)) as npz:
         flat = {
@@ -242,7 +278,7 @@ def load_serving_bundle(path: str) -> Callable[[np.ndarray], np.ndarray]:
         _unflatten(flat, manifest.get("param_seq_nodes", {}))
     )
 
-    batch = manifest["batch_size"]
+    batch = max(sizes)
     n_px = manifest["image_resolution"]
 
     def encode(images_u8: np.ndarray) -> np.ndarray:
@@ -253,16 +289,30 @@ def load_serving_bundle(path: str) -> Callable[[np.ndarray], np.ndarray]:
             raise ValueError(
                 f"bundle expects uint8 pixels (0-255), got {images_u8.dtype}"
             )
-        if images_u8.shape != (batch, n_px, n_px, 3):
+        n = len(images_u8)
+        if (
+            images_u8.ndim != 4
+            or images_u8.shape[1:] != (n_px, n_px, 3)
+            or not 1 <= n <= batch
+        ):
             raise ValueError(
-                f"bundle compiled for {(batch, n_px, n_px, 3)}, "
+                f"bundle compiled for (1..{batch}, {n_px}, {n_px}, 3), "
                 f"got {images_u8.shape}"
             )
-        return np.asarray(artifact.call(params, images_u8))
+        # smallest compiled bucket that fits: an underfull call must not
+        # pay the max-batch compute (per-image math is row-local, so the
+        # first n rows are identical across buckets)
+        bucket = next(s for s in sizes if s >= n)
+        if n != bucket:
+            block = np.zeros((bucket, n_px, n_px, 3), np.uint8)
+            block[:n] = images_u8
+            images_u8 = block
+        return np.asarray(artifacts[bucket].call(params, images_u8))[:n]
 
     encode.manifest = manifest
     # power users (benchmarks, device-resident pipelines) can bypass the
-    # numpy validation wrapper and call the artifact on device arrays
+    # numpy validation wrapper and call the artifacts on device arrays
     encode.artifact = artifact
+    encode.artifacts = artifacts
     encode.params = params
     return encode

@@ -64,6 +64,14 @@ class MicroBatcher:
     max_pending:
         backpressure cap on queued images; :meth:`submit` blocks once the
         cap is reached and rejects single requests larger than it.
+    trim_underfull:
+        pass ``block[:fill]`` instead of the zero-padded full block when a
+        dispatch is underfull.  Only for ``run_batch`` callables that
+        accept variable batch sizes WITHOUT retracing — e.g. a bucketed
+        serving bundle (``io/export.py`` ``batch_sizes``), which pads to
+        its smallest compiled bucket so small dispatches cost less
+        compute.  Leave False for fixed-shape jitted callables (a varying
+        shape would recompile per fill level).
     """
 
     def __init__(
@@ -74,6 +82,7 @@ class MicroBatcher:
         dtype=np.uint8,
         max_wait_s: float = 0.005,
         max_pending: Optional[int] = None,
+        trim_underfull: bool = False,
     ):
         if batch_size <= 0:
             raise ValueError("batch_size must be positive")
@@ -82,6 +91,7 @@ class MicroBatcher:
         self.item_shape = tuple(item_shape)
         self.dtype = np.dtype(dtype)
         self.max_wait_s = float(max_wait_s)
+        self.trim_underfull = bool(trim_underfull)
         self.max_pending = int(max_pending or max(8 * batch_size, 1024))
         self._q: queue.Queue = queue.Queue()
         # backpressure counter. A Condition (not a Semaphore) because a
@@ -254,6 +264,8 @@ class MicroBatcher:
                 pending.popleft()
         t_start = time.monotonic()
         dropped_rows = 0
+        if self.trim_underfull and fill < self.batch_size:
+            block = block[:fill]
         try:
             out = self._run_batch(block)
         except BaseException as exc:  # noqa: BLE001 — fail the requests, not the loop

@@ -36,6 +36,11 @@ def main() -> None:
     parser.add_argument("--batch", type=int, default=256)
     parser.add_argument("--int8", action="store_true")
     parser.add_argument("--iters", type=int, default=8)
+    parser.add_argument(
+        "--buckets", type=int, nargs="*", default=None,
+        help="also export bucketed executables (e.g. --buckets 8 64) and "
+        "validate each bucket's output + per-dispatch latency vs the max",
+    )
     args = parser.parse_args()
 
     import numpy as np
@@ -62,7 +67,7 @@ def main() -> None:
     with tempfile.TemporaryDirectory() as d:
         t0 = time.perf_counter()
         save_serving_bundle(d, cfg, params, batch_size=args.batch,
-                            int8=args.int8)
+                            batch_sizes=args.buckets, int8=args.int8)
         export_s = time.perf_counter() - t0
         artifact_kb = os.path.getsize(os.path.join(d, "encoder.shlo")) / 1024
         print(f"[bundle] exported in {export_s:.1f}s, "
@@ -105,13 +110,36 @@ def main() -> None:
             run_once()
         dt = (time.perf_counter() - t0) / args.iters
         ips = args.batch / dt
-        print(json.dumps({
+        line = {
             "bundle_images_per_sec_device_input": round(ips, 1),
             "ms_per_batch": round(dt * 1e3, 2),
             "note": "per-dispatch (one batch per round trip): includes the "
                     "~27 ms tunnel dispatch tax and the feature fetch; "
                     "compare bench.py which amortizes 20 batches/dispatch",
-        }))
+        }
+
+        # bucketed executables: each bucket's rows must match the max-batch
+        # output exactly, and small buckets should dispatch faster
+        for size in sorted(args.buckets or []):
+            sub = encode(imgs[:size])
+            bucket_max = float(np.max(np.abs(sub - got[:size])))
+            if bucket_max != 0.0:
+                sys.exit(
+                    f"FAIL: bucket {size} diverges from the max batch "
+                    f"({bucket_max})"
+                )
+            dev_sub = jax.device_put(imgs[:size])
+            art = encode.artifacts[size]
+            for _ in range(2):
+                np.asarray(art.call(encode.params, dev_sub))
+            t0 = time.perf_counter()
+            for _ in range(args.iters):
+                np.asarray(art.call(encode.params, dev_sub))
+            line[f"bucket_{size}_ms_per_dispatch"] = round(
+                (time.perf_counter() - t0) / args.iters * 1e3, 2
+            )
+
+        print(json.dumps(line))
         print("[bundle] OK")
 
 

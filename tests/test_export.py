@@ -96,8 +96,11 @@ def test_bundle_rejects_wrong_shape_and_format(tmp_path, tiny):
     save_serving_bundle(bundle, cfg, params, batch_size=4, normalize=False)
     encode = load_serving_bundle(bundle)
     assert encode.manifest["normalized"] is False
+    # n <= max is accepted (padded to the compiled bucket); over/empty not
     with pytest.raises(ValueError, match="compiled for"):
-        encode(np.zeros((2, 32, 32, 3), np.uint8))  # wrong batch
+        encode(np.zeros((5, 32, 32, 3), np.uint8))  # over the max batch
+    with pytest.raises(ValueError, match="compiled for"):
+        encode(np.zeros((0, 32, 32, 3), np.uint8))  # empty
     with pytest.raises(ValueError, match="compiled for"):
         encode(np.zeros((4, 64, 64, 3), np.uint8))  # wrong resolution
     with pytest.raises(ValueError, match="uint8"):
@@ -141,6 +144,50 @@ def test_export_restores_int8_env_and_rejects_untraceable_int8(tmp_path, tiny, m
     with pytest.raises(ValueError, match="Pallas kernels are disabled"):
         save_serving_bundle(str(tmp_path / "c"), cfg, params, batch_size=2, int8=True)
     assert not os.path.exists(tmp_path / "c")  # no half-written bundle
+
+
+def test_bucketed_bundle_routes_to_smallest_fitting_bucket(tmp_path, tiny):
+    """batch_sizes exports one executable per bucket; calls route to the
+    smallest bucket that fits and return rows identical to the max-bucket
+    path (per-image math is row-local)."""
+    cfg, params = tiny
+    bundle = str(tmp_path / "bundle")
+    save_serving_bundle(bundle, cfg, params, batch_size=8, batch_sizes=(2, 4))
+    files = sorted(os.listdir(bundle))
+    assert "encoder.shlo" in files  # max bucket keeps the classic name
+    assert "encoder_b2.shlo" in files and "encoder_b4.shlo" in files
+
+    encode = load_serving_bundle(bundle)
+    assert encode.manifest["batch_sizes"] == [2, 4, 8]
+    assert sorted(encode.artifacts) == [2, 4, 8]
+
+    rng = np.random.default_rng(1)
+    imgs = rng.integers(0, 256, (8, 32, 32, 3), np.uint8)
+    full = encode(imgs)  # max bucket
+    for n in (1, 2, 3, 4, 5, 8):  # exact-fit, pad-within-bucket, next-bucket
+        got = encode(imgs[:n])
+        assert got.shape == (n, 32)
+        np.testing.assert_array_equal(got, full[:n])
+    with pytest.raises(ValueError, match="compiled for"):
+        encode(np.zeros((9, 32, 32, 3), np.uint8))
+
+    # bucket ordering invalid: batch_size must be the max
+    with pytest.raises(ValueError, match="maximum bucket"):
+        save_serving_bundle(
+            str(tmp_path / "bad"), cfg, params, batch_size=4, batch_sizes=(8,)
+        )
+
+
+def test_single_bucket_bundle_accepts_underfull_batches(tmp_path, tiny):
+    """Back-compat relaxation: a classic single-bucket bundle pads n < max
+    to its compiled batch instead of rejecting (the padded rows are zero
+    and the first n results are unchanged)."""
+    cfg, params = tiny
+    bundle = str(tmp_path / "bundle")
+    save_serving_bundle(bundle, cfg, params, batch_size=4)
+    encode = load_serving_bundle(bundle)
+    imgs = np.random.default_rng(2).integers(0, 256, (4, 32, 32, 3), np.uint8)
+    np.testing.assert_array_equal(encode(imgs[:3]), encode(imgs)[:3])
 
 
 def test_manifest_records_backbone(tmp_path, tiny):

@@ -76,7 +76,10 @@ def test_bench_emits_one_json_line_on_cpu(tmp_path):
     assert len(lines) == 1, proc.stdout
     row = json.loads(lines[0])
     assert row["metric"] == "vit_b16_encode_images_per_sec_per_chip"
-    assert set(row) == {"metric", "value", "unit", "vs_baseline"}
+    # "note" is present exactly when the CPU debug fallback ran (so the
+    # recorded number can never read as a TPU regression); this run IS cpu
+    assert set(row) == {"metric", "value", "unit", "vs_baseline", "note"}
+    assert "CPU debug fallback" in row["note"]
     assert row["value"] > 0
 
 

@@ -234,6 +234,28 @@ def test_failed_dispatch_releases_the_dropped_requests_tokens():
         mb.close()
 
 
+def test_trim_underfull_passes_only_the_filled_rows():
+    """trim_underfull hands run_batch block[:fill] so a variable-batch
+    callee (a bucketed serving bundle) can dispatch a smaller compiled
+    program; full dispatches still get the full block."""
+    seen = []
+
+    def run(block):
+        seen.append(len(block))
+        return _row_fn(block)
+
+    rng = np.random.default_rng(13)
+    mb = MicroBatcher(run, 4, SHAPE, max_wait_s=0.0, trim_underfull=True)
+    try:
+        x = _items(rng, 3)
+        np.testing.assert_array_equal(mb.submit(x), _row_fn(x))
+        y = _items(rng, 4)
+        np.testing.assert_array_equal(mb.submit(y), _row_fn(y))
+        assert seen == [3, 4]
+    finally:
+        mb.close()
+
+
 def test_capacity_conserved_under_concurrent_chaos():
     """Invariant: after every request has completed (served or failed),
     ALL capacity tokens are back — any leak would shrink the queue cap a

@@ -194,6 +194,53 @@ def test_short_body_times_out_instead_of_wedging(server):
         handler.timeout = old_timeout
 
 
+def test_bucketed_bundle_serving_matches_full_batch(tmp_path):
+    """A bundle exported with batch_sizes serves underfull requests off a
+    smaller compiled bucket (trim_underfull path) with results identical
+    to the full-batch path, and /healthz reports the buckets."""
+    import urllib.request
+
+    from protoclip_tpu.io.export import load_serving_bundle
+
+    bundle = str(tmp_path / "bundle")
+    params = init_clip_params(jax.random.PRNGKey(3), TINY_VIT)
+    save_serving_bundle(bundle, TINY_VIT, params, batch_size=8, batch_sizes=(2,))
+    srv = build_server(port=0, bundle=bundle, quiet=True, coalesce_ms=0.0)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    try:
+        port = srv.server_address[1]
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz") as resp:
+            health = json.loads(resp.read())
+        assert health["batch_sizes"] == [2, 8]
+        route = srv.RequestHandlerClass.routes["/encode"]
+        assert route.batcher.trim_underfull
+
+        rng = np.random.default_rng(7)
+        arrs = [rng.integers(0, 256, (40, 37, 3)).astype(np.uint8) for _ in range(2)]
+        status, body = _post(port, "/encode", {"images": [_b64_jpeg(a) for a in arrs]})
+        assert status == 200
+        got = np.asarray(body["features"], np.float32)
+
+        # reference: the same rows through the max-bucket direct call
+        from protoclip_tpu.data.transforms import clip_preprocess
+        from PIL import Image as _Image
+        import base64 as _b64
+        import io as _io
+
+        encode = load_serving_bundle(bundle)
+        block = np.zeros((8, 32, 32, 3), np.uint8)
+        for i, a in enumerate(arrs):
+            im = _Image.open(_io.BytesIO(_b64.b64decode(_b64_jpeg(a))))
+            block[i] = clip_preprocess(im.convert("RGB"), 32)
+        want = encode(block)[:2]
+        np.testing.assert_array_equal(got, want.astype(np.float32))
+    finally:
+        srv.shutdown()
+        srv.server_close()
+        thread.join(timeout=5)
+
+
 def test_dual_mode_healthz_reports_both_routes(tmp_path):
     """bundle + classifier together: /healthz must expose BOTH routes'
     info, not silently drop the encode manifest.  (Only the construction /
