@@ -181,10 +181,10 @@ def make_classify_route(
 
     n_px = classifier.clip_cfg.image_resolution
     top_k = max(1, classifier.cfg.top_k)
-    if warmup:  # compile the jitted infer path before serving traffic
-        classifier.infer_canvases(
-            np.zeros((classifier.max_batch, n_px, n_px, 3), np.uint8)
-        )
+    buckets = list(getattr(classifier, "batch_buckets", [classifier.max_batch]))
+    if warmup:  # compile the jitted infer path(s) before serving traffic
+        for size in buckets:
+            classifier.infer_canvases(np.zeros((size, n_px, n_px, 3), np.uint8))
 
     pool = pool if pool is not None else _make_pool()
 
@@ -199,6 +199,9 @@ def make_classify_route(
     batcher = MicroBatcher(
         run_block, classifier.max_batch, (n_px, n_px, 3), np.uint8,
         max_wait_s=max(0.0, coalesce_ms) / 1e3,
+        # bucketed classifier: infer_canvases pads trimmed underfull
+        # dispatches to its smallest compiled bucket
+        trim_underfull=len(buckets) > 1,
     )
 
     def route(payload: dict) -> dict:
@@ -218,6 +221,7 @@ def make_classify_route(
         "top_k": classifier.cfg.top_k,
         "num_classes": len(classifier.class_id_mapping),
         "batch_size": classifier.max_batch,
+        "batch_sizes": buckets,
         "coalesce_ms": max(0.0, coalesce_ms),
         "fast_decode": bool(fast_decode),
     }
@@ -361,6 +365,12 @@ def main() -> None:
     parser.add_argument("--memory_bank_t")
     parser.add_argument("--adapter_weights")
     parser.add_argument(
+        "--classify-buckets", type=int, nargs="*", default=None,
+        help="extra compiled batch sizes for /classify (e.g. 2 8): underfull "
+        "dispatches pad to the smallest bucket that fits instead of the "
+        "classifier's max batch (encode-mode buckets come from the bundle)",
+    )
+    parser.add_argument(
         "--no-warmup", action="store_true",
         help="skip the startup dummy batch (first request pays the compile)",
     )
@@ -390,6 +400,7 @@ def main() -> None:
             memory_bank_v_path=args.memory_bank_v,
             memory_bank_t_path=args.memory_bank_t,
             adapter_weights_path=args.adapter_weights,
+            batch_buckets=args.classify_buckets,
         )
 
     server = build_server(

@@ -45,9 +45,21 @@ class ProtoClipClassifier:
         adapter_weights_path: Optional[str] = None,
         class_id_mapping: Optional[Dict[int, str]] = None,
         max_batch: int = 16,
+        batch_buckets: Optional[Sequence[int]] = None,
     ):
         self.cfg = cfg
-        self.max_batch = max_batch
+        self.max_batch = int(max_batch)
+        # compiled batch buckets: infer pads each call to the smallest
+        # bucket that fits, so a small crop batch does not pay max_batch
+        # compute while the number of compiled shapes stays bounded (each
+        # distinct shape is a separate jit executable — 30-300 s per
+        # compile on the remote-TPU backend)
+        buckets = sorted({int(b) for b in (batch_buckets or ())} | {self.max_batch})
+        if buckets[0] < 1 or buckets[-1] != self.max_batch:
+            raise ValueError(
+                f"batch_buckets must lie in [1, max_batch={max_batch}], got {buckets}"
+            )
+        self.batch_buckets = buckets
         self.clip_cfg, self._clip_params = load_clip(
             cfg.backbone, cfg.weights_path,
             dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32,
@@ -113,20 +125,33 @@ class ProtoClipClassifier:
 
     def _preprocess_crops(self, crops: Sequence[np.ndarray]) -> np.ndarray:
         n_px = self.clip_cfg.image_resolution
-        out = np.zeros((self.max_batch, n_px, n_px, 3), np.uint8)
+        out = np.zeros((len(crops[: self.max_batch]), n_px, n_px, 3), np.uint8)
         for i, crop in enumerate(crops[: self.max_batch]):
             out[i] = clip_preprocess(Image.fromarray(np.asarray(crop)), n_px)
         return out
 
     def infer_canvases(self, canvases_u8: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         """Device dispatch on already-preprocessed canvases (resize-shorter
-        + center-crop, the reference CLIP preprocess): (B, n_px, n_px, 3)
-        uint8 -> (top-k probs, top-k class ids), both (B, top_k).  Rows are
-        independent (the preprocess is per-crop), so callers may batch crops
-        from unrelated requests — the serving front-end's micro-batcher hook
-        (``cli/serve.py``)."""
+        + center-crop, the reference CLIP preprocess): (n, n_px, n_px, 3)
+        uint8, 1 <= n <= max_batch -> (top-k probs, top-k class ids), both
+        (n, top_k).  The call is zero-padded to the smallest compiled
+        bucket (``batch_buckets``) that fits, so only bucket shapes ever
+        compile.  Rows are independent (the preprocess is per-crop), so
+        callers may batch crops from unrelated requests — the serving
+        front-end's micro-batcher hook (``cli/serve.py``)."""
+        canvases_u8 = np.asarray(canvases_u8)
+        n = len(canvases_u8)
+        if not 1 <= n <= self.max_batch:
+            raise ValueError(
+                f"expected 1..{self.max_batch} canvases, got {n}"
+            )
+        bucket = next(b for b in self.batch_buckets if b >= n)
+        if n != bucket:
+            block = np.zeros((bucket,) + canvases_u8.shape[1:], canvases_u8.dtype)
+            block[:n] = canvases_u8
+            canvases_u8 = block
         probs, idxs = self._infer(jnp.asarray(canvases_u8))
-        return np.asarray(probs), np.asarray(idxs)
+        return np.asarray(probs)[:n], np.asarray(idxs)[:n]
 
     def names_for_ids(self, idxs: np.ndarray) -> List[List[str]]:
         """Top-k id rows -> display classnames (splits-file mapping,

@@ -202,6 +202,45 @@ def test_proto_clip_classifier(classifier_env):
     assert not np.allclose(probs_before, probs_after)
 
 
+def test_classifier_batch_buckets(classifier_env):
+    """Bucketed inference: a small crop batch pads to the smallest compiled
+    bucket (bounding jit shapes) and yields the same rows as the max-batch
+    path; invalid buckets are rejected."""
+    from protoclip_tpu.toolkit import ProtoClipClassifier
+
+    clf = ProtoClipClassifier(
+        classifier_env["cfg"],
+        splits_path=classifier_env["splits"],
+        memory_bank_v_path=classifier_env["v"],
+        memory_bank_t_path=classifier_env["t"],
+        adapter_weights_path=classifier_env["a"],
+        max_batch=8,
+        batch_buckets=(2,),
+    )
+    assert clf.batch_buckets == [2, 8]
+    rng = np.random.default_rng(4)
+    n_px = clf.clip_cfg.image_resolution
+    canvases = rng.integers(0, 256, (8, n_px, n_px, 3)).astype(np.uint8)
+    full_p, full_i = clf.infer_canvases(canvases)
+    for n in (1, 2, 3, 8):
+        p, i = clf.infer_canvases(canvases[:n])
+        assert p.shape == (n, 2)
+        # buckets are distinct compiled programs: batch-shape-dependent
+        # matmul tiling can move probabilities by ~1 ULP
+        np.testing.assert_allclose(p, full_p[:n], rtol=1e-6, atol=1e-7)
+        np.testing.assert_array_equal(i, full_i[:n])
+    with pytest.raises(ValueError, match="1..8"):
+        clf.infer_canvases(np.zeros((9, n_px, n_px, 3), np.uint8))
+    with pytest.raises(ValueError, match="batch_buckets"):
+        ProtoClipClassifier(
+            classifier_env["cfg"], splits_path=classifier_env["splits"],
+            memory_bank_v_path=classifier_env["v"],
+            memory_bank_t_path=classifier_env["t"],
+            adapter_weights_path=classifier_env["a"],
+            max_batch=4, batch_buckets=(8,),
+        )
+
+
 def test_ood_eval(classifier_env):
     from protoclip_tpu.toolkit.ood import test_ood_performance
     from protoclip_tpu.train.runner import make_encode_fns
