@@ -39,7 +39,8 @@ from protoclip_tpu.io.export import save_serving_bundle
 from protoclip_tpu.models import load_clip
 cfg, params = load_clip({args.backbone!r}, dtype=jnp.bfloat16)
 save_serving_bundle({args.bundle!r}, cfg, params,
-                    batch_size={args.batch}, int8={args.int8})
+                    batch_size={args.batch}, int8={args.int8},
+                    batch_sizes={tuple(args.buckets or ())!r} or None)
 print("exported", flush=True)
 """
     subprocess.run([sys.executable, "-c", code], check=True, cwd=REPO)
@@ -128,6 +129,11 @@ def main() -> None:
                         help="first compile of the artifact can be minutes cold")
     parser.add_argument("--skip-export", action="store_true",
                         help="reuse an existing --bundle dir")
+    parser.add_argument(
+        "--buckets", type=int, nargs="*", default=None,
+        help="export bucketed executables (e.g. --buckets 8 64): underfull "
+        "serving dispatches pad to the smallest bucket instead of --batch",
+    )
     args = parser.parse_args()
 
     if not args.skip_export:
