@@ -10,7 +10,6 @@ kernel so the production kernel stays untouched until a winner is ported.
 
 from __future__ import annotations
 
-import functools
 import sys
 import time
 

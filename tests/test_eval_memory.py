@@ -233,8 +233,6 @@ def test_reference_layout_pt_when_nk_smaller_than_dim(tmp_path):
     # text bank: (d, N) with N < d
     n = 3
     bank_ref = np.random.default_rng(1).standard_normal((d, n)).astype(np.float32)
-    import numpy as _np
-
     cache.save(cache.text_bank_stem(), bank=bank_ref)
     bank = build_textual_memory_bank(None, ["a", "b", "c"], ["{}"], cache=cache)
     assert bank.shape == (n, d)

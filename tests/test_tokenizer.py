@@ -3,7 +3,6 @@ from the same merge table (an independent implementation of the same spec)."""
 
 import gzip
 import json
-import os
 
 import numpy as np
 import pytest

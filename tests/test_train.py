@@ -7,10 +7,9 @@ import numpy as np
 import pytest
 
 import jax
-import jax.numpy as jnp
 
 from protoclip_tpu.core.config import Config, load_config
-from protoclip_tpu.core.protoclip import ProtoClip, accuracy
+from protoclip_tpu.core.protoclip import accuracy
 from protoclip_tpu.train.episodic import (
     EpisodicTrainer,
     episode_bounds,
