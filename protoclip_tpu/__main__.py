@@ -1,6 +1,6 @@
 """``python -m protoclip_tpu`` — the experiment runner (``cli/main.py``),
 same entry the reference exposes as ``python main.py`` (ref ``main.py:475``).
-Other entries: ``-m protoclip_tpu.cli.{extract,serve,ood,tsne,transcribe,ros_node}``."""
+Other entries: ``-m protoclip_tpu.cli.{extract,export,serve,ood,tsne,transcribe,ros_node}``."""
 
 from protoclip_tpu.cli.main import main
 

@@ -190,6 +190,32 @@ def test_single_bucket_bundle_accepts_underfull_batches(tmp_path, tiny):
     np.testing.assert_array_equal(encode(imgs[:3]), encode(imgs)[:3])
 
 
+def test_export_cli_writes_loadable_bundle(tmp_path, monkeypatch):
+    """python -m protoclip_tpu.cli.export — the CLI half of the
+    train -> export -> serve workflow — writes a bundle the serving loader
+    accepts, with buckets applied."""
+    import pickle
+
+    from tests.test_models import _tiny_torch_style_state_dict
+
+    from protoclip_tpu.cli.export import main as export_main
+
+    sd = _tiny_torch_style_state_dict(np.random.default_rng(0))
+    weights = str(tmp_path / "tiny.pt")
+    with open(weights, "wb") as fh:
+        pickle.dump({k: np.asarray(v) for k, v in sd.items()}, fh)
+    out = str(tmp_path / "bundle")
+    export_main([
+        "--backbone", "tiny", "--weights", weights, "--out", out,
+        "--batch", "4", "--buckets", "2",
+    ])
+    encode = load_serving_bundle(out)
+    assert encode.manifest["batch_sizes"] == [2, 4]
+    n_px = encode.manifest["image_resolution"]
+    got = encode(np.zeros((3, n_px, n_px, 3), np.uint8))
+    assert got.shape[0] == 3 and np.isfinite(got).all()
+
+
 def test_manifest_records_backbone(tmp_path, tiny):
     cfg, params = tiny
     bundle = str(tmp_path / "bundle")
