@@ -47,7 +47,7 @@ def get_arguments() -> argparse.Namespace:
     )
     parser.add_argument(
         "--resume", action="store_true", default=None,
-        help="resume from the operating point's train_state.pkl snapshot "
+        help="resume from the operating point's trainer-state snapshot "
         "if one exists (replay-exact: same episodes/batches as an "
         "uninterrupted run)",
     )

@@ -172,9 +172,12 @@ def make_classify_route(
     Same dispatch discipline as /encode: the preprocess is per-crop (rows
     independent), so concurrent requests' crops coalesce into one
     fixed-size device batch via ``classifier.infer_canvases``; over-batch
-    requests split across dispatches.  Results are bit-identical to
-    serial ``classify_objects`` calls (asserted in
-    ``tests/test_toolkit.py::test_serve_classify_route``)."""
+    requests split across dispatches.  With a single compiled bucket,
+    results are bit-identical to serial ``classify_objects`` calls
+    (asserted in ``tests/test_toolkit.py::test_serve_classify_route``);
+    with ``batch_buckets`` an underfull window may run a different
+    compiled program, whose batch-shape-dependent tiling can move
+    probabilities by ~1 ULP (top-k ids unchanged)."""
     import numpy as np
 
     from protoclip_tpu.toolkit.microbatch import MicroBatcher
@@ -218,7 +221,7 @@ def make_classify_route(
     info = {
         "mode": "classify",
         "backbone": classifier.cfg.backbone,
-        "top_k": classifier.cfg.top_k,
+        "top_k": top_k,  # the CLAMPED width actually served, not raw cfg
         "num_classes": len(classifier.class_id_mapping),
         "batch_size": classifier.max_batch,
         "batch_sizes": buckets,

@@ -81,6 +81,8 @@ class Config:
             )
         if self.snapshot_every < 0:
             raise ValueError("snapshot_every must be >= 0 (0 disables snapshots)")
+        if self.top_k < 1:
+            raise ValueError("top_k must be >= 1")
         return self
 
     def to_dict(self) -> dict:

@@ -180,18 +180,27 @@ def build_textual_memory_bank(
             bank = cached.get("bank", cached.get("array"))
             if bank is not None:
                 bank = np.asarray(bank, np.float32)
-                # reference stores the bank transposed (d, N)
-                bank = _orient_rows(bank, len(classnames))
-                if bank.shape[0] != len(classnames):
-                    # dataset-variant guard (see build_visual_memory_bank):
-                    # a bank cached by the other variant sharing this cache
-                    # tree has the wrong class count — rebuild
+                # dataset-variant guard (see build_visual_memory_bank).
+                # Prefer the stored n_class field (written by our save
+                # below): the post-orientation shape heuristic alone can be
+                # fooled when the stale bank's embed dim happens to equal
+                # the expected class count.  Reference-produced caches lack
+                # the field and fall back to the heuristic.
+                stored_n = cached.get("n_class")
+                if stored_n is not None and int(stored_n) != len(classnames):
+                    bank = None
+                else:
+                    # reference stores the bank transposed (d, N)
+                    bank = _orient_rows(bank, len(classnames))
+                    if bank.shape[0] != len(classnames):
+                        bank = None
+                if bank is None:
                     import sys
 
                     print(
-                        f"[protoclip_tpu] cached textual bank has "
-                        f"{bank.shape[0]} classes, expected {len(classnames)} "
-                        "(different dataset variant?); rebuilding",
+                        "[protoclip_tpu] cached textual bank does not match "
+                        f"the expected {len(classnames)} classes (different "
+                        "dataset variant?); rebuilding",
                         file=sys.stderr,
                     )
                 else:
@@ -224,7 +233,12 @@ def build_textual_memory_bank(
     bank = bank.astype(np.float32)
 
     if cache is not None:
-        cache.save(cache.text_bank_stem(), bank=bank)
+        # n_class stored alongside: the load-time variant guard above
+        # validates it instead of relying on shape heuristics
+        cache.save(
+            cache.text_bank_stem(), bank=bank,
+            n_class=np.asarray(n_class, np.int64),
+        )
     return bank
 
 

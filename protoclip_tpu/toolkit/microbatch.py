@@ -98,9 +98,13 @@ class MicroBatcher:
         # request's tokens must be acquired ATOMICALLY: with one-at-a-time
         # semaphore acquires, two concurrent large submits can interleave
         # (each holding half the capacity, each blocked on the next token,
-        # neither enqueued) and deadlock the whole server.
+        # neither enqueued) and deadlock the whole server.  Admission is
+        # FIFO (_cap_waiters): without an ordering, a large submit waiting
+        # for n tokens could starve forever behind a stream of small
+        # submits that keep grabbing freed capacity first.
         self._cap = threading.Condition()
         self._available = self.max_pending
+        self._cap_waiters: collections.deque = collections.deque()
         self._closed = False
         # orders enqueues against the close sentinel: nothing may be
         # queued after it (the dispatcher thread exits once it drains)
@@ -143,11 +147,19 @@ class MicroBatcher:
             )
         n = len(images)
         with self._cap:  # backpressure: block until ALL n tokens fit at once
-            while not self._closed and self._available < n:
-                self._cap.wait()
-            if self._closed:
-                raise RuntimeError("MicroBatcher is closed")
-            self._available -= n
+            ticket = object()
+            self._cap_waiters.append(ticket)
+            try:
+                while not self._closed and not (
+                    self._cap_waiters[0] is ticket and self._available >= n
+                ):
+                    self._cap.wait()
+                if self._closed:
+                    raise RuntimeError("MicroBatcher is closed")
+                self._available -= n
+            finally:
+                self._cap_waiters.remove(ticket)
+                self._cap.notify_all()  # the next ticket holder re-checks
         req = _Request(images)
         rejected = False
         with self._submit_lock:

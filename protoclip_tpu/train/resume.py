@@ -81,6 +81,12 @@ def load_train_state(path: str, trainer) -> tuple[int, Dict[str, Any]]:
                 f"parameter shape mismatch: checkpoint {tuple(saved.shape)} vs "
                 f"trainer {cur_shape} (different config?)"
             )
+        cur_dtype = np.dtype(getattr(cur, "dtype", np.asarray(cur).dtype))
+        if saved.dtype != cur_dtype:
+            raise ValueError(
+                f"parameter dtype mismatch: checkpoint {saved.dtype} vs "
+                f"trainer {cur_dtype} (different compute_dtype?)"
+            )
     trainer.params = jax.tree_util.tree_unflatten(
         treedef_cur, [np.asarray(x) for x in flat_saved]
     )

@@ -240,9 +240,16 @@ def save_model_checkpoint(model, adapter_kind: str, paths) -> None:
 
 
 def snapshot_path(ckpt_v: str) -> str:
-    """The trainer-state snapshot lives next to the best-checkpoint triple
-    (one snapshot per operating point, like the triple itself)."""
-    return os.path.join(os.path.dirname(ckpt_v), "train_state.pkl")
+    """The trainer-state snapshot lives next to the best-checkpoint triple,
+    named after the SAME lr/aug/epochs prefix: the alpha-beta directory
+    alone is shared by every (lr, augment_epoch, train_epoch) operating
+    point (only the triple FILENAMES carry them, io/checkpoint.py), and a
+    bare train_state.pkl there would let a different operating point's run
+    silently resume from this one's state."""
+    stem = os.path.basename(ckpt_v)
+    suffix = "_v.pt"
+    stem = stem[: -len(suffix)] if stem.endswith(suffix) else os.path.splitext(stem)[0]
+    return os.path.join(os.path.dirname(ckpt_v), f"{stem}_train_state.pkl")
 
 
 def maybe_resume(

@@ -123,11 +123,15 @@ def main() -> None:
         for size in sorted(args.buckets or []):
             sub = encode(imgs[:size])
             bucket_max = float(np.max(np.abs(sub - got[:size])))
-            if bucket_max != 0.0:
+            # buckets are DISTINCT compiled programs: batch-shape-dependent
+            # MXU tiling can move fp32 features by ~1 ULP (unlike the
+            # same-program reload check above, which must be exactly 0)
+            if bucket_max > 1e-5:
                 sys.exit(
                     f"FAIL: bucket {size} diverges from the max batch "
-                    f"({bucket_max})"
+                    f"(max|diff| = {bucket_max})"
                 )
+            print(f"[bundle] bucket {size}: max|diff| vs max batch = {bucket_max:.2e}")
             dev_sub = jax.device_put(imgs[:size])
             art = encode.artifacts[size]
             for _ in range(2):

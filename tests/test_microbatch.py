@@ -256,6 +256,40 @@ def test_trim_underfull_passes_only_the_filled_rows():
         mb.close()
 
 
+def test_large_submit_is_not_starved_by_small_ones():
+    """Regression: without FIFO admission, a full-capacity submit waiting
+    for max_pending tokens could starve forever behind a stream of small
+    submits that keep grabbing freed capacity first."""
+    stop = threading.Event()
+    rng = np.random.default_rng(14)
+    mb = MicroBatcher(_row_fn, 4, SHAPE, max_wait_s=0.0, max_pending=8)
+    done = threading.Event()
+    out = {}
+
+    def small_stream():
+        x = _items(rng, 6)
+        while not stop.is_set():
+            mb.submit(x)
+
+    def big():
+        out["got"] = mb.submit(_items(rng, 8))  # needs ALL capacity at once
+        done.set()
+
+    streams = [threading.Thread(target=small_stream, daemon=True) for _ in range(2)]
+    try:
+        for t in streams:
+            t.start()
+        time.sleep(0.05)  # saturate before the big request arrives
+        threading.Thread(target=big, daemon=True).start()
+        assert done.wait(timeout=30), "full-capacity submit starved"
+        assert out["got"].shape == (8, 2)
+    finally:
+        stop.set()
+        for t in streams:
+            t.join(timeout=10)
+        mb.close()
+
+
 def test_capacity_conserved_under_concurrent_chaos():
     """Invariant: after every request has completed (served or failed),
     ALL capacity tokens are back — any leak would shrink the queue cap a
