@@ -47,8 +47,11 @@ def _flatten(params) -> tuple:
     """(path-keyed npz-safe arrays, {path: original dtype name}).
 
     numpy cannot serialize ml_dtypes (bfloat16 round-trips ``.npz`` as a
-    void ``|V2`` and is destroyed) — such leaves are widened to fp32 for
-    storage and their true dtype recorded for the loader to restore."""
+    void ``|V2`` and is destroyed) — such leaves are stored as same-width
+    unsigned-int BIT VIEWS (bf16 -> uint16, fp8 -> uint8) with their true
+    dtype recorded for the loader to view back.  A bit view keeps the
+    artifact at the weights' native size; the earlier fp32 widening
+    doubled every bundle (ViT-L/14: +600 MB)."""
     import jax
 
     flat, dtypes = {}, {}
@@ -59,7 +62,7 @@ def _flatten(params) -> tuple:
         arr = np.asarray(leaf)
         if arr.dtype.kind == "V":  # ml_dtypes leaf (bfloat16, fp8, ...)
             dtypes[key] = arr.dtype.name
-            arr = arr.astype(np.float32)
+            arr = arr.view(np.dtype(f"uint{arr.dtype.itemsize * 8}"))
         flat[key] = arr
     return flat, dtypes
 
@@ -267,11 +270,19 @@ def load_serving_bundle(path: str) -> Callable[[np.ndarray], np.ndarray]:
             ) from exc
     artifact = artifacts[max(sizes)]
     leaf_dtypes = manifest.get("param_dtypes", {})
+
+    def _restore(key: str, arr: np.ndarray) -> np.ndarray:
+        if key not in leaf_dtypes:
+            return arr
+        if arr.dtype.kind == "u":
+            # current format: same-width unsigned bit view -> view back
+            return arr.view(leaf_dtypes[key])
+        # legacy bundles stored ml_dtypes leaves widened to fp32: convert
+        # (exact — the values originated at the narrower dtype)
+        return arr.astype(leaf_dtypes[key])
+
     with np.load(os.path.join(path, _PARAMS)) as npz:
-        flat = {
-            k: npz[k].astype(leaf_dtypes[k]) if k in leaf_dtypes else npz[k]
-            for k in npz.files
-        }
+        flat = {k: _restore(k, npz[k]) for k in npz.files}
     # device_put ONCE: weights must not re-cross host->device per batch
     # (the serving hot path; see CLAUDE.md on hot-path transfers)
     params = jax.device_put(

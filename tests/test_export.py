@@ -29,6 +29,16 @@ def tiny():
     return TINY_VIT, params
 
 
+def _legacy_flat(params):
+    """Path-keyed leaves like io/export._flatten but WITHOUT the bit-view
+    (for writing legacy-format fixtures)."""
+    flat = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        key = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+        flat[key] = leaf
+    return flat
+
+
 def test_bundle_roundtrip(tmp_path, tiny):
     cfg, params = tiny
     bundle = str(tmp_path / "bundle")
@@ -59,8 +69,9 @@ def test_bundle_roundtrip(tmp_path, tiny):
 def test_bundle_roundtrips_bf16_params(tmp_path, tiny):
     """bfloat16 leaves survive the npz round trip: numpy serializes
     ml_dtypes as opaque void (``|V2``) and destroys them, so the exporter
-    widens them to fp32 in storage and records the true dtype in the
-    manifest for the loader to restore."""
+    stores them as uint16 BIT VIEWS (native size — the earlier fp32
+    widening doubled every bundle) and records the true dtype in the
+    manifest for the loader to view back."""
     from protoclip_tpu.models.clip import cast_params
 
     cfg, params = tiny
@@ -72,9 +83,22 @@ def test_bundle_roundtrips_bf16_params(tmp_path, tiny):
         manifest = json.load(fh)
     assert manifest["param_dtypes"], "bf16 leaves must be recorded"
     assert set(manifest["param_dtypes"].values()) == {"bfloat16"}
-    # the stored npz itself holds no destroyed void leaves
+    # stored at native 2-byte width as bit views, no destroyed void leaves
     with np.load(os.path.join(bundle, "params.npz")) as npz:
         assert all(npz[k].dtype.kind != "V" for k in npz.files)
+        assert any(npz[k].dtype == np.uint16 for k in npz.files)
+
+    # legacy bundles (fp32-widened storage) must still load: rewrite the
+    # npz the old way and check the loader's astype fallback
+    legacy = {
+        k: (np.asarray(v).astype(np.float32) if np.asarray(v).dtype.kind == "V" else np.asarray(v))
+        for k, v in _legacy_flat(bf16).items()
+    }
+    with open(os.path.join(bundle, "params.npz"), "wb") as fh:
+        np.savez(fh, **legacy)
+    encode_legacy = load_serving_bundle(bundle)
+    imgs0 = np.random.default_rng(5).integers(0, 256, (2, 32, 32, 3), np.uint8)
+    assert np.isfinite(encode_legacy(imgs0)).all()
 
     encode = load_serving_bundle(bundle)
     imgs = np.random.default_rng(2).integers(0, 256, (2, 32, 32, 3), np.uint8)
