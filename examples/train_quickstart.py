@@ -157,10 +157,16 @@ def main() -> None:
     print(f"[quickstart] trained test acc fixed(a={cfg.alpha}, b={cfg.beta}): "
           f"{result.test_acc_fixed:.3f}  searched: {result.test_acc_searched:.3f}")
 
-    # the checkpoint triple is torch-format in the reference cache tree
-    ckpts = sorted(glob.glob(os.path.join(
+    # the checkpoint triple is torch-format in the reference cache tree; on
+    # torch-less hosts save_checkpoint_triple writes *.pt.npz sidecars
+    # instead — glob both and keep the .pt stem (load_checkpoint_triple
+    # resolves the sidecar from it)
+    pattern = os.path.join(
         cfg.cache_dir, "models", "*", "K-*", "alpha-beta", "*", "best_lr_*_v.pt"
-    )))
+    )
+    ckpts = sorted(glob.glob(pattern)) or sorted(
+        p[: -len(".npz")] for p in glob.glob(pattern + ".npz")
+    )
     print(f"[quickstart] checkpoint triple: {ckpts[0]}")
 
     # deploy route: load the written artifacts through the toolkit classifier

@@ -54,6 +54,7 @@ import json
 import os
 import sys
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Callable, Dict, Optional
 
@@ -269,6 +270,21 @@ class _Handler(BaseHTTPRequestHandler):
             self._send(404, {"error": f"no route {self.path}",
                              "routes": sorted(self.routes)})
             return
+        # Register with the server's in-flight count for the duration of the
+        # request: handler threads are daemonic (ThreadingHTTPServer), so
+        # socketserver's server_close() does NOT join them — without this,
+        # a graceful shutdown can close the micro-batcher between this
+        # thread's accept and its batcher.submit(), 500-ing the request.
+        track = getattr(self.server, "_track_inflight", None)
+        if track is not None:
+            track(1)
+        try:
+            self._do_post(route)
+        finally:
+            if track is not None:
+                track(-1)
+
+    def _do_post(self, route) -> None:
         try:
             try:
                 length = int(self.headers.get("Content-Length", ""))
@@ -346,9 +362,35 @@ def build_server(
         # clients (the very load micro-batching exists for) gets connection
         # resets at the kernel before a handler thread ever runs
         request_queue_size = 128
+        # how long server_close() waits for in-flight POST handlers before
+        # closing the micro-batchers (a wedged client must not hang shutdown;
+        # its handler thread is daemonic and dies with the process)
+        close_grace_s = 10.0
+
+        def __init__(self, *a, **kw):
+            super().__init__(*a, **kw)
+            self._inflight = 0
+            self._inflight_cv = threading.Condition()
+
+        def _track_inflight(self, delta: int) -> None:
+            with self._inflight_cv:
+                self._inflight += delta
+                if self._inflight == 0:
+                    self._inflight_cv.notify_all()
 
         def server_close(self):  # reap route workers with the server
             super().server_close()
+            # handler threads are daemonic, so the super() call above did NOT
+            # join them; wait (bounded) for in-flight POSTs to finish before
+            # closing their batchers, or a request between accept and
+            # batcher.submit() would fail with "MicroBatcher is closed"
+            deadline = time.monotonic() + self.close_grace_s
+            with self._inflight_cv:
+                while self._inflight > 0:
+                    remaining = deadline - time.monotonic()
+                    if remaining <= 0:
+                        break
+                    self._inflight_cv.wait(remaining)
             for batcher in batchers:
                 batcher.close()
             for pool in pools:

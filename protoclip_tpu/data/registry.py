@@ -112,6 +112,11 @@ def _build_fewsol_198(root: str, shots: int, seed: int) -> FewShotDataset:
     candidates = _FEWSOL_198_CANDIDATES
     env_path = os.environ.get("PROTOCLIP_FEWSOL198_SPLIT")
     if env_path:
+        # abspath: a relative env path is the user's CWD-relative intent —
+        # without this it would pass the existence check below (CWD) but be
+        # resolved against dataset_dir in the candidate loop, silently
+        # falling through to a default split
+        env_path = os.path.abspath(env_path)
         if not os.path.exists(env_path):
             # fail loudly like bpe.default_vocab_path: silently falling
             # through to another candidate would benchmark the wrong split

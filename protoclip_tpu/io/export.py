@@ -235,8 +235,9 @@ def save_serving_bundle(
         "normalized": bool(normalize),
         "platforms": list(artifact.platforms),
         "jax_version": jax.__version__,
-        # ml_dtypes leaves are stored widened to fp32 (npz cannot hold
-        # bfloat16); the loader restores these dtypes before device_put
+        # ml_dtypes leaves are stored as same-width unsigned bit views
+        # (npz cannot hold bfloat16; see _flatten); the loader views them
+        # back to these dtypes before device_put
         "param_dtypes": leaf_dtypes,
         # sequence nodes of the param pytree, so the loader rebuilds the
         # exact treedef the artifact was traced with (see _seq_nodes)

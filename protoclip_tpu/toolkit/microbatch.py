@@ -247,13 +247,21 @@ class MicroBatcher:
         deadline = time.monotonic() + self.max_wait_s
         avail = sum(len(r.images) - c for r, c in pending)
         while avail < self.batch_size:
-            remaining = deadline - time.monotonic()
-            if remaining <= 0:
-                break
+            # Already-queued work is free to take regardless of the deadline:
+            # with max_wait_s=0 the timed branch below never runs, and without
+            # this get_nowait() pass a burst sitting in the queue would be
+            # dispatched one-request-per-batch — the documented "0 = dispatch
+            # whatever is queued" contract coalesces it instead.
             try:
-                req = self._q.get(timeout=remaining)
+                req = self._q.get_nowait()
             except queue.Empty:
-                break
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    req = self._q.get(timeout=remaining)
+                except queue.Empty:
+                    break
             if req is None:
                 return True
             pending.append([req, 0])

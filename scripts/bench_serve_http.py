@@ -9,7 +9,9 @@ device dispatch — unless concurrent requests coalesce
 
 TPU discipline (CLAUDE.md: one process per chip): the bundle export runs
 in a subprocess that exits before the server starts; the server subprocess
-is then the only TPU owner; this client process never imports jax.
+is then the only TPU owner; this client process makes no jax calls (it
+drives the server through the shipped ``protoclip_tpu.client.ServeClient``
+— the same client users deploy, so the bench measures the real path).
 
     python scripts/bench_serve_http.py --int8 --batch 256 \
         --requests 32 --images-per-request 8
@@ -18,7 +20,6 @@ is then the only TPU owner; this client process never imports jax.
 from __future__ import annotations
 
 import argparse
-import base64
 import concurrent.futures as futures
 import io
 import json
@@ -26,7 +27,8 @@ import os
 import subprocess
 import sys
 import time
-import urllib.request
+
+from protoclip_tpu.client import ServeClient
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -46,67 +48,53 @@ print("exported", flush=True)
     subprocess.run([sys.executable, "-c", code], check=True, cwd=REPO)
 
 
-def wait_healthz(port: int, timeout_s: float) -> dict:
+def wait_healthz(client: ServeClient, timeout_s: float) -> dict:
     deadline = time.monotonic() + timeout_s
     last = None
     while time.monotonic() < deadline:
         try:
-            with urllib.request.urlopen(
-                f"http://127.0.0.1:{port}/healthz", timeout=5
-            ) as resp:
-                return json.loads(resp.read())
+            return client.healthz()
         except Exception as exc:  # noqa: BLE001 — keep polling until deadline
             last = exc
             time.sleep(1.0)
     raise RuntimeError(f"server never became healthy: {last}")
 
 
-def statz(port: int) -> dict:
-    with urllib.request.urlopen(f"http://127.0.0.1:{port}/statz", timeout=10) as r:
-        return json.loads(r.read())["/encode"]
-
-
-def make_payload(n_images: int, px: int) -> bytes:
+def make_images(n_images: int, px: int) -> list:
+    """Pre-encoded PNG bytes (ServeClient passes encoded bytes through
+    untouched, so the per-request client cost is just base64+json)."""
     import numpy as np
     from PIL import Image
 
     rng = np.random.default_rng(0)
-    b64s = []
+    encoded = []
     for _ in range(n_images):
         img = Image.fromarray(rng.integers(0, 256, (px, px, 3)).astype("uint8"))
         buf = io.BytesIO()
         img.save(buf, "PNG")
-        b64s.append(base64.b64encode(buf.getvalue()).decode())
-    return json.dumps({"images": b64s}).encode()
+        encoded.append(buf.getvalue())
+    return encoded
 
 
-def post(port: int, body: bytes) -> int:
-    req = urllib.request.Request(
-        f"http://127.0.0.1:{port}/encode", data=body,
-        headers={"Content-Type": "application/json"},
-    )
-    with urllib.request.urlopen(req, timeout=600) as resp:
-        return len(json.loads(resp.read())["features"])
+def run_load(client: ServeClient, images: list, n_requests: int, workers: int) -> dict:
+    def post(_):
+        return client.encode(images).shape[0]
 
-
-def run_load(port: int, body: bytes, n_requests: int, workers: int) -> dict:
-    before = statz(port)
+    before = client.statz()["/encode"]
     t0 = time.perf_counter()
     if workers == 1:
-        images = sum(post(port, body) for _ in range(n_requests))
+        done = sum(post(i) for i in range(n_requests))
     else:
         with futures.ThreadPoolExecutor(workers) as pool:
-            images = sum(
-                pool.map(lambda _: post(port, body), range(n_requests))
-            )
+            done = sum(pool.map(post, range(n_requests)))
     dt = time.perf_counter() - t0
-    after = statz(port)
+    after = client.statz()["/encode"]
     return {
         "requests": n_requests,
         "workers": workers,
         "seconds": round(dt, 3),
-        "images": images,
-        "img_per_s": round(images / dt, 1),
+        "images": done,
+        "img_per_s": round(done / dt, 1),
         "req_per_s": round(n_requests / dt, 1),
         "dispatches": after["dispatches"] - before["dispatches"],
         "mean_fill": round(
@@ -147,16 +135,17 @@ def main() -> None:
         cwd=REPO,
     )
     try:
-        health = wait_healthz(args.port, args.warmup_timeout)
+        client = ServeClient(f"http://127.0.0.1:{args.port}", timeout=600.0)
+        health = wait_healthz(client, args.warmup_timeout)
         print(f"[bench-serve] healthz: {health}")
         px = health["image_resolution"]
-        body = make_payload(args.images_per_request, px)
-        post(args.port, body)  # client-side warm (connection, json)
+        images = make_images(args.images_per_request, px)
+        client.encode(images)  # client-side warm (connection, json)
 
-        serial = run_load(args.port, body, args.requests, workers=1)
+        serial = run_load(client, images, args.requests, workers=1)
         print(f"[bench-serve] serial    : {serial}")
         concurrent = run_load(
-            args.port, body, args.requests, workers=min(args.requests, 64)
+            client, images, args.requests, workers=min(args.requests, 64)
         )
         print(f"[bench-serve] concurrent: {concurrent}")
         speedup = concurrent["img_per_s"] / serial["img_per_s"]

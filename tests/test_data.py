@@ -234,6 +234,37 @@ def test_fewsol_198_from_reference_splits(tmp_path, monkeypatch):
     assert len(ds.test) > 0
 
 
+def test_fewsol_198_env_path_relative_to_cwd(tmp_path, monkeypatch):
+    """A RELATIVE $PROTOCLIP_FEWSOL198_SPLIT is the user's CWD-relative
+    intent (regression: it used to pass the existence check against CWD but
+    be resolved against the dataset dir, silently loading a default split)."""
+    from tests.conftest import reference_available
+
+    if not reference_available():
+        pytest.skip("reference not mounted")
+    import json as _json
+
+    with open("/root/reference/splits/fewsol_splits_198.json") as fh:
+        split = _json.load(fh)
+    # watermark the user's split so a silent fallback to an identical
+    # default candidate cannot sneak past the assertion
+    for section in split.values():
+        for item in section:
+            if item[1] == 0:
+                item[2] = "env_marker_class"
+    (tmp_path / "my_splits").mkdir()
+    with open(tmp_path / "my_splits" / "fewsol_splits_198.json", "w") as fh:
+        _json.dump(split, fh)
+    (tmp_path / "fewsol").mkdir()
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setenv(
+        "PROTOCLIP_FEWSOL198_SPLIT", "my_splits/fewsol_splits_198.json"
+    )
+    ds = build_dataset("fewsol_198", str(tmp_path), shots=2, seed=1)
+    assert ds.num_classes == 198
+    assert "env_marker_class" in ds.classnames
+
+
 def test_fewsol_198_env_typo_fails_loudly(tmp_path, monkeypatch):
     """A SET-but-nonexistent $PROTOCLIP_FEWSOL198_SPLIT must raise, not
     silently fall through to a different candidate split file (which would

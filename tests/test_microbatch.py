@@ -75,6 +75,52 @@ def test_concurrent_submits_coalesce_into_one_dispatch():
         mb.close()
 
 
+def test_zero_wait_still_coalesces_already_queued_requests():
+    """max_wait_s=0 means "never WAIT", not "never coalesce": requests that
+    piled up while a dispatch was in flight must share the next batch
+    (regression: the fill window used to honor only the deadline, turning a
+    queued burst into one underfull dispatch per request)."""
+    rng = np.random.default_rng(7)
+    first_in = threading.Event()
+    release = threading.Event()
+    calls = []
+
+    def run(block):
+        calls.append(len(block))
+        if len(calls) == 1:
+            first_in.set()
+            assert release.wait(timeout=30)
+        return _row_fn(block)
+
+    mb = MicroBatcher(run, 8, SHAPE, max_wait_s=0.0)
+    inputs = [_items(rng, 1) for _ in range(4)]
+    results = [None] * 4
+    threads = [
+        threading.Thread(target=lambda i=i: results.__setitem__(i, mb.submit(inputs[i])))
+        for i in range(4)
+    ]
+    try:
+        threads[0].start()
+        assert first_in.wait(timeout=30)  # dispatcher is busy with request 0
+        for t in threads[1:]:
+            t.start()
+        deadline = time.monotonic() + 30  # wait until the burst is queued
+        while mb._q.qsize() < 3 and time.monotonic() < deadline:
+            time.sleep(0.005)
+        assert mb._q.qsize() == 3
+        release.set()
+        for t in threads:
+            t.join(timeout=30)
+        for i in range(4):
+            np.testing.assert_array_equal(results[i], _row_fn(inputs[i]))
+        # the queued burst shared ONE dispatch (blocks arrive padded to the
+        # full batch size, so count calls, not rows)
+        assert len(calls) == 2
+        assert mb.stats["dispatches"] == 2 and mb.stats["images"] == 4
+    finally:
+        mb.close()
+
+
 def test_request_larger_than_batch_splits_across_dispatches():
     rng = np.random.default_rng(2)
     mb = MicroBatcher(_row_fn, 4, SHAPE, max_wait_s=0.0)

@@ -429,6 +429,56 @@ def test_fast_decode_mode_serves_jpegs(server):
         thread.join(timeout=5)
 
 
+def test_server_close_waits_for_inflight_handlers(server):
+    """A request caught mid-handler by a graceful shutdown must still be
+    answered 200 (regression: handler threads are daemonic, so socketserver's
+    server_close() does not join them — the batcher used to be closed while
+    a handler sat between accept and batcher.submit(), failing it with 500)."""
+    import time
+
+    _, bundle = server
+    srv = build_server(port=0, bundle=bundle, quiet=True, coalesce_ms=0.0)
+    handler = srv.RequestHandlerClass
+    entered, release = threading.Event(), threading.Event()
+    real_route = handler.routes["/encode"]
+
+    def gated(payload):
+        entered.set()
+        assert release.wait(timeout=30)
+        return real_route(payload)
+
+    gated.batcher = getattr(real_route, "batcher", None)
+    handler.routes = dict(handler.routes, **{"/encode": gated})
+
+    serve_thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    serve_thread.start()
+    port = srv.server_address[1]
+    img = _b64_jpeg(np.zeros((32, 32, 3), np.uint8))
+    result = {}
+
+    def client():
+        result["resp"] = _post(port, "/encode", {"images": [img]})
+
+    client_thread = threading.Thread(target=client, daemon=True)
+    client_thread.start()
+    assert entered.wait(timeout=30)  # request is mid-handler
+
+    def close():
+        srv.shutdown()
+        srv.server_close()
+
+    closer = threading.Thread(target=close, daemon=True)
+    closer.start()
+    time.sleep(0.2)  # let server_close reach its in-flight wait
+    release.set()
+    closer.join(timeout=30)
+    client_thread.join(timeout=30)
+    serve_thread.join(timeout=30)
+    assert not closer.is_alive()
+    status, body = result["resp"]
+    assert status == 200 and "features" in body
+
+
 def test_cli_sigterm_graceful_shutdown(server):
     """The CLI process must exit 0 on SIGTERM (supervisor/container stop):
     serve_forever unwinds, server_close reaps the batcher + pools."""
