@@ -270,21 +270,6 @@ class _Handler(BaseHTTPRequestHandler):
             self._send(404, {"error": f"no route {self.path}",
                              "routes": sorted(self.routes)})
             return
-        # Register with the server's in-flight count for the duration of the
-        # request: handler threads are daemonic (ThreadingHTTPServer), so
-        # socketserver's server_close() does NOT join them — without this,
-        # a graceful shutdown can close the micro-batcher between this
-        # thread's accept and its batcher.submit(), 500-ing the request.
-        track = getattr(self.server, "_track_inflight", None)
-        if track is not None:
-            track(1)
-        try:
-            self._do_post(route)
-        finally:
-            if track is not None:
-                track(-1)
-
-    def _do_post(self, route) -> None:
         try:
             try:
                 length = int(self.headers.get("Content-Length", ""))
@@ -378,11 +363,35 @@ def build_server(
                 if self._inflight == 0:
                     self._inflight_cv.notify_all()
 
+        # In-flight accounting must start at ACCEPT time, in the
+        # serve_forever thread, BEFORE the handler thread is spawned:
+        # counting inside do_POST leaves a window (thread spawn, request
+        # line/header parse — client-controlled, up to the handler timeout)
+        # where an accepted request is invisible to server_close's wait and
+        # would still hit a closed micro-batcher.  Connections are HTTP/1.0
+        # (no keep-alive), so one accept == one request and an idle
+        # persistent connection can never pin the count.
+        def process_request(self, request, client_address):
+            self._track_inflight(1)
+            try:
+                super().process_request(request, client_address)
+            except BaseException:
+                # the handler thread never spawned; undo here (on success
+                # the spawned thread's finally below decrements)
+                self._track_inflight(-1)
+                raise
+
+        def process_request_thread(self, request, client_address):
+            try:
+                super().process_request_thread(request, client_address)
+            finally:
+                self._track_inflight(-1)
+
         def server_close(self):  # reap route workers with the server
             super().server_close()
             # handler threads are daemonic, so the super() call above did NOT
-            # join them; wait (bounded) for in-flight POSTs to finish before
-            # closing their batchers, or a request between accept and
+            # join them; wait (bounded) for in-flight requests to finish
+            # before closing their batchers, or a request between accept and
             # batcher.submit() would fail with "MicroBatcher is closed"
             deadline = time.monotonic() + self.close_grace_s
             with self._inflight_cv:

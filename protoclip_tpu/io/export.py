@@ -225,7 +225,13 @@ def save_serving_bundle(
     artifact = artifacts[max(sizes)]
     np.savez(os.path.join(path, _PARAMS), **flat)
     manifest = {
-        "format": "protoclip_tpu.serving_bundle.v1",
+        # v2 = ml_dtypes leaves stored as native-width bit views (see
+        # _flatten).  The tag CHANGED with the storage format on purpose:
+        # a v1-only loader reading bit views would astype() uint16 bit
+        # patterns into huge garbage weights and serve finite-looking
+        # nonsense — the bumped tag makes it fail loudly instead.
+        "format": "protoclip_tpu.serving_bundle.v2",
+        "param_storage": "bitview",
         "backbone": str(cfg.name),
         "backbone_embed_dim": int(cfg.embed_dim),
         "image_resolution": int(n_px),
@@ -255,7 +261,13 @@ def load_serving_bundle(path: str) -> Callable[[np.ndarray], np.ndarray]:
 
     with open(os.path.join(path, _MANIFEST)) as fh:
         manifest = json.load(fh)
-    if manifest.get("format") != "protoclip_tpu.serving_bundle.v1":
+    # v1 = ml_dtypes leaves widened to fp32; v2 = native-width bit views.
+    # Both load here (_restore dispatches on the stored dtype kind); v2
+    # exists so OLDER loaders reject bit-view bundles loudly.
+    if manifest.get("format") not in (
+        "protoclip_tpu.serving_bundle.v1",
+        "protoclip_tpu.serving_bundle.v2",
+    ):
         raise ValueError(f"not a protoclip_tpu serving bundle: {path}")
     sizes = sorted(int(b) for b in manifest.get("batch_sizes", [manifest["batch_size"]]))
     artifacts = {}

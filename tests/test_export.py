@@ -88,18 +88,9 @@ def test_bundle_roundtrips_bf16_params(tmp_path, tiny):
         assert all(npz[k].dtype.kind != "V" for k in npz.files)
         assert any(npz[k].dtype == np.uint16 for k in npz.files)
 
-    # legacy bundles (fp32-widened storage) must still load: rewrite the
-    # npz the old way and check the loader's astype fallback
-    legacy = {
-        k: (np.asarray(v).astype(np.float32) if np.asarray(v).dtype.kind == "V" else np.asarray(v))
-        for k, v in _legacy_flat(bf16).items()
-    }
-    with open(os.path.join(bundle, "params.npz"), "wb") as fh:
-        np.savez(fh, **legacy)
-    encode_legacy = load_serving_bundle(bundle)
-    imgs0 = np.random.default_rng(5).integers(0, 256, (2, 32, 32, 3), np.uint8)
-    assert np.isfinite(encode_legacy(imgs0)).all()
-
+    # the BIT-VIEW load path must match the live encoder exactly — this
+    # must run BEFORE any legacy rewrite of params.npz, or a wrong-width /
+    # wrong-byte-order view bug would hide behind the astype fallback
     encode = load_serving_bundle(bundle)
     imgs = np.random.default_rng(2).integers(0, 256, (2, 32, 32, 3), np.uint8)
     got = encode(imgs)
@@ -112,6 +103,22 @@ def test_bundle_roundtrips_bf16_params(tmp_path, tiny):
 
     want = np.asarray(jax.jit(live)(bf16, jnp.asarray(imgs, jnp.uint8)))
     np.testing.assert_allclose(got, want, atol=1e-6)
+
+    # legacy v1 bundles (fp32-widened storage) must still load: rewrite the
+    # npz the old way + restore the v1 tag, and check the loader's astype
+    # fallback produces THE SAME features (widening was value-exact)
+    legacy = {
+        k: (np.asarray(v).astype(np.float32) if np.asarray(v).dtype.kind == "V" else np.asarray(v))
+        for k, v in _legacy_flat(bf16).items()
+    }
+    with open(os.path.join(bundle, "params.npz"), "wb") as fh:
+        np.savez(fh, **legacy)
+    manifest["format"] = "protoclip_tpu.serving_bundle.v1"
+    manifest.pop("param_storage", None)
+    with open(os.path.join(bundle, "manifest.json"), "w") as fh:
+        json.dump(manifest, fh)
+    encode_legacy = load_serving_bundle(bundle)
+    np.testing.assert_allclose(encode_legacy(imgs), want, atol=1e-6)
 
 
 def test_bundle_rejects_wrong_shape_and_format(tmp_path, tiny):

@@ -479,6 +479,57 @@ def test_server_close_waits_for_inflight_handlers(server):
     assert status == 200 and "features" in body
 
 
+def test_server_close_waits_for_accepted_but_unparsed_request(server):
+    """A connection accepted BEFORE shutdown whose request bytes arrive
+    slowly must still be answered 200: in-flight accounting starts at
+    accept time in process_request, not in do_POST (regression: counting
+    inside do_POST left the thread-spawn/header-parse window invisible to
+    server_close's wait, so the batcher closed under the late request)."""
+    import socket
+    import time
+
+    _, bundle = server
+    srv = build_server(port=0, bundle=bundle, quiet=True, coalesce_ms=0.0)
+    serve_thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    serve_thread.start()
+    port = srv.server_address[1]
+    img = _b64_jpeg(np.zeros((32, 32, 3), np.uint8))
+    body = json.dumps({"images": [img]}).encode()
+    head = (
+        f"POST /encode HTTP/1.1\r\nHost: x\r\nContent-Type: application/json"
+        f"\r\nContent-Length: {len(body)}\r\n\r\n"
+    ).encode()
+
+    sock = socket.create_connection(("127.0.0.1", port), timeout=30)
+    try:
+        sock.sendall(head[:7])  # accepted, but the request line is unparsed
+        # wait until the accept has actually been tracked (the connection is
+        # established by the kernel before serve_forever's accept() runs)
+        deadline = time.monotonic() + 30
+        while srv._inflight < 1 and time.monotonic() < deadline:
+            time.sleep(0.005)
+        assert srv._inflight >= 1
+
+        closer = threading.Thread(
+            target=lambda: (srv.shutdown(), srv.server_close()), daemon=True
+        )
+        closer.start()
+        time.sleep(0.2)  # let server_close reach its in-flight wait
+        sock.sendall(head[7:] + body)  # finish the request mid-shutdown
+        resp = b""
+        while b"\r\n\r\n" not in resp:
+            chunk = sock.recv(65536)
+            if not chunk:
+                break
+            resp += chunk
+        status = int(resp.split(b" ", 2)[1])
+        closer.join(timeout=30)
+        serve_thread.join(timeout=30)
+        assert status == 200
+    finally:
+        sock.close()
+
+
 def test_cli_sigterm_graceful_shutdown(server):
     """The CLI process must exit 0 on SIGTERM (supervisor/container stop):
     serve_forever unwinds, server_close reaps the batcher + pools."""
