@@ -1,6 +1,8 @@
 """Model towers: shape contracts, EOT gather, attention-pool equivalence,
 and torch state-dict conversion round-trip."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -207,6 +209,69 @@ def test_backbone_registry_complete():
     }
     for cfg in BACKBONE_CONFIGS.values():
         assert cfg.context_length == 77 and cfg.vocab_size == 49408
+
+
+def test_backbone_geometries_match_openai():
+    """Pin every registry entry to the published OpenAI CLIP geometry
+    (embed dim, input resolution, text width/heads) — the values
+    ``build_model`` infers from the real release state-dicts
+    (ref ``clip/model.py:397-434``).  A drifted entry would make
+    ``load_clip`` reject or mis-reshape the real weights."""
+    # (embed_dim, image_resolution, transformer_width, text_heads)
+    expected = {
+        "RN50": (1024, 224, 512, 8),
+        "RN101": (512, 224, 512, 8),
+        "RN50x4": (640, 288, 640, 10),
+        "RN50x16": (768, 384, 768, 12),
+        "ViT-B/32": (512, 224, 512, 8),
+        "ViT-B/16": (512, 224, 512, 8),
+        "ViT-L/14": (768, 224, 768, 12),
+    }
+    for name, (d, px, tw, th) in expected.items():
+        cfg = BACKBONE_CONFIGS[name]
+        assert cfg.embed_dim == d, name
+        assert cfg.image_resolution == px, name
+        assert cfg.transformer_width == tw, name
+        assert cfg.transformer_heads == th, name
+        assert cfg.transformer_layers == 12, name
+    # vision tower details for the non-default ResNets (width scales with
+    # the xN multiplier; heads follow the width*32/64 rule of model.py:92)
+    assert BACKBONE_CONFIGS["RN50x4"].vision_width == 80
+    assert BACKBONE_CONFIGS["RN50x4"].vision_layers == (4, 6, 10, 6)
+    assert BACKBONE_CONFIGS["RN50x16"].vision_width == 96
+    assert BACKBONE_CONFIGS["RN50x16"].vision_layers == (6, 8, 18, 8)
+    assert BACKBONE_CONFIGS["RN101"].vision_layers == (3, 4, 23, 3)
+    assert BACKBONE_CONFIGS["ViT-L/14"].vision_width == 1024
+    assert BACKBONE_CONFIGS["ViT-L/14"].vision_layers == 24
+
+
+@pytest.mark.skipif(
+    not os.environ.get("PROTOCLIP_SLOW_TESTS"),
+    reason="full-geometry forward sweep takes ~4 min on CPU "
+    "(set PROTOCLIP_SLOW_TESTS=1)",
+)
+@pytest.mark.parametrize("name", sorted(BACKBONE_CONFIGS))
+def test_every_backbone_forward_smoke(name):
+    """Init + one image/text forward at the REAL geometry of each registry
+    backbone (batch 1).  Catches shape/layout bugs in the non-default
+    towers (RN101's 23-deep stage 3, RN50x4's 288 px / width-80 stem,
+    RN50x16's 384 px, ViT-L/14's 24 layers) that the tiny-config tests
+    cannot see.  Gated: ~4 min total on this image's CPU."""
+    cfg = BACKBONE_CONFIGS[name]
+    params = init_clip_params(jax.random.PRNGKey(0), cfg)
+    img = jnp.asarray(
+        np.random.default_rng(0)
+        .normal(size=(1, cfg.image_resolution, cfg.image_resolution, 3))
+        .astype(np.float32)
+    )
+    f = encode_image(params, img, cfg)
+    tok = np.zeros((1, cfg.context_length), np.int32)
+    tok[0, :4] = [49406, 320, 1125, 49407]
+    g = encode_text(params, jnp.asarray(tok), cfg)
+    assert f.shape == (1, cfg.embed_dim)
+    assert g.shape == (1, cfg.embed_dim)
+    assert np.isfinite(np.asarray(f, np.float32)).all()
+    assert np.isfinite(np.asarray(g, np.float32)).all()
 
 
 def test_cast_params_contract(rng):
