@@ -51,6 +51,9 @@ def build_parser() -> argparse.ArgumentParser:
             )
             p.add_argument("--republish", type=int, default=10,
                            help="times to republish the selected label")
+            p.add_argument("--log_dir", default="./ros-demo-logs",
+                           help="prediction .npy dump directory "
+                           "(ref proto_clip_classifier.py:151-156)")
         else:
             p.add_argument("--period", type=float, default=5.0,
                            help="seconds between published predictions")
@@ -113,7 +116,7 @@ def main(argv=None) -> None:  # pragma: no cover - the node loops need ROS
         node = ProtoClipGraspNode(
             classifier, tagger=build_tagger(args),
             camera=args.camera, republish_count=args.republish,
-            asr_kwargs=build_asr_kwargs(args),
+            asr_kwargs=build_asr_kwargs(args), log_dir=args.log_dir,
         )
         while not rospy.is_shutdown():
             if node.run_once() is None:

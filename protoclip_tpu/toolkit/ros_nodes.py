@@ -135,6 +135,7 @@ class ProtoClipGraspNode:
         camera: str = "Fetch",
         republish_count: int = 10,
         asr_kwargs: Optional[dict] = None,
+        log_dir: str = "./ros-demo-logs",
     ):  # pragma: no cover - needs ROS
         _require_ros()
         import rospy
@@ -144,6 +145,10 @@ class ProtoClipGraspNode:
         self.tagger = tagger
         self.listener = SegImageListener(camera)
         self.republish_count = republish_count
+        # prediction-dump dir (ref proto_clip_classifier.py:151-156 logs
+        # relative to the node's CWD; configurable here so embedders/tests
+        # do not scatter .npy files into whatever directory ran them)
+        self.log_dir = log_dir
         # transcribe_stream knobs from asr_config.json — the reference node
         # reads them via --asr_config_path (run_proto_clip_node.sh)
         self.asr_kwargs = dict(asr_kwargs or {})
@@ -157,7 +162,9 @@ class ProtoClipGraspNode:
         if rgb is None:
             return None
         crops, mask_ids = crop_object_images(label, rgb)
-        names, probs = self.classifier.classify_objects(crops, log=True, rgb_image=rgb)
+        names, probs = self.classifier.classify_objects(
+            crops, log=True, rgb_image=rgb, log_dir=self.log_dir
+        )
         _, noun = transcribe_with_verb_and_noun_matching(
             self.tagger, **self.asr_kwargs
         )

@@ -5,6 +5,7 @@ depth-encoding handling, frame snapshots, and the speech-selected publish
 loop run against in-memory rospy/cv_bridge/message_filters stand-ins, so
 the logic is covered without ROS."""
 
+import os
 import sys
 import time
 import types
@@ -185,7 +186,10 @@ def test_grasp_node_publishes_selected_mask(fake_ros, monkeypatch, classifier_en
         memory_bank_t_path=classifier_env["t"],
         adapter_weights_path=classifier_env["a"],
     )
-    node = ProtoClipGraspNode(clf, tagger=None, republish_count=2)
+    node = ProtoClipGraspNode(
+        clf, tagger=None, republish_count=2,
+        log_dir=os.path.join(classifier_env["tmp"], "ros-demo-logs"),
+    )
     assert node.run_once() is None  # no frame yet
 
     rgb, depth_m, label, score = _frame(40, 48)
