@@ -95,15 +95,18 @@ def clip_preprocess(img: Image.Image, n_px: int = 224) -> np.ndarray:
     return np.asarray(img, dtype=np.uint8)
 
 
-def random_resized_crop(
-    img: Image.Image,
-    size: int,
+def sample_rrc_box(
+    w: int,
+    h: int,
     rng: _random.Random,
     scale: Tuple[float, float] = (0.5, 1.0),
     ratio: Tuple[float, float] = (3.0 / 4.0, 4.0 / 3.0),
-) -> Image.Image:
-    """torchvision-style RandomResizedCrop (10 attempts + center fallback)."""
-    w, h = img.size
+) -> Tuple[int, int, int, int]:
+    """torchvision RandomResizedCrop box sampling (10 attempts + clamped
+    center fallback) -> (left, top, right, bottom).  Pure RNG logic, shared
+    by the PIL and native execution paths so both consume identical draws
+    (a seeded run reproduces byte-for-byte with or without the C++
+    helper)."""
     area = w * h
     log_ratio = (math.log(ratio[0]), math.log(ratio[1]))
     for _ in range(10):
@@ -114,9 +117,7 @@ def random_resized_crop(
         if 0 < cw <= w and 0 < ch <= h:
             left = rng.randint(0, w - cw)
             top = rng.randint(0, h - ch)
-            return img.resize(
-                (size, size), Image.BICUBIC, box=(left, top, left + cw, top + ch)
-            )
+            return left, top, left + cw, top + ch
     # fallback: center crop at the clamped aspect ratio
     in_ratio = w / h
     if in_ratio < ratio[0]:
@@ -126,16 +127,39 @@ def random_resized_crop(
     else:
         cw, ch = w, h
     left, top = (w - cw) // 2, (h - ch) // 2
-    return img.resize((size, size), Image.BICUBIC, box=(left, top, left + cw, top + ch))
+    return left, top, left + cw, top + ch
+
+
+def random_resized_crop(
+    img: Image.Image,
+    size: int,
+    rng: _random.Random,
+    scale: Tuple[float, float] = (0.5, 1.0),
+    ratio: Tuple[float, float] = (3.0 / 4.0, 4.0 / 3.0),
+) -> Image.Image:
+    """torchvision-style RandomResizedCrop (10 attempts + center fallback)."""
+    box = sample_rrc_box(*img.size, rng, scale, ratio)
+    return img.resize((size, size), Image.BICUBIC, box=box)
 
 
 def random_train_transform(
     img: Image.Image, rng: _random.Random, n_px: int = 224
 ) -> np.ndarray:
     """Train-time transform: RandomResizedCrop(scale 0.5-1) + HFlip(0.5)
-    -> uint8 (n_px, n_px, 3) (ref ``datasets/imagenet.py:8-23``)."""
-    img = random_resized_crop(img, n_px, rng)
-    if rng.random() < 0.5:
+    -> uint8 (n_px, n_px, 3) (ref ``datasets/imagenet.py:8-23``).
+
+    Deliberately executes through PIL, not ``native.resize_box`` (which is
+    pixel-exact with this path and available for array-holding callers):
+    measured end-to-end from a PIL input the native route is parity at
+    camera sizes and LOSES at 2048x1536 (0.87x) because the mandatory
+    full-image ``np.asarray`` copy outweighs the resample win — a boxed
+    resize keeps every output pixel, so there is no crop-fusion saving
+    like the eval path's 1.47x.  See ``tests/test_native.py`` for the
+    parity pin and BASELINE.md "Host preprocess" for the numbers."""
+    box = sample_rrc_box(*img.size, rng)
+    flip = rng.random() < 0.5
+    img = img.resize((n_px, n_px), Image.BICUBIC, box=box)
+    if flip:
         img = img.transpose(Image.FLIP_LEFT_RIGHT)
     return np.asarray(img, dtype=np.uint8)
 

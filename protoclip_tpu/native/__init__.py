@@ -142,6 +142,13 @@ def load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
         ]
+        lib.resize_box.restype = ctypes.c_int
+        lib.resize_box.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+            ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            ctypes.c_int,
+        ]
         _lib = lib
         return _lib
 
@@ -180,5 +187,33 @@ def resize_bicubic(src: np.ndarray, out_h: int, out_w: int) -> Optional[np.ndarr
     dst = np.empty((out_h, out_w, 3), np.uint8)
     rc = lib.resize_bicubic(
         _as_u8_ptr(src), src.shape[0], src.shape[1], _as_u8_ptr(dst), out_h, out_w
+    )
+    return dst if rc == 0 else None
+
+
+def resize_box(
+    src: np.ndarray,
+    out_h: int,
+    out_w: int,
+    box: tuple,
+    flip: bool = False,
+) -> Optional[np.ndarray]:
+    """Bicubic resize of a source ``box`` (left, top, right, bottom) to
+    (out_h, out_w) with optional fused horizontal flip — pixel-exact with
+    PIL ``img.resize((w, h), BICUBIC, box=box)`` (+ ``FLIP_LEFT_RIGHT``),
+    the train-time RandomResizedCrop backend.  Returns None when the native
+    path is unavailable or the box is degenerate (callers fall back to
+    PIL)."""
+    lib = load()
+    if lib is None:
+        return None
+    src = np.ascontiguousarray(src, dtype=np.uint8)
+    if src.ndim != 3 or src.shape[2] != 3:
+        return None
+    left, top, right, bottom = (float(v) for v in box)
+    dst = np.empty((out_h, out_w, 3), np.uint8)
+    rc = lib.resize_box(
+        _as_u8_ptr(src), src.shape[0], src.shape[1], _as_u8_ptr(dst),
+        out_h, out_w, left, top, right, bottom, 1 if flip else 0,
     )
     return dst if rc == 0 else None

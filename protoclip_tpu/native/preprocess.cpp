@@ -48,8 +48,11 @@ inline uint8_t clip8(int64_t v) {
 
 // Per-output-pixel filter table over [out_begin, out_end): source window
 // bounds + normalized fixed-point coefficients.  Mirrors PIL's
-// precompute_coeffs for scale = in_size / full_out_size, but evaluated only
-// for the output slice the crop keeps.
+// precompute_coeffs for a source box [in0, in1) mapped onto full_out output
+// pixels (Resample.c: scale = (in1 - in0) / outSize, center = in0 +
+// (xx + 0.5) * scale, windows clamped to the FULL image [0, in_size) — box
+// edges do not clip the filter support), but evaluated only for the output
+// slice the caller keeps.
 struct Coeffs {
   std::vector<int> bounds_min;   // first source index per output pixel
   std::vector<int> bounds_size;  // window length per output pixel
@@ -57,9 +60,10 @@ struct Coeffs {
   int max_size = 0;
 };
 
-Coeffs precompute(int in_size, int full_out, int out_begin, int out_end) {
+Coeffs precompute(int in_size, double in0, double in1, int full_out,
+                  int out_begin, int out_end) {
   Coeffs c;
-  const double scale = static_cast<double>(in_size) / full_out;
+  const double scale = (in1 - in0) / full_out;
   const double filterscale = scale < 1.0 ? 1.0 : scale;
   // PIL (Resample.c precompute_coeffs) divides by filterscale via a
   // precomputed reciprocal MULTIPLY (ss = 1.0/filterscale; w = f(x*ss)).
@@ -74,7 +78,7 @@ Coeffs precompute(int in_size, int full_out, int out_begin, int out_end) {
   std::vector<double> w;
   for (int i = 0; i < n; ++i) {
     const int xx = out_begin + i;
-    const double center = (xx + 0.5) * scale;
+    const double center = in0 + (xx + 0.5) * scale;
     int xmin = static_cast<int>(center - support + 0.5);
     if (xmin < 0) xmin = 0;
     int xmax = static_cast<int>(center + support + 0.5);
@@ -143,8 +147,8 @@ int resize_shorter_center_crop(const uint8_t* src, int in_h, int in_w,
   const int left = crop_offset(out_w - crop);
   const int top = crop_offset(out_h - crop);
 
-  const Coeffs ch = precompute(in_w, out_w, left, left + crop);
-  const Coeffs cv = precompute(in_h, out_h, top, top + crop);
+  const Coeffs ch = precompute(in_w, 0.0, in_w, out_w, left, left + crop);
+  const Coeffs cv = precompute(in_h, 0.0, in_h, out_h, top, top + crop);
 
   // source row range the vertical pass touches
   int ymin = cv.bounds_min[0];
@@ -198,8 +202,8 @@ int resize_shorter_center_crop(const uint8_t* src, int in_h, int in_w,
 int resize_bicubic(const uint8_t* src, int in_h, int in_w, uint8_t* dst,
                    int out_h, int out_w) {
   if (in_h <= 0 || in_w <= 0 || out_h <= 0 || out_w <= 0) return 1;
-  const Coeffs ch = precompute(in_w, out_w, 0, out_w);
-  const Coeffs cv = precompute(in_h, out_h, 0, out_h);
+  const Coeffs ch = precompute(in_w, 0.0, in_w, out_w, 0, out_w);
+  const Coeffs cv = precompute(in_h, 0.0, in_h, out_h, 0, out_h);
 
   std::vector<uint8_t> tmp(static_cast<size_t>(in_h) * out_w * 3);
   for (int y = 0; y < in_h; ++y) {
@@ -235,6 +239,87 @@ int resize_bicubic(const uint8_t* src, int in_h, int in_w, uint8_t* dst,
         acc += *px * static_cast<int64_t>(k[j]);
       }
       out[x] = clip8(acc);
+    }
+  }
+  return 0;
+}
+
+// Bicubic resize of a source BOX to (out_h, out_w), with optional fused
+// horizontal flip — the train-time RandomResizedCrop(+HFlip) backend
+// (reference transform: datasets/imagenet.py:8-23 via PIL
+// img.resize((s, s), BICUBIC, box=(l, t, r, b)) [+ FLIP_LEFT_RIGHT]).
+//
+// Pixel-exact with PIL: coefficients use scale = (r - l) / out and
+// center = l + (x + 0.5) * scale, with filter windows clamped to the FULL
+// image (pixels outside the box but inside the image contribute, exactly as
+// in Resample.c); the horizontal pass materializes only the source rows the
+// vertical pass reads (PIL's ImagingResampleInner does the same row
+// restriction for boxed resizes).  The flip is applied as an output column
+// reversal, which commutes losslessly with the resize.
+//
+//   box_*: float box in source coordinates, 0 <= left < right <= in_w,
+//          0 <= top < bottom <= in_h (PIL accepts float boxes; the Python
+//          RandomResizedCrop always passes integers).
+int resize_box(const uint8_t* src, int in_h, int in_w, uint8_t* dst,
+               int out_h, int out_w, double box_left, double box_top,
+               double box_right, double box_bottom, int flip) {
+  if (in_h <= 0 || in_w <= 0 || out_h <= 0 || out_w <= 0) return 1;
+  if (!(box_left >= 0.0 && box_left < box_right && box_right <= in_w)) return 1;
+  if (!(box_top >= 0.0 && box_top < box_bottom && box_bottom <= in_h)) return 1;
+
+  const Coeffs ch = precompute(in_w, box_left, box_right, out_w, 0, out_w);
+  const Coeffs cv = precompute(in_h, box_top, box_bottom, out_h, 0, out_h);
+
+  // source rows the vertical pass touches (bounds are nondecreasing in y)
+  const int ymin = cv.bounds_min[0];
+  const int ymax = cv.bounds_min[out_h - 1] + cv.bounds_size[out_h - 1];
+
+  // pass 1: horizontal resample of rows [ymin, ymax)
+  std::vector<uint8_t> tmp(static_cast<size_t>(ymax - ymin) * out_w * 3);
+  for (int y = ymin; y < ymax; ++y) {
+    const uint8_t* row = src + static_cast<size_t>(y) * in_w * 3;
+    uint8_t* out = tmp.data() + static_cast<size_t>(y - ymin) * out_w * 3;
+    for (int x = 0; x < out_w; ++x) {
+      const int xmin = ch.bounds_min[x];
+      const int n = ch.bounds_size[x];
+      const int32_t* k = ch.k[x].data();
+      int64_t acc0 = 1 << (kPrecisionBits - 1);
+      int64_t acc1 = acc0, acc2 = acc0;
+      const uint8_t* px = row + static_cast<size_t>(xmin) * 3;
+      for (int j = 0; j < n; ++j, px += 3) {
+        const int64_t kk = k[j];
+        acc0 += px[0] * kk;
+        acc1 += px[1] * kk;
+        acc2 += px[2] * kk;
+      }
+      out[x * 3 + 0] = clip8(acc0);
+      out[x * 3 + 1] = clip8(acc1);
+      out[x * 3 + 2] = clip8(acc2);
+    }
+  }
+
+  // pass 2: vertical resample into dst (linear over the row buffer)
+  for (int y = 0; y < out_h; ++y) {
+    const int src_min = cv.bounds_min[y] - ymin;
+    const int n = cv.bounds_size[y];
+    const int32_t* k = cv.k[y].data();
+    uint8_t* out = dst + static_cast<size_t>(y) * out_w * 3;
+    for (int x = 0; x < out_w * 3; ++x) {
+      int64_t acc = 1 << (kPrecisionBits - 1);
+      const uint8_t* px = tmp.data() + static_cast<size_t>(src_min) * out_w * 3 + x;
+      for (int j = 0; j < n; ++j, px += static_cast<size_t>(out_w) * 3) {
+        acc += *px * static_cast<int64_t>(k[j]);
+      }
+      out[x] = clip8(acc);
+    }
+    if (flip) {  // reverse the row's pixels in place (lossless)
+      for (int a = 0, b = out_w - 1; a < b; ++a, --b) {
+        for (int ccol = 0; ccol < 3; ++ccol) {
+          const uint8_t t = out[a * 3 + ccol];
+          out[a * 3 + ccol] = out[b * 3 + ccol];
+          out[b * 3 + ccol] = t;
+        }
+      }
     }
   }
   return 0;

@@ -77,6 +77,61 @@ def test_size_not_equal_crop_pixel_exact(size, crop):
     np.testing.assert_array_equal(got, ref)
 
 
+def test_fuzz_resize_box_vs_pil():
+    """The RandomResizedCrop backend: native box resize (+fused flip) must
+    be byte-identical to PIL ``resize(box=...)`` (+``FLIP_LEFT_RIGHT``)
+    across random geometries, boxes, and output sizes."""
+    rng = np.random.default_rng(1)
+    for _ in range(40):
+        h = int(rng.integers(20, 600))
+        w = int(rng.integers(20, 600))
+        src = rng.integers(0, 256, (h, w, 3), np.uint8).astype(np.uint8)
+        cw = int(rng.integers(4, w + 1))
+        ch = int(rng.integers(4, h + 1))
+        left = int(rng.integers(0, w - cw + 1))
+        top = int(rng.integers(0, h - ch + 1))
+        size = int(rng.integers(16, 300))
+        flip = bool(rng.integers(0, 2))
+        box = (left, top, left + cw, top + ch)
+        ref = Image.fromarray(src).resize((size, size), Image.BICUBIC, box=box)
+        if flip:
+            ref = ref.transpose(Image.FLIP_LEFT_RIGHT)
+        got = native.resize_box(src, size, size, box, flip)
+        assert got is not None, (h, w, box, size)
+        np.testing.assert_array_equal(
+            got, np.asarray(ref), err_msg=f"{h}x{w} box={box} size={size} flip={flip}"
+        )
+
+
+def test_resize_box_rejects_degenerate_boxes():
+    src = np.zeros((64, 64, 3), np.uint8)
+    assert native.resize_box(src, 32, 32, (10, 10, 10, 20)) is None  # zero w
+    assert native.resize_box(src, 32, 32, (-1, 0, 32, 32)) is None   # oob
+    assert native.resize_box(src, 32, 32, (0, 0, 65, 32)) is None    # oob
+
+
+def test_resize_box_matches_train_transform():
+    """``native.resize_box`` fed the same sampled box/flip must reproduce
+    ``random_train_transform``'s bytes exactly — the primitive is a drop-in
+    for array-holding callers (the shipped transform stays on PIL by
+    measurement; see its docstring)."""
+    import random
+
+    from protoclip_tpu.data.transforms import random_train_transform, sample_rrc_box
+
+    src = np.random.default_rng(7).integers(0, 256, (375, 500, 3), np.uint8).astype(np.uint8)
+    img = Image.fromarray(src)
+    for seed in range(6):
+        rng = random.Random(seed)
+        ref = random_train_transform(img, rng, 224)
+        rng = random.Random(seed)  # replay the identical draws
+        box = sample_rrc_box(500, 375, rng)
+        flip = rng.random() < 0.5
+        got = native.resize_box(src, 224, 224, box, flip)
+        assert got is not None
+        np.testing.assert_array_equal(got, ref)
+
+
 def test_clip_preprocess_native_matches_pil(monkeypatch):
     src = np.random.default_rng(5).integers(0, 256, (375, 500, 3), np.uint8).astype(np.uint8)
     img = Image.fromarray(src)
