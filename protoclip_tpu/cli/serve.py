@@ -9,6 +9,10 @@ equivalent for non-ROS deployments — a dependency-free (stdlib
 
 * ``--bundle DIR`` — encode mode: serve an AOT bundle
   (``io/export.py``); ``POST /encode`` returns (B, d) fp32 features.
+* ``--mesh [N] --backbone ...`` — mesh encode mode: the same /encode
+  surface over a LIVE data-parallel encode sharded across all (or the
+  first N) local devices — one serving host drives its whole TPU slice
+  (``make_mesh_encode_route``).
 * ``--config cfg.yml --splits split.json [...checkpoint paths]`` —
   classify mode: serve a ``ProtoClipClassifier``
   (``toolkit/classifier.py``); ``POST /classify`` returns top-k class
@@ -164,6 +168,104 @@ def make_encode_route(
     return route, info
 
 
+def make_mesh_encode_route(
+    backbone: Optional[str] = None,
+    weights: Optional[str] = None,
+    mesh_devices: Optional[int] = None,
+    per_device_batch: int = 32,
+    warmup: bool = True,
+    coalesce_ms: float = 5.0,
+    fast_decode: bool = False,
+    pool=None,
+    clip=None,
+) -> tuple:
+    """(handler, info) for /encode over a LIVE data-parallel mesh encode.
+
+    The AOT bundle route runs on ONE device; a production serving host has
+    several (a v5e-8 slice exposes 8 chips).  This route jits the canonical
+    serving encode (``io/export.make_encode_fn`` — the semantics of the
+    reference's ``utils.py:303-316`` encode) sharded over a 1-D ``data``
+    mesh (``parallel.sharding.make_sharded_encode``): weights replicate,
+    every device encodes its batch shard, and host throughput scales ~N×
+    while the micro-batcher still owns the single dispatch site.  Encode is
+    row-local (LayerNorm/attention act within an image's own tokens), so
+    mesh results match the single-device path (asserted in
+    ``tests/test_serve.py``).  int8 W8A8 serving follows the usual
+    ``$PROTOCLIP_INT8`` gate, applied at weight-load time.
+
+    ``clip=(cfg, params)`` injects a preloaded model (tests / embedding);
+    otherwise ``models.clip.load_clip(backbone, weights)`` resolves the
+    weights (``$PROTOCLIP_WEIGHTS_DIR`` / ``$PROTOCLIP_STRICT_WEIGHTS``
+    apply as everywhere else).
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from protoclip_tpu.io.export import make_encode_fn
+    from protoclip_tpu.parallel import make_mesh
+    from protoclip_tpu.parallel.sharding import (
+        fetch_to_host,
+        make_sharded_encode,
+        replicated,
+        shard_batch,
+    )
+    from protoclip_tpu.toolkit.microbatch import MicroBatcher
+
+    if clip is not None:
+        cfg, params = clip
+    else:
+        if not backbone:
+            raise ValueError("mesh encode mode needs --backbone (or clip=)")
+        from protoclip_tpu.models.clip import load_clip
+
+        cfg, params = load_clip(backbone, weights, dtype=jnp.bfloat16)
+    if per_device_batch < 1:
+        raise ValueError(f"per_device_batch must be >= 1, got {per_device_batch}")
+    mesh = make_mesh(mesh_devices)
+    n_dev = mesh.devices.size
+    batch = per_device_batch * n_dev
+    n_px = cfg.image_resolution
+
+    encode = make_sharded_encode(make_encode_fn(cfg), mesh)
+    # replicate the weights across the mesh ONCE; they stay a jit *argument*
+    # (never a closure: captured arrays bake into the executable — CLAUDE.md)
+    params = jax.device_put(params, replicated(mesh))
+
+    def run(block: np.ndarray) -> np.ndarray:
+        return fetch_to_host(encode(params, shard_batch(block, mesh)))
+
+    if warmup:  # compile before serving traffic (cold Mosaic compiles stall)
+        run(np.zeros((batch, n_px, n_px, 3), np.uint8))
+
+    pool = pool if pool is not None else _make_pool()
+    batcher = MicroBatcher(
+        run, batch, (n_px, n_px, 3), np.uint8,
+        max_wait_s=max(0.0, coalesce_ms) / 1e3,
+        # fixed global shape: trimming would retrace per fill level
+        trim_underfull=False,
+    )
+
+    def route(payload: dict) -> dict:
+        block = _preprocess_block(payload, n_px, pool, fast_decode)
+        return {"features": batcher.submit(block).tolist()}
+
+    route.pool = pool
+    route.batcher = batcher
+    info = {
+        "mode": "encode",
+        "backbone": cfg.name,
+        "mesh_devices": int(n_dev),
+        "per_device_batch": int(per_device_batch),
+        "batch_size": int(batch),
+        "image_resolution": int(n_px),
+        "int8": os.environ.get("PROTOCLIP_INT8", "0").lower() in ("1", "true", "on"),
+        "coalesce_ms": max(0.0, coalesce_ms),
+        "fast_decode": bool(fast_decode),
+    }
+    return route, info
+
+
 def make_classify_route(
     classifier, warmup: bool = True, coalesce_ms: float = 5.0,
     fast_decode: bool = False, pool=None,
@@ -305,8 +407,22 @@ def build_server(
     warmup: bool = True,
     coalesce_ms: float = 5.0,
     fast_decode: bool = False,
+    mesh_devices: Optional[int] = None,
+    backbone: Optional[str] = None,
+    weights: Optional[str] = None,
+    per_device_batch: int = 32,
+    clip=None,
 ) -> ThreadingHTTPServer:
-    """Construct (not start) the server; ``port=0`` picks a free port."""
+    """Construct (not start) the server; ``port=0`` picks a free port.
+
+    /encode comes from exactly one of ``bundle`` (single-device AOT
+    artifact) or the mesh mode (``mesh_devices``/``backbone``/``clip`` —
+    live data-parallel encode over all or the first N local devices)."""
+    mesh_mode = mesh_devices is not None or clip is not None or backbone is not None
+    if bundle is not None and mesh_mode:
+        raise ValueError(
+            "--bundle and mesh encode mode both serve /encode; pick one"
+        )
     routes, infos = {}, {}
     # one preprocess pool for the whole server: per-route pools would
     # oversubscribe the host with 2x cpu_count threads in dual mode
@@ -315,6 +431,13 @@ def build_server(
         routes["/encode"], infos["encode"] = make_encode_route(
             bundle, warmup=warmup, coalesce_ms=coalesce_ms,
             fast_decode=fast_decode, pool=pool,
+        )
+    elif mesh_mode:
+        routes["/encode"], infos["encode"] = make_mesh_encode_route(
+            backbone=backbone, weights=weights, mesh_devices=mesh_devices,
+            per_device_batch=per_device_batch, warmup=warmup,
+            coalesce_ms=coalesce_ms, fast_decode=fast_decode, pool=pool,
+            clip=clip,
         )
     if classifier is not None:
         routes["/classify"], infos["classify"] = make_classify_route(
@@ -413,6 +536,22 @@ def main() -> None:
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8421)
     parser.add_argument("--bundle", help="AOT serving bundle dir (/encode)")
+    parser.add_argument(
+        "--mesh", type=int, nargs="?", const=0, default=None, metavar="N",
+        help="mesh encode mode (/encode): live data-parallel encode over the "
+        "first N local devices (bare --mesh = all devices); needs --backbone; "
+        "mutually exclusive with --bundle; int8 via $PROTOCLIP_INT8",
+    )
+    parser.add_argument(
+        "--backbone", help="CLIP backbone for --mesh (e.g. 'ViT-B/16'); "
+        "weights resolve via --weights / $PROTOCLIP_WEIGHTS_DIR",
+    )
+    parser.add_argument("--weights", help="explicit weights path for --mesh")
+    parser.add_argument(
+        "--per-device-batch", type=int, default=32,
+        help="mesh mode: compiled batch rows per device "
+        "(global batch = N devices x this)",
+    )
     parser.add_argument("--config", help="experiment YAML (/classify)")
     parser.add_argument("--splits", help="split JSON for the id->name map")
     parser.add_argument("--memory_bank_v")
@@ -440,8 +579,16 @@ def main() -> None:
         "at camera sizes, BASELINE.md; NOT bit-exact with full decode)",
     )
     args = parser.parse_args()
-    if not args.bundle and not args.config:
-        parser.error("provide --bundle (encode mode) and/or --config (classify mode)")
+    mesh_mode = args.mesh is not None
+    if not args.bundle and not mesh_mode and not args.config:
+        parser.error(
+            "provide --bundle or --mesh (encode mode) and/or --config "
+            "(classify mode)"
+        )
+    if mesh_mode and not args.backbone:
+        parser.error("--mesh needs --backbone")
+    if mesh_mode and args.bundle:
+        parser.error("--bundle and --mesh both serve /encode; pick one")
 
     classifier = None
     if args.config:
@@ -461,6 +608,10 @@ def main() -> None:
         args.host, args.port, bundle=args.bundle, classifier=classifier,
         warmup=not args.no_warmup, coalesce_ms=args.coalesce_ms,
         fast_decode=args.fast_decode,
+        mesh_devices=(args.mesh or None) if mesh_mode else None,
+        backbone=args.backbone if mesh_mode else None,
+        weights=args.weights,
+        per_device_batch=args.per_device_batch,
     )
     host, port = server.server_address[:2]
     routes = sorted(server.RequestHandlerClass.routes)

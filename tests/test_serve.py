@@ -596,3 +596,59 @@ def test_connection_burst_is_not_reset(server):
         t.join(timeout=120)
         assert not t.is_alive()
     assert statuses == [200] * n
+
+
+def test_mesh_encode_route_matches_single_device():
+    """The live data-parallel /encode (--mesh) must return the SAME features
+    as the canonical single-device encode (io/export.make_encode_fn) — the
+    encode is row-local, so sharding the batch over the 8-device mesh is a
+    pure layout change.  Also pins the healthz surface of the mesh mode."""
+    from protoclip_tpu.data.transforms import clip_preprocess
+    from protoclip_tpu.io.export import make_encode_fn
+
+    params = init_clip_params(jax.random.PRNGKey(3), TINY_VIT)
+    srv = build_server(
+        port=0, clip=(TINY_VIT, params), mesh_devices=8, per_device_batch=1,
+        quiet=True, coalesce_ms=0.0,
+    )
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    port = srv.server_address[1]
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz") as resp:
+            health = json.loads(resp.read())
+        assert health["mode"] == "encode"
+        assert health["mesh_devices"] == 8
+        assert health["per_device_batch"] == 1
+        assert health["batch_size"] == 8
+        assert health["backbone"] == "tiny-vit"
+
+        rng = np.random.default_rng(7)
+        # 11 images > global batch 8: exercises the over-batch split; odd
+        # sizes exercise the preprocess path
+        arrs = [
+            rng.integers(0, 256, (40 + i, 37 + i, 3)).astype(np.uint8)
+            for i in range(11)
+        ]
+        status, body = _post(port, "/encode", {"images": [_b64_jpeg(a) for a in arrs]})
+        assert status == 200
+        feats = np.asarray(body["features"], np.float32)
+        assert feats.shape == (11, 32)
+
+        block = np.zeros((len(arrs), 32, 32, 3), np.uint8)
+        for i, a in enumerate(arrs):
+            block[i] = clip_preprocess(Image.fromarray(a), 32)
+        want = np.asarray(jax.jit(make_encode_fn(TINY_VIT))(params, block))
+        np.testing.assert_allclose(feats, want, atol=1e-5)
+    finally:
+        srv.shutdown()
+        srv.server_close()
+        thread.join(timeout=5)
+
+
+def test_mesh_mode_and_bundle_are_mutually_exclusive(tmp_path):
+    params = init_clip_params(jax.random.PRNGKey(0), TINY_VIT)
+    bundle = str(tmp_path / "bundle")
+    save_serving_bundle(bundle, TINY_VIT, params, batch_size=2)
+    with pytest.raises(ValueError, match="pick one"):
+        build_server(port=0, bundle=bundle, clip=(TINY_VIT, params))
