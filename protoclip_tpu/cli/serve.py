@@ -168,6 +168,15 @@ def make_encode_route(
     return route, info
 
 
+def _mesh_int8_active() -> bool:
+    """True iff the mesh route's weights were actually W8A8-quantized:
+    ``load_clip`` -> ``_maybe_quantize`` (``models/clip.py:488-492``)
+    requires BOTH the int8 opt-in and a Pallas-capable backend."""
+    from protoclip_tpu.ops.pallas_kernels import int8_enabled, pallas_enabled
+
+    return bool(int8_enabled() and pallas_enabled())
+
+
 def make_mesh_encode_route(
     backbone: Optional[str] = None,
     weights: Optional[str] = None,
@@ -259,7 +268,10 @@ def make_mesh_encode_route(
         "per_device_batch": int(per_device_batch),
         "batch_size": int(batch),
         "image_resolution": int(n_px),
-        "int8": os.environ.get("PROTOCLIP_INT8", "0").lower() in ("1", "true", "on"),
+        # what the route ACTUALLY serves: _maybe_quantize (models/clip.py)
+        # only engages when both gates are open — reporting the raw env var
+        # would claim int8 while serving bf16 on a Pallas-less backend
+        "int8": _mesh_int8_active(),
         "coalesce_ms": max(0.0, coalesce_ms),
         "fast_decode": bool(fast_decode),
     }

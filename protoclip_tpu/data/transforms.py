@@ -88,9 +88,15 @@ def clip_preprocess(img: Image.Image, n_px: int = 224) -> np.ndarray:
         img = img.convert("RGB")
     from protoclip_tpu import native  # lazy: first call may compile the .so
 
-    out = native.resize_shorter_center_crop(np.asarray(img, np.uint8), n_px, n_px)
-    if out is not None:
-        return out
+    # probe availability BEFORE np.asarray: the full-frame copy (~9 MB at
+    # 2048x1536) is only useful to the native path; on the PIL fallback it
+    # would be pure waste on the host-preprocess hot loop
+    if native.load() is not None:
+        out = native.resize_shorter_center_crop(
+            np.asarray(img, np.uint8), n_px, n_px
+        )
+        if out is not None:  # native may still decline the geometry
+            return out
     img = center_crop(resize_shorter(img, n_px), n_px)
     return np.asarray(img, dtype=np.uint8)
 

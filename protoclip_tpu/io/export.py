@@ -313,7 +313,10 @@ def load_serving_bundle(path: str) -> Callable[[np.ndarray], np.ndarray]:
             raise ValueError(
                 f"bundle expects uint8 pixels (0-255), got {images_u8.dtype}"
             )
-        n = len(images_u8)
+        # ndim check BEFORE len(): a 0-d input must produce this
+        # descriptive ValueError (-> HTTP 400 in cli/serve.py), not a raw
+        # "len() of unsized object" TypeError (-> 500)
+        n = images_u8.shape[0] if images_u8.ndim == 4 else 0
         if (
             images_u8.ndim != 4
             or images_u8.shape[1:] != (n_px, n_px, 3)

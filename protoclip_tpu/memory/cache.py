@@ -82,8 +82,15 @@ class FeatureCache:
         path = self._npz_path(stem)
         os.makedirs(os.path.dirname(path), exist_ok=True)
         # tmp + rename (the io/checkpoint.py discipline): a preemption
-        # mid-save must never leave a truncated archive behind
-        tmp = path + ".tmp"
+        # mid-save must never leave a truncated archive behind.  The tmp
+        # name is per-writer (pid + random suffix, the io/download.py
+        # discipline): two runs sharing a cache tree (e.g. the fewsol /
+        # fewsol_198 variants, which reject-and-rebuild each other's
+        # entries) would otherwise interleave writes into one shared
+        # '<path>.tmp' and the loser's os.replace would crash the run
+        import uuid
+
+        tmp = f"{path}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
         with open(tmp, "wb") as fh:  # file handle: savez must not append .npz
             np.savez(fh, **arrays)
         os.replace(tmp, path)

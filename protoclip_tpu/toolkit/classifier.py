@@ -125,8 +125,11 @@ class ProtoClipClassifier:
 
     def _preprocess_crops(self, crops: Sequence[np.ndarray]) -> np.ndarray:
         n_px = self.clip_cfg.image_resolution
-        out = np.zeros((len(crops[: self.max_batch]), n_px, n_px, 3), np.uint8)
-        for i, crop in enumerate(crops[: self.max_batch]):
+        # no truncation here: classify_objects raises for n > max_batch and
+        # infer_canvases re-validates — a silent slice would misalign rows
+        # with the caller's crop list
+        out = np.zeros((len(crops), n_px, n_px, 3), np.uint8)
+        for i, crop in enumerate(crops):
             out[i] = clip_preprocess(Image.fromarray(np.asarray(crop)), n_px)
         return out
 

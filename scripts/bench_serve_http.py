@@ -34,18 +34,19 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def export_bundle(args) -> None:
-    """Export in a child that releases the chip on exit."""
-    code = f"""
-import jax.numpy as jnp
-from protoclip_tpu.io.export import save_serving_bundle
-from protoclip_tpu.models import load_clip
-cfg, params = load_clip({args.backbone!r}, dtype=jnp.bfloat16)
-save_serving_bundle({args.bundle!r}, cfg, params,
-                    batch_size={args.batch}, int8={args.int8},
-                    batch_sizes={tuple(args.buckets or ())!r} or None)
-print("exported", flush=True)
-"""
-    subprocess.run([sys.executable, "-c", code], check=True, cwd=REPO)
+    """Export in a child that releases the chip on exit — via the real
+    export CLI (one source of truth: the bench must measure the same
+    bundle a user deploys with ``protoclip-export``)."""
+    cmd = [
+        sys.executable, "-m", "protoclip_tpu.cli.export",
+        "--backbone", args.backbone, "--out", args.bundle,
+        "--batch", str(args.batch),
+    ]
+    if args.int8:
+        cmd.append("--int8")
+    if args.buckets:
+        cmd += ["--buckets", *map(str, args.buckets)]
+    subprocess.run(cmd, check=True, cwd=REPO)
 
 
 def wait_healthz(client: ServeClient, timeout_s: float) -> dict:

@@ -137,6 +137,10 @@ def test_bundle_rejects_wrong_shape_and_format(tmp_path, tiny):
     with pytest.raises(ValueError, match="uint8"):
         # float [0,1] pixels must raise, not silently truncate to zeros
         encode(np.zeros((4, 32, 32, 3), np.float32))
+    with pytest.raises(ValueError, match="compiled for"):
+        # 0-d input must hit the descriptive ValueError (-> HTTP 400 in
+        # cli/serve.py), not a raw len()-of-unsized-object TypeError
+        encode(np.uint8(7))
 
     with open(os.path.join(bundle, "encoder.shlo"), "r+b") as fh:
         fh.write(b"\x00garbage\x00")  # corrupt the artifact header

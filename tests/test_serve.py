@@ -622,6 +622,10 @@ def test_mesh_encode_route_matches_single_device():
         assert health["per_device_batch"] == 1
         assert health["batch_size"] == 8
         assert health["backbone"] == "tiny-vit"
+        # int8 reports what the route actually serves: on this CPU backend
+        # the Pallas gate is closed, so even PROTOCLIP_INT8=1 must report
+        # False (the env var alone never quantizes — models/clip.py:488-492)
+        assert health["int8"] is False
 
         rng = np.random.default_rng(7)
         # 11 images > global batch 8: exercises the over-batch split; odd
