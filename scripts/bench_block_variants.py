@@ -10,8 +10,11 @@ kernel so the production kernel stays untouched until a winner is ported.
 
 from __future__ import annotations
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

@@ -11,8 +11,11 @@ Usage: python scripts/bench_int8_peak.py [N] [steps]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

@@ -24,9 +24,12 @@ Usage: python scripts/bench_rn50_int8.py [batch] [steps]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 from functools import partial
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

@@ -28,9 +28,10 @@ import subprocess
 import sys
 import time
 
-from protoclip_tpu.client import ServeClient
-
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from protoclip_tpu.client import ServeClient  # noqa: E402 — needs REPO on sys.path
 
 
 def export_bundle(args) -> None:

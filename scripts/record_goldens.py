@@ -17,6 +17,7 @@ import sys
 import numpy as np
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 GOLDENS = os.path.join(REPO, "tests", "goldens.json")
 
 
