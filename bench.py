@@ -35,6 +35,19 @@ import numpy as np
 
 BASELINE_IMAGES_PER_SEC = 1100.0  # PyTorch-A100 fp16 ViT-B/16 encode (BASELINE.md)
 
+# Regression tripwires: pinned ~6% under the weakest round-3 measurement of
+# each metric (BENCH_r03 / bench_details history: int8 5550.8, bf16 4082,
+# RN50 8888, ViT-L/14 int8 1296, text 19.6k).  A TPU run landing under a
+# floor emits "regression": true + the failing metrics in the JSON line, so
+# a kernel regression turns the round's bench red without human diffing.
+PERF_FLOORS = {
+    "int8_images_per_sec": 5200.0,
+    "bf16_images_per_sec": 3900.0,
+    "rn50_images_per_sec": 8400.0,
+    "vit_l14_int8_images_per_sec": 1200.0,
+    "text_encode_prompts_per_sec": 18000.0,
+}
+
 
 def _enable_compilation_cache() -> None:
     """Persistent executable cache (shared definition in obs/profiler.py)."""
@@ -274,6 +287,17 @@ def main() -> None:
         details["vit_l14_int8_images_per_sec"] = round(vitl_int8_ips, 1)
     if text_pps is not None:
         details["text_encode_prompts_per_sec"] = round(text_pps, 1)
+
+    regressions = {}
+    if backend != "cpu":
+        # a metric that FAILED to run (None) on real hardware is itself a
+        # regression, not a pass — record it as null under its floor
+        for key, floor in PERF_FLOORS.items():
+            value = details.get(key)
+            if value is None or value < floor:
+                regressions[key] = {"value": value, "floor": floor}
+        details["perf_floors"] = PERF_FLOORS
+        details["regressions"] = regressions
     with open("bench_details.json", "w") as fh:
         json.dump(details, fh, indent=2)
 
@@ -283,6 +307,12 @@ def main() -> None:
         "unit": f"images/sec ({mode})",
         "vs_baseline": round(headline / BASELINE_IMAGES_PER_SEC, 3),
     }
+    if regressions:
+        line["regression"] = True
+        line["regression_detail"] = {
+            key: f"{info['value']} < floor {info['floor']}"
+            for key, info in regressions.items()
+        }
     if backend == "cpu":
         # self-describing: a recorded CPU number must never read as a TPU
         # regression (the tunnel to the shared chip can be down)
