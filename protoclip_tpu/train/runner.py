@@ -165,15 +165,37 @@ def zero_shot_sweep_phase(cfg, setup, logger, progress: bool) -> Dict[str, float
             # triples/array path below) — its class count is unknown, so it
             # is treated as stale too.  Recompute and overwrite.
             cached = None
+        acc_grid = None
         if cached is not None and "acc" in cached:
             acc_grid = cached["acc"]
         elif cached is not None and ("triples" in cached or "array" in cached):
-            # reference pickle format: (341, 3) [alpha, beta, acc] row list
-            # (no n_class field recorded — trusted as-is for interop)
-            acc_grid = triples_to_sweep(
-                cached.get("triples", cached.get("array")), alphas, betas
-            )
-        else:
+            # reference pickle format: (319, 3) [alpha, beta, acc] row list.
+            # Validate before adopting (the npz path's n_class guard has no
+            # pickle analog — the reference records no class count, and a
+            # (|grid|, 3) row list looks identical for every dataset): the
+            # rows must form exactly the default alpha/beta grid and the
+            # accuracies must be probabilities; anything else (truncated,
+            # foreign-grid, or corrupt pickle) is recomputed, not adopted.
+            try:
+                acc_grid = triples_to_sweep(
+                    cached.get("triples", cached.get("array")), alphas, betas
+                )
+                if not (
+                    np.isfinite(acc_grid).all()
+                    and float(acc_grid.min()) >= 0.0
+                    and float(acc_grid.max()) <= 1.0
+                ):
+                    raise ValueError("accuracies outside [0, 1]")
+            except ValueError as exc:
+                import sys
+
+                print(
+                    f"[protoclip_tpu] cached HP grid {stem} is invalid "
+                    f"({exc}); recomputing",
+                    file=sys.stderr,
+                )
+                acc_grid = None
+        if acc_grid is None:
             acc_grid = alpha_beta_sweep(feats, labels, img_protos, text_protos, alphas, betas)
             cache.save(
                 stem,

