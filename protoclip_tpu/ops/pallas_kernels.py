@@ -47,6 +47,15 @@ def pallas_enabled() -> bool:
         return False
 
 
+def interpret_forced() -> bool:
+    """$PROTOCLIP_PALLAS_INTERPRET forces interpret-mode kernels — the
+    CPU-debug/dry-run switch (e.g. `__graft_entry__.dryrun_multichip`
+    exercising the int8 serving path on the virtual CPU mesh)."""
+    return os.environ.get("PROTOCLIP_PALLAS_INTERPRET", "0").lower() in (
+        "1", "true", "on",
+    )
+
+
 # Batch rows processed per program.  One (b, h) per program spends too much
 # time in per-program overhead at CLIP's tiny L x dh tiles; G=8 amortizes it
 # (measured 67 ms vs 96 ms XLA for ViT-B/16's 12 attention layers at B=512).
@@ -115,6 +124,7 @@ def fused_attention(q, k, v, causal: bool = False, interpret: bool = False):
     Pads L up to a multiple of 8 (fp32 sublane) internally; padded keys are
     masked out, padded query rows are sliced off.
     """
+    interpret = interpret or interpret_forced()
     b, h, l, dh = q.shape
     lp = -(-l // 8) * 8
     if lp != l:
@@ -213,6 +223,7 @@ def fused_attention_packed(
     Equivalent to split-heads -> attention -> merge-heads, without ever
     materializing the head-major layout in HBM.
     """
+    interpret = interpret or interpret_forced()
     b, l, d = q.shape
     if d % n_head:
         # the per-head slice loop would silently leave the trailing
@@ -390,6 +401,7 @@ def fused_transformer_block(
     padded L to a sublane multiple (hoisting the pad/slice out of a layer
     loop); keys beyond it are masked.  Output stays padded in that case.
     """
+    interpret = interpret or interpret_forced()
     b, l, d = x.shape
     already_padded = length is not None
     if length is None:
@@ -634,6 +646,7 @@ def fused_transformer_block_int8(
     ``qblock`` is one layer's slice of :func:`quantize_stacked_blocks`'s
     output.  Same padding contract as :func:`fused_transformer_block`.
     """
+    interpret = interpret or interpret_forced()
     b, l, d = x.shape
     already_padded = length is not None
     if length is None:

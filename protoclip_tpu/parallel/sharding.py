@@ -85,9 +85,16 @@ def make_sharded_encode(
         from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
-    local = shard_map(
-        encode_fn, mesh=mesh, in_specs=(P(), P("data")), out_specs=P("data")
-    )
+    # check_vma off: the encode body may contain Pallas kernels (fused
+    # block / int8 W8A8), whose pallas_call out_shapes declare no varying-
+    # mesh-axes metadata — shard_map's replication checker rejects them.
+    # The check proves nothing here anyway: encode is row-local by
+    # construction (every output row depends only on its own batch shard).
+    kwargs = {"mesh": mesh, "in_specs": (P(), P("data")), "out_specs": P("data")}
+    try:
+        local = shard_map(encode_fn, check_vma=False, **kwargs)
+    except TypeError:  # older jax spells it check_rep
+        local = shard_map(encode_fn, check_rep=False, **kwargs)
     return jax.jit(
         local,
         in_shardings=(replicated(mesh), batch_sharding(mesh)),

@@ -106,6 +106,30 @@ def test_dryrun_multihost_two_process_cluster():
     assert "2-process x 4-device cluster OK" in proc.stdout
 
 
+def test_dryrun_multihost_four_process_cluster():
+    """Scale-out shape #2 (VERDICT r3 item 6): FOUR processes x 2 devices
+    each — more process boundaries than devices-per-process, the opposite
+    aspect ratio of the 2x4 case above — joined into one 8-device cluster."""
+    import pytest
+
+    pytest.importorskip("jax")
+    env = dict(os.environ)
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import __graft_entry__ as g; g.dryrun_multichip(8, processes=4)",
+        ],
+        cwd=REPO,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr}"
+    assert "4-process x 2-device cluster OK" in proc.stdout
+
+
 def test_init_distributed_env_fallbacks(monkeypatch):
     """$PROTOCLIP_COORDINATOR / _NUM_PROCESSES / _PROCESS_ID must feed
     jax.distributed.initialize verbatim (SCALING.md multi-host contract)."""
