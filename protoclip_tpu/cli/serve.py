@@ -169,12 +169,28 @@ def make_encode_route(
 
 
 def _mesh_int8_active() -> bool:
-    """True iff the mesh route's weights were actually W8A8-quantized:
-    ``load_clip`` -> ``_maybe_quantize`` (``models/clip.py:488-492``)
-    requires BOTH the int8 opt-in and a Pallas-capable backend."""
+    """True iff the next trace of the encode takes the W8A8 branch: the
+    int8 path engages on BOTH gates at trace time regardless of whether the
+    weights were pre-quantized (``models/layers.py:90-106`` quantizes
+    in-trace as a fallback), so the gates — not the params — decide the
+    serving dtype.  Callers must evaluate this AT the trace (the warmup),
+    not earlier (round-3 advisor: gates changing between load and route
+    construction made /healthz misreport)."""
     from protoclip_tpu.ops.pallas_kernels import int8_enabled, pallas_enabled
 
     return bool(int8_enabled() and pallas_enabled())
+
+
+def _params_prequantized(params) -> bool:
+    """Do the params carry load-time int8 weights (``blocks_q`` subtrees,
+    ``models.clip.quantize_for_serving``)?  Reported separately from the
+    serving dtype: pre-quantized weights serve bf16 when the gates are off,
+    and gate-on unquantized weights still serve int8 via in-trace
+    quantization."""
+    return any(
+        isinstance(params.get(tower), dict) and "blocks_q" in params[tower]
+        for tower in ("visual", "text")
+    )
 
 
 def make_mesh_encode_route(
@@ -244,6 +260,10 @@ def make_mesh_encode_route(
     def run(block: np.ndarray) -> np.ndarray:
         return fetch_to_host(encode(params, shard_batch(block, mesh)))
 
+    # snapshot the serving dtype AT the trace: with warmup the gate state
+    # here is exactly what the compiled executable uses; without warmup the
+    # first request traces later — this is then the best-effort prediction
+    int8_active = _mesh_int8_active()
     if warmup:  # compile before serving traffic (cold Mosaic compiles stall)
         run(np.zeros((batch, n_px, n_px, 3), np.uint8))
 
@@ -268,10 +288,11 @@ def make_mesh_encode_route(
         "per_device_batch": int(per_device_batch),
         "batch_size": int(batch),
         "image_resolution": int(n_px),
-        # what the route ACTUALLY serves: _maybe_quantize (models/clip.py)
-        # only engages when both gates are open — reporting the raw env var
-        # would claim int8 while serving bf16 on a Pallas-less backend
-        "int8": _mesh_int8_active(),
+        # what the route ACTUALLY serves: snapshotted at the warmup trace
+        # (see _mesh_int8_active) — reporting the raw env var at info-build
+        # time could claim int8 while the compiled path serves bf16
+        "int8": int8_active,
+        "int8_weights_prequantized": _params_prequantized(params),
         "coalesce_ms": max(0.0, coalesce_ms),
         "fast_decode": bool(fast_decode),
     }

@@ -33,6 +33,30 @@ class FeatureCache:
         self.backbone = backbone
         self.shots = shots
         self.enabled = enabled
+        if enabled:
+            self._sweep_stale_tmp()
+
+    def _sweep_stale_tmp(self, max_age_s: float = 3600.0) -> None:
+        """Remove orphaned ``*.tmp-<pid>-<rand>`` files a crashed/preempted
+        writer left behind (save() writes tmp + os.replace; per-writer tmp
+        names fixed the concurrent-writer race but stopped self-overwriting,
+        so orphans would otherwise accumulate forever — round-3 advisor).
+        Age-gated: a LIVE concurrent writer's tmp file must survive."""
+        import time
+
+        if not os.path.isdir(self.root):
+            return
+        cutoff = time.time() - max_age_s
+        for dirpath, _, names in os.walk(self.root):
+            for name in names:
+                if ".tmp-" not in name:
+                    continue
+                path = os.path.join(dirpath, name)
+                try:
+                    if os.path.getmtime(path) < cutoff:
+                        os.remove(path)
+                except OSError:
+                    pass  # raced with another sweeper or a live writer
 
     # -- generic npz (+ torch fallback) -------------------------------------
 
@@ -91,9 +115,18 @@ class FeatureCache:
         import uuid
 
         tmp = f"{path}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
-        with open(tmp, "wb") as fh:  # file handle: savez must not append .npz
-            np.savez(fh, **arrays)
-        os.replace(tmp, path)
+        try:
+            with open(tmp, "wb") as fh:  # file handle: savez must not append .npz
+                np.savez(fh, **arrays)
+            os.replace(tmp, path)
+        finally:
+            # a crash between open() and os.replace() must not orphan the
+            # per-writer tmp (init-time sweep is the backstop for SIGKILL)
+            if os.path.exists(tmp):
+                try:
+                    os.remove(tmp)
+                except OSError:
+                    pass
 
     # -- named artifacts (reference stem naming) ----------------------------
 

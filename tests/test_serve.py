@@ -650,6 +650,53 @@ def test_mesh_encode_route_matches_single_device():
         thread.join(timeout=5)
 
 
+def test_mesh_route_int8_reporting_and_interpret_serving(monkeypatch):
+    """/healthz int8 reflects the TRACED serving dtype (round-3 advisor):
+    pre-quantized weights with gates off report int8=False (plus the
+    prequantized marker); gates on with interpret-forced kernels actually
+    serve the W8A8 path on the virtual CPU mesh."""
+    from protoclip_tpu.cli.serve import make_mesh_encode_route
+    from protoclip_tpu.models.clip import quantize_for_serving
+
+    params = init_clip_params(jax.random.PRNGKey(4), TINY_VIT)
+
+    # (a) preloaded QUANTIZED weights, gates off -> the traced path is bf16:
+    # int8 must report False even though blocks_q is present
+    monkeypatch.delenv("PROTOCLIP_INT8", raising=False)
+    monkeypatch.setenv("PROTOCLIP_PALLAS", "0")
+    qparams = quantize_for_serving(params)
+    route, info = make_mesh_encode_route(
+        clip=(TINY_VIT, qparams), mesh_devices=8, per_device_batch=1,
+        warmup=False, coalesce_ms=0.0,
+    )
+    try:
+        assert info["int8"] is False
+        assert info["int8_weights_prequantized"] is True
+    finally:
+        route.batcher.close()
+        route.pool.shutdown(wait=False)
+
+    # (b) gates on + interpret-forced kernels: the route serves int8 for
+    # real on the CPU mesh (in-trace quantization — no blocks_q needed)
+    monkeypatch.setenv("PROTOCLIP_PALLAS", "1")
+    monkeypatch.setenv("PROTOCLIP_INT8", "1")
+    monkeypatch.setenv("PROTOCLIP_PALLAS_INTERPRET", "1")
+    route, info = make_mesh_encode_route(
+        clip=(TINY_VIT, params), mesh_devices=8, per_device_batch=1,
+        warmup=True, coalesce_ms=0.0,
+    )
+    try:
+        assert info["int8"] is True
+        assert info["int8_weights_prequantized"] is False
+        out = route({"images": [_b64_jpeg(np.zeros((32, 32, 3), np.uint8))]})
+        feats = np.asarray(out["features"], np.float32)
+        assert feats.shape == (1, 32) and np.isfinite(feats).all()
+        np.testing.assert_allclose(np.linalg.norm(feats, axis=-1), 1.0, atol=1e-3)
+    finally:
+        route.batcher.close()
+        route.pool.shutdown(wait=False)
+
+
 def test_mesh_mode_and_bundle_are_mutually_exclusive(tmp_path):
     params = init_clip_params(jax.random.PRNGKey(0), TINY_VIT)
     bundle = str(tmp_path / "bundle")
