@@ -5,6 +5,12 @@ The torch side is assembled from the documented architecture (anti-aliased
 bottlenecks: all convs stride 1, avgpool after conv2 when stride > 1;
 3-conv stem + avgpool; QKV attention pooling with a mean-token query —
 SURVEY.md §2, ref ``clip/model.py:10-152``) using torch functional ops.
+
+Parametrized over geometries the big registry ResNets exercise (VERDICT r3
+missing #4): multi-block ``rest`` stacks (RN101's deep stages scan >1
+trailing block per stage) and a width that is not a multiple of 64, driving
+the default ``width * 32 // 64`` attention-pool head rule
+(ref ``clip/model.py:92,416-420``).
 """
 
 import numpy as np
@@ -16,13 +22,28 @@ import jax.numpy as jnp
 torch = pytest.importorskip("torch")
 import torch.nn.functional as F  # noqa: E402
 
-from protoclip_tpu.models.clip import CLIPConfig, convert_clip_state_dict, encode_image  # noqa: E402
+from protoclip_tpu.models.clip import (  # noqa: E402
+    CLIPConfig,
+    convert_clip_state_dict,
+    encode_image,
+    infer_config_from_state_dict,
+)
 
-WIDTH, LAYERS, EMBED, IMG = 8, (2, 2, 2, 2), 32, 64
-HEADS = 4  # attnpool heads for the tiny config
+EMBED, IMG = 32, 64
+
+GEOMETRIES = {
+    # RN50-like shape: one trailing ("rest") block per stage
+    "rn50-like": (8, (2, 2, 2, 2)),
+    # RN101-like shape: rest stacks of depth 2/3/1/2 — exercises the scanned
+    # multi-block rest path (models/resnet.py layer scan)
+    "multiblock-rest": (8, (3, 4, 2, 3)),
+    # width 10 -> attnpool embed 320: heads come from the default
+    # width*32//64 rule (=5), like RN50x4's width-80/40-head geometry
+    "nonstd-width": (10, (2, 2, 2, 2)),
+}
 
 
-def _rand_rn_state_dict(rng):
+def _rand_rn_state_dict(rng, width, layers):
     sd = {}
 
     def conv(name, cin, cout, k):
@@ -34,13 +55,13 @@ def _rand_rn_state_dict(rng):
         sd[f"{name}.running_mean"] = (rng.standard_normal(c) * 0.1).astype(np.float32)
         sd[f"{name}.running_var"] = rng.uniform(0.5, 1.5, c).astype(np.float32)
 
-    conv("visual.conv1", 3, WIDTH // 2, 3); bn("visual.bn1", WIDTH // 2)
-    conv("visual.conv2", WIDTH // 2, WIDTH // 2, 3); bn("visual.bn2", WIDTH // 2)
-    conv("visual.conv3", WIDTH // 2, WIDTH, 3); bn("visual.bn3", WIDTH)
+    conv("visual.conv1", 3, width // 2, 3); bn("visual.bn1", width // 2)
+    conv("visual.conv2", width // 2, width // 2, 3); bn("visual.bn2", width // 2)
+    conv("visual.conv3", width // 2, width, 3); bn("visual.bn3", width)
 
-    inplanes = WIDTH
-    for li, (blocks, stride) in enumerate(zip(LAYERS, (1, 2, 2, 2))):
-        planes = WIDTH * (2 ** li)
+    inplanes = width
+    for li, (blocks, stride) in enumerate(zip(layers, (1, 2, 2, 2))):
+        planes = width * (2 ** li)
         for b in range(blocks):
             p = f"visual.layer{li + 1}.{b}"
             cin = inplanes if b == 0 else planes * 4
@@ -52,7 +73,7 @@ def _rand_rn_state_dict(rng):
                 bn(f"{p}.downsample.1", planes * 4)
         inplanes = planes * 4
 
-    c = WIDTH * 32
+    c = width * 32
     spacial = IMG // 32
     sd["visual.attnpool.positional_embedding"] = (
         rng.standard_normal((spacial ** 2 + 1, c)) * c ** -0.5
@@ -85,7 +106,7 @@ def _rand_rn_state_dict(rng):
     return sd
 
 
-def _torch_rn_forward(sd, images_nchw):
+def _torch_rn_forward(sd, images_nchw, layers, heads):
     t = {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}
     x = torch.from_numpy(images_nchw)
 
@@ -101,7 +122,7 @@ def _torch_rn_forward(sd, images_nchw):
     x = F.relu(bn("visual.bn3", F.conv2d(x, t["visual.conv3.weight"], padding=1)))
     x = F.avg_pool2d(x, 2)
 
-    for li, (blocks, stride0) in enumerate(zip(LAYERS, (1, 2, 2, 2))):
+    for li, (blocks, stride0) in enumerate(zip(layers, (1, 2, 2, 2))):
         for b in range(blocks):
             p = f"visual.layer{li + 1}.{b}"
             stride = stride0 if b == 0 else 1
@@ -125,7 +146,7 @@ def _torch_rn_forward(sd, images_nchw):
     tok = tok + t["visual.attnpool.positional_embedding"][:, None, :]
     out, _ = F.multi_head_attention_forward(
         query=tok, key=tok, value=tok,
-        embed_dim_to_check=C, num_heads=HEADS,
+        embed_dim_to_check=C, num_heads=heads,
         q_proj_weight=t["visual.attnpool.q_proj.weight"],
         k_proj_weight=t["visual.attnpool.k_proj.weight"],
         v_proj_weight=t["visual.attnpool.v_proj.weight"],
@@ -143,18 +164,50 @@ def _torch_rn_forward(sd, images_nchw):
     return out[0].detach().numpy()
 
 
-def test_modified_resnet_matches_torch():
+@pytest.mark.parametrize("geometry", sorted(GEOMETRIES), ids=sorted(GEOMETRIES))
+def test_modified_resnet_matches_torch(geometry):
+    width, layers = GEOMETRIES[geometry]
+    heads = width * 32 // 64  # the OpenAI rule the config defaults to
     rng = np.random.default_rng(0)
-    sd = _rand_rn_state_dict(rng)
+    sd = _rand_rn_state_dict(rng, width, layers)
     cfg = CLIPConfig(
-        "tiny-rn", EMBED, IMG, LAYERS, WIDTH, None,
+        "tiny-rn", EMBED, IMG, layers, width, None,
         context_length=8, vocab_size=64, transformer_width=16, transformer_layers=1,
-        n_vision_heads=HEADS,
     )
+    assert cfg.vision_heads_resnet == heads
     cfg2, params = convert_clip_state_dict(sd, cfg)
     params = jax.tree_util.tree_map(jnp.asarray, params)
 
     images = rng.standard_normal((2, IMG, IMG, 3)).astype(np.float32)
     ours = np.asarray(encode_image(params, jnp.asarray(images), cfg))
-    theirs = _torch_rn_forward(sd, images.transpose(0, 3, 1, 2))
+    theirs = _torch_rn_forward(sd, images.transpose(0, 3, 1, 2), layers, heads)
+    np.testing.assert_allclose(ours, theirs, atol=5e-4)
+
+
+def test_infer_config_from_rn_state_dict():
+    """Shape-based inference (ref ``clip/model.py:397-420``) on a ResNet
+    state dict with uneven stages and a non-64-multiple width, end-to-end
+    into conversion + forward (the path ``load_clip`` takes for a custom
+    checkpoint with no registry entry)."""
+    width, layers = 10, (3, 4, 2, 3)
+    rng = np.random.default_rng(1)
+    sd = _rand_rn_state_dict(rng, width, layers)
+    cfg = infer_config_from_state_dict(sd)
+    assert cfg.name == "custom"
+    assert cfg.vision_layers == layers
+    assert cfg.vision_width == width
+    assert cfg.vision_patch_size is None
+    assert cfg.image_resolution == IMG
+    assert cfg.embed_dim == EMBED
+    assert cfg.vision_heads_resnet == width * 32 // 64 == 5
+    assert cfg.transformer_layers == 1 and cfg.transformer_width == 16
+
+    # inferred config drives conversion + forward without a registry entry
+    cfg2, params = convert_clip_state_dict(sd)
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    images = rng.standard_normal((1, IMG, IMG, 3)).astype(np.float32)
+    ours = np.asarray(encode_image(params, jnp.asarray(images), cfg2))
+    theirs = _torch_rn_forward(
+        sd, images.transpose(0, 3, 1, 2), layers, width * 32 // 64
+    )
     np.testing.assert_allclose(ours, theirs, atol=5e-4)
