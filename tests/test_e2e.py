@@ -116,6 +116,7 @@ def test_full_run_and_only_test(tiny_env):
     assert result2.test_acc_fixed == pytest.approx(result.test_acc_fixed, abs=1e-5)
 
 
+@pytest.mark.slow
 def test_runner_snapshot_and_resume(tiny_env):
     """cfg.snapshot_every writes the trainer-state snapshot during training
     and cfg.resume continues from it: a run preempted after its snapshot
@@ -242,6 +243,7 @@ def test_full_runner_with_mesh(tiny_env):
     assert 0.0 <= result.test_acc_fixed <= 1.0
 
 
+@pytest.mark.slow
 def test_full_run_int8_serving_mode(tiny_env, monkeypatch):
     """PROTOCLIP_INT8 runs the whole experiment through the W8A8 kernel
     (interpret mode on CPU) and lands within noise of the XLA path."""
@@ -346,6 +348,7 @@ def test_cli_main_end_to_end(tiny_env, monkeypatch, capsys):
     assert "test_acc_fixed=" in out
 
 
+@pytest.mark.slow
 def test_validate_accuracy_script_dry_run(tiny_env, tmp_path, monkeypatch):
     """CI dry-run of the accuracy-parity north-star runner (VERDICT r3 weak
     #6): scripts/validate_accuracy.py executes end-to-end on the synthetic

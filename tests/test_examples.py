@@ -13,6 +13,8 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -33,12 +35,14 @@ def _run_example(name: str, timeout: int) -> str:
     return proc.stdout
 
 
+@pytest.mark.slow
 def test_serving_quickstart_runs():
     out = _run_example("serving_quickstart.py", timeout=300)
     assert "encoded 3 images" in out
     assert "server exit code: 0" in out
 
 
+@pytest.mark.slow
 def test_train_quickstart_runs():
     out = _run_example("train_quickstart.py", timeout=600)
     # the full chain printed its terminal artifacts: a written checkpoint

@@ -10,6 +10,8 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -50,6 +52,7 @@ def test_dryrun_multichip_inprocess():
         sys.path.remove(REPO)
 
 
+@pytest.mark.slow
 def test_bench_emits_one_json_line_on_cpu(tmp_path):
     """The driver parses bench.py's stdout as ONE JSON line; the CPU
     fallback must uphold that contract (diagnostics go to stderr).
@@ -83,6 +86,7 @@ def test_bench_emits_one_json_line_on_cpu(tmp_path):
     assert row["value"] > 0
 
 
+@pytest.mark.slow
 def test_dryrun_multihost_two_process_cluster():
     """Multi-host for real (round-2 VERDICT item 1): two separate OS
     processes, 4 virtual CPU devices each, joined by
@@ -106,6 +110,7 @@ def test_dryrun_multihost_two_process_cluster():
     assert "2-process x 4-device cluster OK" in proc.stdout
 
 
+@pytest.mark.slow
 def test_dryrun_multihost_four_process_cluster():
     """Scale-out shape #2 (VERDICT r3 item 6): FOUR processes x 2 devices
     each — more process boundaries than devices-per-process, the opposite

@@ -245,18 +245,16 @@ def test_backbone_geometries_match_openai():
     assert BACKBONE_CONFIGS["ViT-L/14"].vision_layers == 24
 
 
-@pytest.mark.skipif(
-    not os.environ.get("PROTOCLIP_SLOW_TESTS"),
-    reason="full-geometry forward sweep takes ~4 min on CPU "
-    "(set PROTOCLIP_SLOW_TESTS=1)",
-)
+@pytest.mark.slow
 @pytest.mark.parametrize("name", sorted(BACKBONE_CONFIGS))
 def test_every_backbone_forward_smoke(name):
     """Init + one image/text forward at the REAL geometry of each registry
     backbone (batch 1).  Catches shape/layout bugs in the non-default
     towers (RN101's 23-deep stage 3, RN50x4's 288 px / width-80 stem,
     RN50x16's 384 px, ViT-L/14's 24 layers) that the tiny-config tests
-    cannot see.  Gated: ~4 min total on this image's CPU."""
+    cannot see.  Marked slow (~4 min total on this image's CPU); the fast
+    tiny-geometry parity in test_resnet_parity.py covers the same layout
+    rules every run."""
     cfg = BACKBONE_CONFIGS[name]
     params = init_clip_params(jax.random.PRNGKey(0), cfg)
     img = jnp.asarray(

@@ -304,6 +304,7 @@ def test_int8_encode_parity_real_geometry(rng, monkeypatch):
         assert cos.min() > 0.995, f"per-feature cosine {cos}"
 
 
+@pytest.mark.slow
 def test_int8_load_time_quantization(rng, monkeypatch):
     """quantize_for_serving attaches blocks_q once at load; the apply path
     consumes it and matches the quantize-in-trace fallback exactly."""
