@@ -205,3 +205,59 @@ def test_cjk_matches_reference_not_hf():
     pieces = [dec[i] for i in ids]
     assert pieces[-1].endswith("</w>")
     assert not any(p.endswith("</w>") for p in pieces[:-1]), pieces
+
+
+# ---------------------------------------------------------------------------
+# executed-reference differential: /root/reference/clip/simple_tokenizer.py
+# run VERBATIM (ftfy stubbed to identity — its only job is mojibake repair,
+# a no-op on the well-formed prompts below) and diffed against the rebuild.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ref_simple_tokenizer():
+    import importlib.util
+    import os
+    import sys
+    import types
+
+    from tests.conftest import REFERENCE_DIR
+
+    path = os.path.join(REFERENCE_DIR, "clip", "simple_tokenizer.py")
+    if not os.path.exists(path):
+        pytest.skip("reference simple_tokenizer.py not mounted")
+    had_ftfy = "ftfy" in sys.modules
+    if not had_ftfy:
+        stub = types.ModuleType("ftfy")
+        stub.fix_text = lambda text: text
+        sys.modules["ftfy"] = stub
+    try:
+        spec = importlib.util.spec_from_file_location("ref_simple_tokenizer", path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        yield mod.SimpleTokenizer(bpe_path=VOCAB)
+    finally:
+        if not had_ftfy:
+            sys.modules.pop("ftfy", None)
+
+
+def test_full_vocab_matches_reference_executed(ref_simple_tokenizer):
+    """The entire 49,408-entry encoder/decoder construction (byte-unicode
+    table + merge ranking, ref ``simple_tokenizer.py:62-79``) must be
+    identical, not just agree on sampled prompts."""
+    ours = ClipTokenizer(VOCAB)
+    assert ours.encoder == ref_simple_tokenizer.encoder
+    assert ours.decoder == ref_simple_tokenizer.decoder
+
+
+@pytest.mark.parametrize("prompt", PROMPTS)
+def test_encode_matches_reference_executed(ref_simple_tokenizer, prompt):
+    ours = ClipTokenizer(VOCAB).encode(prompt)
+    theirs = ref_simple_tokenizer.encode(prompt)
+    assert ours == theirs, f"{prompt!r}: {ours} != {theirs}"
+
+
+@pytest.mark.parametrize("prompt", PROMPTS[:6])
+def test_decode_matches_reference_executed(ref_simple_tokenizer, prompt):
+    ids = ref_simple_tokenizer.encode(prompt)
+    assert ClipTokenizer(VOCAB).decode(ids) == ref_simple_tokenizer.decode(ids)
