@@ -789,3 +789,112 @@ def test_sampler_distributions_match_reference():
     # a random permutation POSITION, not a fixed class)
     assert ref_rate.std(axis=1).max() < 0.02
     assert np.abs(ref_rate.mean() - our_rate.mean()) < 0.01
+
+
+# ---------------------------------------------------------------------------
+# few-shot sampler (ref datasets/utils.py:215-257) executed verbatim:
+# EXACT equality, not distributional — both sides draw from the stdlib
+# Mersenne Twister with the same seed, so the per-class random.sample /
+# random.choices picks must be identical item-for-item.
+# ---------------------------------------------------------------------------
+
+_REF_DS_UTILS = None
+
+
+def _load_ref_dataset_utils():
+    """Import the reference's datasets/utils.py verbatim (gdown and
+    torchvision stubbed — only referenced inside download/transform helpers
+    this diff never calls)."""
+    global _REF_DS_UTILS
+    if _REF_DS_UTILS is not None:
+        return _REF_DS_UTILS
+    stubs = {}
+    if "gdown" not in sys.modules:
+        stubs["gdown"] = types.ModuleType("gdown")
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tv_t = types.ModuleType("torchvision.transforms")
+        tv.transforms = tv_t
+        stubs.update({"torchvision": tv, "torchvision.transforms": tv_t})
+    sys.modules.update(stubs)
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "_ref_ds_utils", os.path.join(REFERENCE_DIR, "datasets", "utils.py")
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+    finally:
+        for name in stubs:
+            sys.modules.pop(name, None)
+    _REF_DS_UTILS = mod
+    return mod
+
+
+def _fewshot_problem():
+    """Synthetic class layout exercising both sampler branches: big classes
+    (random.sample), a class smaller than K (random.choices repeat), and
+    interleaved insertion order (grouping is first-appearance ordered)."""
+    sizes = {0: 9, 1: 4, 2: 2, 3: 16}  # K=4 -> class 2 takes the choices path
+    order = []
+    for i in range(max(sizes.values())):
+        for label, n in sizes.items():
+            if i < n:
+                order.append((f"img_{label}_{i}.jpg", label, f"class{label}"))
+    return order
+
+
+@pytest.mark.parametrize("num_shots", [4, 1, -1])
+def test_fewshot_sampler_exactly_matches_reference(num_shots):
+    import random as stdlib_random
+
+    from protoclip_tpu.data.types import Datum, generate_fewshot
+
+    ref = _load_ref_dataset_utils()
+    rows = _fewshot_problem()
+
+    ref_items = [
+        ref.Datum(impath=p, label=l, classname=c) for p, l, c in rows
+    ]
+    base = ref.DatasetBase(train_x=ref_items)
+    state = stdlib_random.getstate()
+    try:
+        stdlib_random.seed(1)  # the reference seeds the GLOBAL stream (utils.py:22-26)
+        theirs = base.generate_fewshot_dataset(ref_items, num_shots=num_shots)
+    finally:
+        stdlib_random.setstate(state)
+
+    ours = generate_fewshot(
+        [Datum(impath=p, label=l, classname=c) for p, l, c in rows],
+        num_shots=num_shots,
+        seed=1,
+    )
+
+    assert [d.impath for d in ours] == [d.impath for d in theirs]
+    assert [d.label for d in ours] == [d.label for d in theirs]
+
+
+def test_fewshot_sampler_no_repeat_matches_reference():
+    import random as stdlib_random
+
+    from protoclip_tpu.data.types import Datum, generate_fewshot
+
+    ref = _load_ref_dataset_utils()
+    rows = _fewshot_problem()
+    ref_items = [ref.Datum(impath=p, label=l, classname=c) for p, l, c in rows]
+    base = ref.DatasetBase(train_x=ref_items)
+    state = stdlib_random.getstate()
+    try:
+        stdlib_random.seed(1)
+        theirs = base.generate_fewshot_dataset(
+            ref_items, num_shots=4, repeat=False
+        )
+    finally:
+        stdlib_random.setstate(state)
+
+    ours = generate_fewshot(
+        [Datum(impath=p, label=l, classname=c) for p, l, c in rows],
+        num_shots=4,
+        seed=1,
+        repeat=False,
+    )
+    assert [d.impath for d in ours] == [d.impath for d in theirs]
