@@ -28,6 +28,8 @@ Protocol (JSON; images are base64-encoded JPEG/PNG bytes)::
                                    "scores": [[...], ...]}
 
     GET  /statz                -> micro-batcher dispatch statistics
+    GET  /metrics              -> the same + HTTP response counters in
+                                  Prometheus text exposition format
 
 Errors are JSON ``{"error": ...}``: 400 bad payload/negative length, 404
 unknown route (lists available routes), 411 missing/unparseable
@@ -370,18 +372,96 @@ def make_classify_route(
 _MAX_BODY = 256 << 20  # 256 MB request-body cap
 
 
+_GET_PATHS = ("/healthz", "/statz", "/metrics")
+
+
+def render_prometheus(routes: Dict[str, Callable], counters: Dict) -> str:
+    """Prometheus text exposition (format 0.0.4) of the serving metrics:
+    HTTP responses by route/status, and per-route micro-batcher dispatch
+    counters, batch fill, and dispatch-latency quantiles."""
+    lines = [
+        "# HELP protoclip_http_responses_total HTTP responses by route and status code.",
+        "# TYPE protoclip_http_responses_total counter",
+    ]
+    for (route, code), n in sorted(counters.items()):
+        lines.append(
+            f'protoclip_http_responses_total{{route="{route}",code="{code}"}} {n}'
+        )
+    batched = [
+        (path, route.batcher.stats)
+        for path, route in sorted(routes.items())
+        if getattr(route, "batcher", None) is not None
+    ]
+    families = [
+        ("protoclip_dispatches_total", "counter",
+         "Device dispatches issued by the micro-batcher.", "dispatches"),
+        ("protoclip_images_total", "counter",
+         "Images processed across all dispatches.", "images"),
+        ("protoclip_batch_fill_mean", "gauge",
+         "Mean images per dispatch (compiled batch fill).", "mean_fill"),
+        ("protoclip_batch_size", "gauge",
+         "Compiled device batch size.", "batch_size"),
+    ]
+    for name, typ, help_, key in families:
+        lines += [f"# HELP {name} {help_}", f"# TYPE {name} {typ}"]
+        for path, stats in batched:
+            lines.append(f'{name}{{route="{path}"}} {stats[key]}')
+    lines += [
+        "# HELP protoclip_dispatch_latency_ms Dispatch latency quantiles "
+        "over the last <=256 dispatches.",
+        "# TYPE protoclip_dispatch_latency_ms gauge",
+    ]
+    for path, stats in batched:
+        for quantile, key in (("0.5", "dispatch_ms_p50"),
+                              ("0.99", "dispatch_ms_p99"),
+                              ("1.0", "dispatch_ms_max")):
+            if key in stats:
+                lines.append(
+                    f'protoclip_dispatch_latency_ms{{route="{path}",'
+                    f'quantile="{quantile}"}} {stats[key]}'
+                )
+    return "\n".join(lines) + "\n"
+
+
 class _Handler(BaseHTTPRequestHandler):
     routes: Dict[str, Callable[[dict], dict]] = {}
     info: dict = {}
     quiet = False
+    # per-server (the build_server subclass rebinds these): (route, code)
+    # response counters feeding /metrics
+    counters: Dict = {}
+    counters_lock = threading.Lock()
     # socket timeout: a stalled client (short body, held connection) must
     # not pin its handler thread forever
     timeout = 120
 
+    def _count(self, code: int) -> None:
+        # bound label cardinality: arbitrary request paths are bucketed
+        label = (
+            self.path
+            if self.path in self.routes or self.path in _GET_PATHS
+            else "other"
+        )
+        with self.counters_lock:
+            key = (label, code)
+            self.counters[key] = self.counters.get(key, 0) + 1
+
     def _send(self, code: int, obj: dict) -> None:
+        self._count(code)
         body = json.dumps(obj).encode()
         self.send_response(code)
         self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _send_text(self, code: int, text: str) -> None:
+        self._count(code)
+        body = text.encode()
+        self.send_response(code)
+        self.send_header(
+            "Content-Type", "text/plain; version=0.0.4; charset=utf-8"
+        )
         self.send_header("Content-Length", str(len(body)))
         self.end_headers()
         self.wfile.write(body)
@@ -396,6 +476,10 @@ class _Handler(BaseHTTPRequestHandler):
                 if getattr(route, "batcher", None) is not None
             }
             self._send(200, stats)
+        elif self.path == "/metrics":
+            with self.counters_lock:
+                counters = dict(self.counters)
+            self._send_text(200, render_prometheus(self.routes, counters))
         else:
             self._send(404, {"error": f"no route {self.path}"})
 

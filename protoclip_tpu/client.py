@@ -106,6 +106,16 @@ class ServeClient:
         """Per-route micro-batcher statistics (dispatches, fill, latency)."""
         return self._get("/statz")
 
+    def metrics(self) -> str:
+        """Prometheus text exposition of the serving metrics (``/metrics``)."""
+        try:
+            with urllib.request.urlopen(
+                self.base_url + "/metrics", timeout=self.timeout
+            ) as resp:
+                return resp.read().decode()
+        except urllib.error.HTTPError as err:
+            raise ServeError(err.code, _err_message(err)) from None
+
     def encode(self, images: Sequence) -> np.ndarray:
         """Images -> (N, d) float32 CLIP features (``/encode`` route)."""
         out = self._post("/encode", images)

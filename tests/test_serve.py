@@ -703,3 +703,52 @@ def test_mesh_mode_and_bundle_are_mutually_exclusive(tmp_path):
     save_serving_bundle(bundle, TINY_VIT, params, batch_size=2)
     with pytest.raises(ValueError, match="pick one"):
         build_server(port=0, bundle=bundle, clip=(TINY_VIT, params))
+
+
+def test_metrics_prometheus_exposition(server):
+    """GET /metrics: Prometheus text format carrying the HTTP response
+    counters and the micro-batcher stats, consistent with /statz."""
+    import re
+
+    srv, _ = server
+    port = srv.server_address[1]
+
+    # generate at least one 200 on /encode and one bucketed 404
+    rng = np.random.default_rng(21)
+    arr = rng.integers(0, 256, (32, 32, 3)).astype(np.uint8)
+    status, _ = _post(port, "/encode", {"images": [_b64_jpeg(arr)]})
+    assert status == 200
+    status, _ = _post(port, "/nope", {})
+    assert status == 404
+
+    req = urllib.request.urlopen(f"http://127.0.0.1:{port}/metrics")
+    assert req.headers["Content-Type"].startswith("text/plain")
+    text = req.read().decode()
+
+    # every non-comment line is a well-formed sample
+    sample = re.compile(r'^[a-z_]+(\{[a-z]+="[^"]*"(,[a-z]+="[^"]*")*\})? [-0-9.e+]+$')
+    for line in text.strip().split("\n"):
+        if not line.startswith("#"):
+            assert sample.match(line), line
+
+    def value(name, **labels):
+        lbl = ",".join(f'{k}="{v}"' for k, v in labels.items())
+        m = re.search(rf"^{name}\{{{re.escape(lbl)}\}} (\S+)$", text, re.M)
+        assert m, f"{name}{{{lbl}}} missing from:\n{text}"
+        return float(m.group(1))
+
+    assert value("protoclip_http_responses_total", route="/encode", code=200) >= 1
+    # unknown paths are bucketed to bound label cardinality
+    assert value("protoclip_http_responses_total", route="other", code=404) >= 1
+
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}/statz") as resp:
+        statz = json.loads(resp.read())["/encode"]
+    assert value("protoclip_dispatches_total", route="/encode") == statz["dispatches"]
+    assert value("protoclip_images_total", route="/encode") == statz["images"]
+    assert value("protoclip_batch_size", route="/encode") == statz["batch_size"]
+    assert value("protoclip_dispatch_latency_ms", route="/encode", quantile="0.5") > 0
+
+    from protoclip_tpu.client import ServeClient
+
+    client = ServeClient(f"http://127.0.0.1:{port}")
+    assert "protoclip_dispatches_total" in client.metrics()
