@@ -898,3 +898,59 @@ def test_fewshot_sampler_no_repeat_matches_reference():
         repeat=False,
     )
     assert [d.impath for d in ours] == [d.impath for d in theirs]
+
+
+# ---------------------------------------------------------------------------
+# best-HP extraction from the sweep surface (ref utils.py:167-222) executed
+# verbatim: the (alpha, beta) the reference extracts from its flattened
+# alpha-major accuracy lists must equal best_operating_point on our 2-D
+# grid — including argmax tie-breaking (first max wins).
+# ---------------------------------------------------------------------------
+
+
+class _ScalarRecorder:
+    def __init__(self):
+        self.scalars = []
+
+    def add_scalar(self, tag, value, step):
+        self.scalars.append((tag, float(value), step))
+
+
+def test_best_hp_extraction_matches_reference(ref_utils, tmp_path, monkeypatch):
+    from protoclip_tpu.eval.gridsearch import best_cell, best_operating_point
+
+    monkeypatch.chdir(tmp_path)  # the reference writes plots/ under cwd
+    alphas = np.round(np.arange(0.0, 1.05, 0.25), 2)   # 5
+    betas = np.asarray([0.5, 1.0, 2.0, 4.0], np.float64)  # 4
+    rng = np.random.default_rng(17)
+    val = rng.uniform(0.2, 0.8, (5, 4))
+    test = rng.uniform(0.2, 0.8, (5, 4))
+    train = rng.uniform(0.2, 0.8, (5, 4))
+    # deliberate tie on val: cells 6 and 13 (flat, alpha-major) share the max
+    val.flat[6] = val.flat[13] = 0.95
+    test.flat[17] = 0.99
+
+    alpha_flat = np.repeat(alphas, len(betas))
+    beta_flat = np.tile(betas, len(alphas))
+    writer = _ScalarRecorder()
+    cfg = {"dataset": "tiny", "logs_dir_path": "logs"}
+    (ref_best_val, ref_val_a, ref_val_b, ref_test_a, ref_test_b) = (
+        ref_utils.plot_zero_shot_alpha_beta(
+            alpha_flat, beta_flat, val.ravel(), test.ravel(), train.ravel(),
+            cfg, writer, 0,
+        )
+    )
+
+    our_val_a, our_val_b, our_val_acc = best_operating_point(val, alphas, betas)
+    our_test_a, our_test_b, _ = best_operating_point(test, alphas, betas)
+    assert (our_val_a, our_val_b) == (ref_val_a, ref_val_b)  # tie -> first max
+    assert (our_test_a, our_test_b) == (ref_test_a, ref_test_b)
+    assert our_val_acc == pytest.approx(float(ref_best_val))
+
+    # test-accuracy AT the val-selected cell (the reference's second scalar)
+    i, j = best_cell(val)
+    test_at_val = [
+        v for t, v, s in writer.scalars
+        if t == "Accuracy/zsval-zstestval-zstest-3F-test" and s == 2
+    ]
+    assert test_at_val == [pytest.approx(float(test[i, j]))]
