@@ -261,3 +261,80 @@ def test_encode_matches_reference_executed(ref_simple_tokenizer, prompt):
 def test_decode_matches_reference_executed(ref_simple_tokenizer, prompt):
     ids = ref_simple_tokenizer.encode(prompt)
     assert ClipTokenizer(VOCAB).decode(ids) == ref_simple_tokenizer.decode(ids)
+
+
+# ---------------------------------------------------------------------------
+# executed-reference differential for the tokenize FRONT-END
+# (ref clip/clip.py:194-230: SOT/EOT wrap, zero-pad, truncate-with-EOT,
+# overflow RuntimeError) — the reference clip package imported verbatim.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ref_clip_pkg():
+    import importlib.util
+    import os
+    import sys
+    import types
+
+    from tests.conftest import REFERENCE_DIR
+
+    pkg_dir = os.path.join(REFERENCE_DIR, "clip")
+    if not os.path.exists(os.path.join(pkg_dir, "clip.py")):
+        pytest.skip("reference clip package not mounted")
+
+    stubs = {}
+    if "ftfy" not in sys.modules:
+        ftfy = types.ModuleType("ftfy")
+        ftfy.fix_text = lambda text: text
+        stubs["ftfy"] = ftfy
+    if "torchvision" not in sys.modules:
+        # clip.py imports 5 transform names at module level but tokenize
+        # never touches them; InterpolationMode is deliberately ABSENT so
+        # the reference's try/except falls back to PIL's BICUBIC.
+        tv = types.ModuleType("torchvision")
+        tv_t = types.ModuleType("torchvision.transforms")
+        for name in ("Compose", "Resize", "CenterCrop", "ToTensor", "Normalize"):
+            setattr(
+                tv_t, name,
+                type(name, (), {"__init__": lambda self, *a, **k: None}),
+            )
+        tv.transforms = tv_t
+        stubs.update({"torchvision": tv, "torchvision.transforms": tv_t})
+    sys.modules.update(stubs)
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "refclip",
+            os.path.join(pkg_dir, "__init__.py"),
+            submodule_search_locations=[pkg_dir],
+        )
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules["refclip"] = mod
+        spec.loader.exec_module(mod)
+        yield mod
+    finally:
+        for name in list(stubs) + ["refclip", "refclip.clip",
+                                   "refclip.model", "refclip.simple_tokenizer"]:
+            sys.modules.pop(name, None)
+
+
+def test_tokenize_frontend_matches_reference_executed(ref_clip_pkg):
+    theirs = ref_clip_pkg.tokenize(PROMPTS, context_length=77).numpy()
+    ours = tokenize(PROMPTS, context_length=77)
+    np.testing.assert_array_equal(np.asarray(ours, np.int64), theirs)
+
+
+def test_tokenize_frontend_truncation_matches_reference_executed(ref_clip_pkg):
+    long = " ".join(["hello"] * 100)
+    with pytest.raises(RuntimeError):
+        ref_clip_pkg.tokenize(long, context_length=77)
+    theirs = ref_clip_pkg.tokenize(long, context_length=77, truncate=True).numpy()
+    ours = tokenize(long, context_length=77, truncate=True)
+    np.testing.assert_array_equal(np.asarray(ours, np.int64), theirs)
+    assert theirs[0, -1] == 49407  # truncate keeps EOT in the last slot
+
+
+def test_tokenize_frontend_short_context_matches_reference_executed(ref_clip_pkg):
+    theirs = ref_clip_pkg.tokenize(["a cat", "a"], context_length=12).numpy()
+    ours = tokenize(["a cat", "a"], context_length=12)
+    np.testing.assert_array_equal(np.asarray(ours, np.int64), theirs)
