@@ -20,7 +20,10 @@ equivalent for non-ROS deployments — a dependency-free (stdlib
 
 Protocol (JSON; images are base64-encoded JPEG/PNG bytes)::
 
-    GET  /healthz              -> {"status": "ok", "mode": ..., ...}
+    GET  /healthz              -> {"status": "ok", "mode": ..., ...};
+                                  503 {"status": "degraded", ...} once a
+                                  route's device dispatches fail 3x in a
+                                  row (any success resets the streak)
     POST /encode   {"images": [b64, ...]}
                                -> {"features": [[f32...], ...]}
     POST /classify {"images": [b64, ...]}
@@ -397,6 +400,11 @@ def render_prometheus(routes: Dict[str, Callable], counters: Dict) -> str:
          "Device dispatches issued by the micro-batcher.", "dispatches"),
         ("protoclip_images_total", "counter",
          "Images processed across all dispatches.", "images"),
+        ("protoclip_dispatch_failures_total", "counter",
+         "Device dispatches that raised (requests got 500s).", "failures"),
+        ("protoclip_consecutive_dispatch_failures", "gauge",
+         "Current failure streak; >=3 degrades /healthz to 503.",
+         "consecutive_failures"),
         ("protoclip_batch_fill_mean", "gauge",
          "Mean images per dispatch (compiled batch fill).", "mean_fill"),
         ("protoclip_batch_size", "gauge",
@@ -466,9 +474,30 @@ class _Handler(BaseHTTPRequestHandler):
         self.end_headers()
         self.wfile.write(body)
 
+    # consecutive failed device dispatches on any route before /healthz
+    # reports degraded (HTTP 503 -> load balancers pull the host); any
+    # successful dispatch resets the streak
+    unhealthy_after = 3
+
     def do_GET(self) -> None:  # noqa: N802 (http.server API)
         if self.path == "/healthz":
-            self._send(200, {"status": "ok", **self.info})
+            degraded = {
+                path: {
+                    "consecutive_failures": s["consecutive_failures"],
+                    "last_error": s.get("last_error", ""),
+                }
+                for path, s in (
+                    (p, r.batcher.stats)
+                    for p, r in self.routes.items()
+                    if getattr(r, "batcher", None) is not None
+                )
+                if s["consecutive_failures"] >= self.unhealthy_after
+            }
+            if degraded:
+                self._send(503, {"status": "degraded", "routes": degraded,
+                                 **self.info})
+            else:
+                self._send(200, {"status": "ok", **self.info})
         elif self.path == "/statz":
             stats = {
                 path: route.batcher.stats

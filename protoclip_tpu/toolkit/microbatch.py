@@ -112,6 +112,12 @@ class MicroBatcher:
         self._stats_lock = threading.Lock()
         self._dispatches = 0
         self._images = 0
+        # failure detection: total failed dispatches, the current failure
+        # streak (reset by any success), and the last error string —
+        # feeds /healthz degradation and /metrics
+        self._failures = 0
+        self._consecutive_failures = 0
+        self._last_error: str = ""
         # ring of recent per-dispatch wall times for the latency quantiles
         self._recent_s: collections.deque = collections.deque(maxlen=256)
         self._thread = threading.Thread(
@@ -204,12 +210,19 @@ class MicroBatcher:
         with self._stats_lock:
             d, n = self._dispatches, self._images
             recent = list(self._recent_s)
+            failures = self._failures
+            consecutive = self._consecutive_failures
+            last_error = self._last_error
         out = {
             "dispatches": d,
             "images": n,
             "mean_fill": (n / d) if d else 0.0,
             "batch_size": self.batch_size,
+            "failures": failures,
+            "consecutive_failures": consecutive,
         }
+        if last_error:
+            out["last_error"] = last_error
         if recent:  # dispatch-latency quantiles over the last <=256 calls
             q = sorted(recent)
             out["dispatch_ms_p50"] = round(1e3 * q[len(q) // 2], 2)
@@ -302,6 +315,10 @@ class MicroBatcher:
             if pending and id(pending[0][0]) in failed:
                 head_req, head_consumed = pending.popleft()
                 dropped_rows = len(head_req.images) - head_consumed
+            with self._stats_lock:
+                self._failures += 1
+                self._consecutive_failures += 1
+                self._last_error = f"{type(exc).__name__}: {exc}"
         else:
             for req, boff, n in parts:
                 req.parts.append(np.asarray(out[boff : boff + n]))
@@ -312,5 +329,6 @@ class MicroBatcher:
                 self._dispatches += 1
                 self._images += fill
                 self._recent_s.append(time.monotonic() - t_start)
+                self._consecutive_failures = 0
         finally:
             self._release_capacity(fill + dropped_rows)

@@ -752,3 +752,59 @@ def test_metrics_prometheus_exposition(server):
 
     client = ServeClient(f"http://127.0.0.1:{port}")
     assert "protoclip_dispatches_total" in client.metrics()
+
+
+def test_healthz_degrades_on_dispatch_failures(server):
+    """Failure detection: consecutive failed device dispatches turn
+    /healthz into a 503 "degraded" (so load balancers pull the host), with
+    the failure streak and last error visible in /statz and /metrics; one
+    successful dispatch restores 200 "ok"."""
+    srv, _ = server
+    port = srv.server_address[1]
+    route = _Handler_route(srv)
+    batcher = route.batcher
+    real_run = batcher._run_batch
+
+    rng = np.random.default_rng(33)
+    arr = rng.integers(0, 256, (32, 32, 3)).astype(np.uint8)
+    payload = {"images": [_b64_jpeg(arr)]}
+
+    def boom(block):
+        raise RuntimeError("device vanished")
+
+    batcher._run_batch = boom
+    try:
+        for _ in range(3):
+            status, body = _post(port, "/encode", payload)
+            assert status == 500 and "device vanished" in body["error"]
+
+        req = urllib.request.Request(f"http://127.0.0.1:{port}/healthz")
+        try:
+            urllib.request.urlopen(req)
+            raise AssertionError("expected 503")
+        except urllib.error.HTTPError as err:
+            assert err.code == 503
+            health = json.loads(err.read())
+        assert health["status"] == "degraded"
+        assert health["routes"]["/encode"]["consecutive_failures"] >= 3
+        assert "device vanished" in health["routes"]["/encode"]["last_error"]
+
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/metrics") as resp:
+            text = resp.read().decode()
+        assert 'protoclip_dispatch_failures_total{route="/encode"} 3' in text
+    finally:
+        batcher._run_batch = real_run
+
+    # recovery: one good dispatch resets the streak
+    status, _ = _post(port, "/encode", payload)
+    assert status == 200
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz") as resp:
+        assert json.loads(resp.read())["status"] == "ok"
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}/statz") as resp:
+        stats = json.loads(resp.read())["/encode"]
+    assert stats["failures"] == 3 and stats["consecutive_failures"] == 0
+
+
+def _Handler_route(srv):
+    """The /encode route object bound to this server's handler class."""
+    return srv.RequestHandlerClass.routes["/encode"]
