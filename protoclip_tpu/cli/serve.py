@@ -478,21 +478,27 @@ class _Handler(BaseHTTPRequestHandler):
     # reports degraded (HTTP 503 -> load balancers pull the host); any
     # successful dispatch resets the streak
     unhealthy_after = 3
+    # min seconds between device probes from degraded /healthz checks
+    probe_interval_s = 10.0
 
     def do_GET(self) -> None:  # noqa: N802 (http.server API)
         if self.path == "/healthz":
-            degraded = {
-                path: {
-                    "consecutive_failures": s["consecutive_failures"],
-                    "last_error": s.get("last_error", ""),
-                }
-                for path, s in (
-                    (p, r.batcher.stats)
-                    for p, r in self.routes.items()
-                    if getattr(r, "batcher", None) is not None
-                )
-                if s["consecutive_failures"] >= self.unhealthy_after
-            }
+            degraded = {}
+            for path, route in self.routes.items():
+                batcher = getattr(route, "batcher", None)
+                if batcher is None:
+                    continue
+                if batcher.stats["consecutive_failures"] >= self.unhealthy_after:
+                    # a pulled replica only receives health checks: probe
+                    # the device (rate-limited) so recovery is reachable
+                    # without POST traffic, then re-read the streak
+                    batcher.health_probe(self.probe_interval_s)
+                stats = batcher.stats
+                if stats["consecutive_failures"] >= self.unhealthy_after:
+                    degraded[path] = {
+                        "consecutive_failures": stats["consecutive_failures"],
+                        "last_error": stats.get("last_error", ""),
+                    }
             if degraded:
                 self._send(503, {"status": "degraded", "routes": degraded,
                                  **self.info})
@@ -601,6 +607,9 @@ def build_server(
 
     handler = type("Handler", (_Handler,), {
         "routes": routes, "info": info, "quiet": quiet,
+        # fresh per-server counters: the base-class dict would be shared
+        # (and accumulate) across every server built in this process
+        "counters": {}, "counters_lock": threading.Lock(),
     })
     pools = list({  # dedupe: routes share the server-wide pool
         id(p): p

@@ -75,14 +75,17 @@ class ServeClient:
 
     # -- low-level ------------------------------------------------------
 
-    def _get(self, path: str) -> dict:
+    def _get_raw(self, path: str) -> bytes:
         try:
             with urllib.request.urlopen(
                 self.base_url + path, timeout=self.timeout
             ) as resp:
-                return json.loads(resp.read())
+                return resp.read()
         except urllib.error.HTTPError as err:
             raise ServeError(err.code, _err_message(err)) from None
+
+    def _get(self, path: str) -> dict:
+        return json.loads(self._get_raw(path))
 
     def _post(self, path: str, images: Iterable) -> dict:
         body = json.dumps({"images": [_to_b64(im) for im in images]}).encode()
@@ -108,13 +111,7 @@ class ServeClient:
 
     def metrics(self) -> str:
         """Prometheus text exposition of the serving metrics (``/metrics``)."""
-        try:
-            with urllib.request.urlopen(
-                self.base_url + "/metrics", timeout=self.timeout
-            ) as resp:
-                return resp.read().decode()
-        except urllib.error.HTTPError as err:
-            raise ServeError(err.code, _err_message(err)) from None
+        return self._get_raw("/metrics").decode()
 
     def encode(self, images: Sequence) -> np.ndarray:
         """Images -> (N, d) float32 CLIP features (``/encode`` route)."""

@@ -118,6 +118,7 @@ class MicroBatcher:
         self._failures = 0
         self._consecutive_failures = 0
         self._last_error: str = ""
+        self._last_probe = float("-inf")
         # ring of recent per-dispatch wall times for the latency quantiles
         self._recent_s: collections.deque = collections.deque(maxlen=256)
         self._thread = threading.Thread(
@@ -229,6 +230,27 @@ class MicroBatcher:
             out["dispatch_ms_p99"] = round(1e3 * q[min(len(q) - 1, int(len(q) * 0.99))], 2)
             out["dispatch_ms_max"] = round(1e3 * q[-1], 2)
         return out
+
+    def health_probe(self, min_interval_s: float = 10.0) -> bool:
+        """During a failure streak, try ONE tiny dispatch so a degraded
+        replica can self-recover: a load balancer that pulled the replica
+        on a 503 /healthz keeps sending only health checks — with no POST
+        traffic, no dispatch could ever succeed and reset the streak.
+        Rate-limited to one probe per ``min_interval_s`` across callers.
+        Returns True when the batcher is healthy (no streak, or the probe
+        dispatch just succeeded)."""
+        with self._stats_lock:
+            if self._consecutive_failures == 0:
+                return True
+            now = time.monotonic()
+            if now - self._last_probe < min_interval_s:
+                return False
+            self._last_probe = now
+        try:
+            self.submit(np.zeros((1,) + tuple(self.item_shape), self.dtype))
+            return True
+        except BaseException:  # noqa: BLE001 — still degraded
+            return False
 
     # -- dispatcher side ------------------------------------------------
 

@@ -37,11 +37,9 @@ import time
 # runnable from anywhere: the repo root is this script's parent
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# Textual banks tokenize real prompts; when $PROTOCLIP_BPE_PATH is unset,
-# fall back to the vocab shipped with the mounted reference snapshot.
-_REF_VOCAB = "/root/reference/clip/bpe_simple_vocab_16e6.txt.gz"
-if "PROTOCLIP_BPE_PATH" not in os.environ and os.path.exists(_REF_VOCAB):
-    os.environ["PROTOCLIP_BPE_PATH"] = _REF_VOCAB
+from scripts._env import ensure_bpe_vocab  # noqa: E402
+
+ensure_bpe_vocab()
 
 DATASETS = [
     "caltech101", "dtd", "eurosat", "fgvc", "food101", "imagenet",

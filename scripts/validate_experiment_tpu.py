@@ -38,12 +38,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# The textual-bank phase tokenizes real prompts; when $PROTOCLIP_BPE_PATH is
-# unset, fall back to the vocab shipped with the mounted reference snapshot
-# (same discovery tests/conftest.py uses).
-_REF_VOCAB = "/root/reference/clip/bpe_simple_vocab_16e6.txt.gz"
-if "PROTOCLIP_BPE_PATH" not in os.environ and os.path.exists(_REF_VOCAB):
-    os.environ["PROTOCLIP_BPE_PATH"] = _REF_VOCAB
+from scripts._env import ensure_bpe_vocab  # noqa: E402
+
+ensure_bpe_vocab()
 
 import numpy as np
 

@@ -778,6 +778,11 @@ def test_healthz_degrades_on_dispatch_failures(server):
             status, body = _post(port, "/encode", payload)
             assert status == 500 and "device vanished" in body["error"]
 
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/metrics") as resp:
+            text = resp.read().decode()
+        assert 'protoclip_dispatch_failures_total{route="/encode"} 3' in text
+
+        # the degraded healthz fires one (still-failing) recovery probe
         req = urllib.request.Request(f"http://127.0.0.1:{port}/healthz")
         try:
             urllib.request.urlopen(req)
@@ -788,10 +793,6 @@ def test_healthz_degrades_on_dispatch_failures(server):
         assert health["status"] == "degraded"
         assert health["routes"]["/encode"]["consecutive_failures"] >= 3
         assert "device vanished" in health["routes"]["/encode"]["last_error"]
-
-        with urllib.request.urlopen(f"http://127.0.0.1:{port}/metrics") as resp:
-            text = resp.read().decode()
-        assert 'protoclip_dispatch_failures_total{route="/encode"} 3' in text
     finally:
         batcher._run_batch = real_run
 
@@ -802,7 +803,43 @@ def test_healthz_degrades_on_dispatch_failures(server):
         assert json.loads(resp.read())["status"] == "ok"
     with urllib.request.urlopen(f"http://127.0.0.1:{port}/statz") as resp:
         stats = json.loads(resp.read())["/encode"]
-    assert stats["failures"] == 3 and stats["consecutive_failures"] == 0
+    # 3 failed POST dispatches + the failed healthz probe
+    assert stats["failures"] == 4 and stats["consecutive_failures"] == 0
+
+
+def test_degraded_healthz_self_recovers_without_traffic(server, monkeypatch):
+    """A pulled replica receives only health checks: once the device works
+    again, the degraded /healthz's own rate-limited probe dispatch must
+    restore 200 — no POST traffic required (SCALING.md fleet monitoring)."""
+    srv, _ = server
+    port = srv.server_address[1]
+    batcher = _Handler_route(srv).batcher
+    real_run = batcher._run_batch
+    monkeypatch.setattr(srv.RequestHandlerClass, "probe_interval_s", 0.0)
+
+    rng = np.random.default_rng(34)
+    arr = rng.integers(0, 256, (32, 32, 3)).astype(np.uint8)
+    payload = {"images": [_b64_jpeg(arr)]}
+
+    def boom(block):
+        raise RuntimeError("tunnel down")
+
+    batcher._run_batch = boom
+    try:
+        for _ in range(3):
+            status, _ = _post(port, "/encode", payload)
+            assert status == 500
+        try:
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz")
+            raise AssertionError("expected 503")
+        except urllib.error.HTTPError as err:
+            assert err.code == 503
+    finally:
+        batcher._run_batch = real_run
+
+    # device is back; the next health check alone must recover the replica
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz") as resp:
+        assert json.loads(resp.read())["status"] == "ok"
 
 
 def _Handler_route(srv):
