@@ -66,12 +66,13 @@ def ref_clip():
 
 # Tiny geometries.  Constraint: the reference hard-codes 64-dims-per-head
 # (text: ``transformer_width // 64`` at clip/model.py:420; ViT:
-# ``vision_width // 64``; ResNet attnpool: ``vision_width * 32 // 64``), so
-# the smallest widths with >=1 head are text/ViT 64 and ResNet 8.
-TEXT_KW = dict(context_length=8, vocab_size=96, transformer_width=64, transformer_layers=2)
+# ``vision_width // 64``; ResNet attnpool: ``vision_width * 32 // 64``) —
+# widths of 128 give 2 heads so head splitting/merging is exercised, not
+# just single-head attention (ResNet width 8 -> 4 attnpool heads).
+TEXT_KW = dict(context_length=8, vocab_size=96, transformer_width=128, transformer_layers=2)
 GEOMETRIES = {
     # (vision_layers, vision_width, vision_patch_size, image_resolution)
-    "vit": (2, 64, 16, 32),
+    "vit": (2, 128, 16, 32),
     "resnet": ((2, 2, 2, 2), 8, None, 64),
     # RN101-like uneven stages: multi-block trailing stacks per stage
     "resnet-uneven": ((2, 3, 2, 3), 8, None, 64),
