@@ -954,3 +954,40 @@ def test_best_hp_extraction_matches_reference(ref_utils, tmp_path, monkeypatch):
         if t == "Accuracy/zsval-zstestval-zstest-3F-test" and s == 2
     ]
     assert test_at_val == [pytest.approx(float(test[i, j]))]
+
+
+# ---------------------------------------------------------------------------
+# the ImageNet classname + prompt-template asset vs the reference's in-code
+# lists (ref datasets/imagenet.py:26-199) executed verbatim: the JSON asset
+# was extracted by hand once — this pins it against drift.
+# ---------------------------------------------------------------------------
+
+
+def test_imagenet_asset_matches_reference_lists():
+    import json
+
+    stubs = {}
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tv.transforms = types.ModuleType("torchvision.transforms")
+        stubs = {"torchvision": tv, "torchvision.transforms": tv.transforms}
+    sys.modules.update(stubs)
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "_ref_imagenet", os.path.join(REFERENCE_DIR, "datasets", "imagenet.py")
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+    finally:
+        for name in stubs:
+            sys.modules.pop(name, None)
+
+    asset_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "protoclip_tpu", "data", "assets", "imagenet_clip.json",
+    )
+    with open(asset_path) as fh:
+        asset = json.load(fh)
+
+    assert asset["classnames"] == list(mod.imagenet_classes)   # all 1000, in order
+    assert asset["templates"] == list(mod.imagenet_templates)  # the 7-template tau
