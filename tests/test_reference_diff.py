@@ -991,3 +991,50 @@ def test_imagenet_asset_matches_reference_lists():
 
     assert asset["classnames"] == list(mod.imagenet_classes)   # all 1000, in order
     assert asset["templates"] == list(mod.imagenet_templates)  # the 7-template tau
+
+
+def test_dataset_templates_match_reference_modules():
+    """Every dataset's prompt template vs the reference adapter modules
+    executed verbatim (the ``template = [...]`` at the top of each
+    ``datasets/<name>.py``) — the registry's strings were transcribed once;
+    this pins them."""
+    stubs = {}
+    for name in ("gdown",):
+        if name not in sys.modules:
+            stubs[name] = types.ModuleType(name)
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tv.transforms = types.ModuleType("torchvision.transforms")
+        stubs.update({"torchvision": tv, "torchvision.transforms": tv.transforms})
+    sys.modules.update(stubs)
+    try:
+        pkg_dir = os.path.join(REFERENCE_DIR, "datasets")
+        spec = importlib.util.spec_from_file_location(
+            "refdatasets",
+            os.path.join(pkg_dir, "__init__.py"),
+            submodule_search_locations=[pkg_dir],
+        )
+        pkg = importlib.util.module_from_spec(spec)
+        sys.modules["refdatasets"] = pkg
+        spec.loader.exec_module(pkg)
+
+        from protoclip_tpu.data.registry import _JSON_SPECS, build_dataset  # noqa: F401
+
+        ref_templates = {
+            alias: list(sys.modules[f"refdatasets.{alias}"].template)
+            for alias in (
+                "caltech101", "dtd", "eurosat", "food101", "oxford_flowers",
+                "oxford_pets", "stanford_cars", "sun397", "ucf101",
+                "fewsol", "fgvc",
+            )
+        }
+    finally:
+        for name in list(stubs) + [
+            m for m in sys.modules if m.startswith("refdatasets")
+        ]:
+            sys.modules.pop(name, None)
+
+    for alias, spec_entry in _JSON_SPECS.items():
+        assert list(spec_entry.template) == ref_templates[alias], alias
+    # fgvc's template lives in its raw-layout builder, not _JSON_SPECS
+    assert ref_templates["fgvc"] == ["a photo of a {}, a type of aircraft."]
