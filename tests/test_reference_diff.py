@@ -993,15 +993,19 @@ def test_imagenet_asset_matches_reference_lists():
     assert asset["templates"] == list(mod.imagenet_templates)  # the 7-template tau
 
 
-def test_dataset_templates_match_reference_modules():
-    """Every dataset's prompt template vs the reference adapter modules
-    executed verbatim (the ``template = [...]`` at the top of each
-    ``datasets/<name>.py``) — the registry's strings were transcribed once;
-    this pins them."""
+_REF_DS_PKG = None
+
+
+def _load_ref_datasets_pkg():
+    """Import the WHOLE reference datasets package verbatim (relative
+    imports intact), once per session; gdown/torchvision stubbed.  Returns
+    {submodule_name: module}."""
+    global _REF_DS_PKG
+    if _REF_DS_PKG is not None:
+        return _REF_DS_PKG
     stubs = {}
-    for name in ("gdown",):
-        if name not in sys.modules:
-            stubs[name] = types.ModuleType(name)
+    if "gdown" not in sys.modules:
+        stubs["gdown"] = types.ModuleType("gdown")
     if "torchvision" not in sys.modules:
         tv = types.ModuleType("torchvision")
         tv.transforms = types.ModuleType("torchvision.transforms")
@@ -1017,24 +1021,82 @@ def test_dataset_templates_match_reference_modules():
         pkg = importlib.util.module_from_spec(spec)
         sys.modules["refdatasets"] = pkg
         spec.loader.exec_module(pkg)
-
-        from protoclip_tpu.data.registry import _JSON_SPECS, build_dataset  # noqa: F401
-
-        ref_templates = {
-            alias: list(sys.modules[f"refdatasets.{alias}"].template)
-            for alias in (
-                "caltech101", "dtd", "eurosat", "food101", "oxford_flowers",
-                "oxford_pets", "stanford_cars", "sun397", "ucf101",
-                "fewsol", "fgvc",
-            )
+        _REF_DS_PKG = {
+            name.split(".", 1)[1]: mod
+            for name, mod in sys.modules.items()
+            if name.startswith("refdatasets.")
         }
     finally:
         for name in list(stubs) + [
             m for m in sys.modules if m.startswith("refdatasets")
         ]:
             sys.modules.pop(name, None)
+    return _REF_DS_PKG
+
+
+def test_dataset_templates_match_reference_modules():
+    """Every dataset's prompt template vs the reference adapter modules
+    executed verbatim (the ``template = [...]`` at the top of each
+    ``datasets/<name>.py``) — the registry's strings were transcribed once;
+    this pins them."""
+    from protoclip_tpu.data.registry import _JSON_SPECS
+
+    mods = _load_ref_datasets_pkg()
+    ref_templates = {
+        alias: list(mods[alias].template)
+        for alias in (
+            "caltech101", "dtd", "eurosat", "food101", "oxford_flowers",
+            "oxford_pets", "stanford_cars", "sun397", "ucf101",
+            "fewsol", "fgvc",
+        )
+    }
 
     for alias, spec_entry in _JSON_SPECS.items():
         assert list(spec_entry.template) == ref_templates[alias], alias
     # fgvc's template lives in its raw-layout builder, not _JSON_SPECS
     assert ref_templates["fgvc"] == ["a photo of a {}, a type of aircraft."]
+
+
+def test_read_split_matches_reference_executed(tmp_path):
+    """The CoOp split-JSON reader (ref ``datasets/oxford_pets.py:108-127``)
+    executed verbatim vs ``data/splits.read_split`` on the same file:
+    identical (impath, label, classname) triples per split, including the
+    path-prefix join."""
+    import json as _json
+
+    from protoclip_tpu.data.splits import read_split
+
+    rows = {
+        "train": [["a/0.jpg", 0, "ant"], ["b/1.jpg", 1, "bee"]],
+        "val": [["a/2.jpg", 0, "ant"]],
+        "test": [["b/3.jpg", 1, "bee"], ["a/4.jpg", 0, "ant"]],
+    }
+    path = tmp_path / "split_zhou_Tiny.json"
+    path.write_text(_json.dumps(rows))
+
+    ref_oxford_pets = _load_ref_datasets_pkg()["oxford_pets"]
+    theirs = ref_oxford_pets.OxfordPets.read_split(str(path), "/data/imgs")
+    ours = read_split(str(path), "/data/imgs")
+    for our_items, ref_items in zip(ours, theirs):
+        assert [(d.impath, d.label, d.classname) for d in our_items] == [
+            (d.impath, d.label, d.classname) for d in ref_items
+        ]
+
+
+def test_listdir_nohidden_bug_divergence_demonstrated(tmp_path):
+    """Execute the reference's ``listdir_nohidden`` (``datasets/utils.py:
+    57-68``) on a synthetic DTD-style layout and demonstrate the documented
+    bug our rebuild deliberately fixes: the ``'sh' not in f`` filter
+    silently drops the real DTD classes ``crosshatched`` and ``meshed``
+    (PARITY.md 'Deliberate fix')."""
+    from protoclip_tpu.data.splits import listdir_nohidden
+
+    ref = _load_ref_dataset_utils()
+    for name in ("banded", "crosshatched", "meshed", "dotted", ".hidden"):
+        (tmp_path / name).mkdir()
+
+    theirs = sorted(ref.listdir_nohidden(str(tmp_path)))
+    ours = sorted(listdir_nohidden(str(tmp_path)))
+
+    assert theirs == ["banded", "dotted"]  # the bug, demonstrated live
+    assert ours == ["banded", "crosshatched", "dotted", "meshed"]
