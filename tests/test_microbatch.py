@@ -458,3 +458,47 @@ def test_close_unblocks_all_backpressured_submitters():
     for i in range(3):
         out = outcomes[f"b{i}"]
         assert isinstance(out, (np.ndarray, RuntimeError))
+
+
+def test_health_probe_rate_limit_and_recovery():
+    """health_probe: dispatches a tiny probe only during a failure streak,
+    rate-limits repeat probes, and a successful probe resets the streak
+    (the self-recovery path behind the serve CLI's degraded /healthz)."""
+    calls = {"n": 0}
+    fail = {"on": True}
+
+    def run(block):
+        calls["n"] += 1
+        if fail["on"]:
+            raise RuntimeError("down")
+        return _row_fn(block)
+
+    mb = MicroBatcher(run, 4, SHAPE, max_wait_s=0.0)
+    try:
+        rng = np.random.default_rng(0)
+        with pytest.raises(RuntimeError):
+            mb.submit(_items(rng, 2))
+        assert mb.stats["consecutive_failures"] == 1
+        assert "down" in mb.stats["last_error"]
+
+        # still failing: the probe itself dispatches (and fails)
+        assert mb.health_probe(min_interval_s=10.0) is False
+        assert mb.stats["failures"] == 2
+
+        # rate-limited: no second dispatch inside the window
+        n_before = calls["n"]
+        assert mb.health_probe(min_interval_s=10.0) is False
+        assert calls["n"] == n_before
+
+        # device recovers: a probe past the window succeeds, streak resets
+        fail["on"] = False
+        assert mb.health_probe(min_interval_s=0.0) is True
+        assert mb.stats["consecutive_failures"] == 0
+        assert mb.stats["failures"] == 2  # total is monotonic
+
+        # healthy short-circuit: no dispatch at all
+        n_before = calls["n"]
+        assert mb.health_probe(min_interval_s=10.0) is True
+        assert calls["n"] == n_before
+    finally:
+        mb.close()
