@@ -1100,3 +1100,49 @@ def test_listdir_nohidden_bug_divergence_demonstrated(tmp_path):
 
     assert theirs == ["banded", "dotted"]  # the bug, demonstrated live
     assert ours == ["banded", "crosshatched", "dotted", "meshed"]
+
+
+def test_tsne_coordinates_match_reference_executed():
+    """The reference toolkit's ``get_tsne_coordinates`` (ref
+    ``toolkit/.../utils/tsne.py:57-68``) executed verbatim vs
+    ``toolkit/tsne.py::_tsne_embed``'s embedding on the same prototypes —
+    pins the TSNE hyperparameters (n_components=2, perplexity=10,
+    random_state=1) that make the plots reproducible.  The function is
+    extracted from source (its module imports cv2/proto_datasets, absent
+    here) with a drift guard on the statements."""
+    sklearn = pytest.importorskip("sklearn")  # noqa: F841
+    from sklearn.manifold import TSNE
+
+    from protoclip_tpu.toolkit.tsne import _tsne_embed
+
+    path = os.path.join(
+        REFERENCE_DIR, "toolkit", "proto_clip_toolkit", "utils", "tsne.py"
+    )
+    if not os.path.exists(path):
+        pytest.skip("reference toolkit tsne.py not mounted")
+    src = open(path).read()
+    start = src.index("def get_tsne_coordinates(")
+    end = src.index("\n\n", src.index("return zi, zt", start))
+    snippet = textwrap.dedent(src[start:end])
+    for must in (
+        "TSNE(n_components=2, perplexity=10, random_state=1).fit_transform(X)",
+        "torch.vstack((",
+        "tsne_X[:n_class]",
+    ):
+        assert must in snippet, f"reference tsne drifted: {must!r} not found"
+
+    ns = {"torch": torch, "TSNE": TSNE}
+    exec(compile(snippet, path, "exec"), ns)  # noqa: S102 — reference code under test
+
+    rng = np.random.default_rng(23)
+    n_class, dim = 6, 16
+    zi_in = rng.standard_normal((n_class, dim)).astype(np.float32)
+    zt_in = rng.standard_normal((n_class, dim)).astype(np.float32)
+
+    ref_zi, ref_zt = ns["get_tsne_coordinates"](
+        torch.from_numpy(zi_in), torch.from_numpy(zt_in), n_class
+    )
+    our_zi, our_zt = _tsne_embed(zi_in, zt_in, perplexity=10.0)
+
+    np.testing.assert_allclose(our_zi, ref_zi, atol=1e-4)
+    np.testing.assert_allclose(our_zt, ref_zt, atol=1e-4)
