@@ -480,6 +480,41 @@ class _Handler(BaseHTTPRequestHandler):
     unhealthy_after = 3
     # min seconds between device probes from degraded /healthz checks
     probe_interval_s = 10.0
+    # longest a single /healthz request may wait on a recovery probe; a
+    # probe outliving this keeps running in the background and later
+    # health checks return 503 immediately (in-flight guard below)
+    probe_join_s = 1.0
+    # id(batcher) -> probe thread in flight; guarded by _probes_lock.  The
+    # probe dispatch has no deadline (MicroBatcher.submit blocks until the
+    # device answers), so it must NOT run unbounded inline in the health
+    # check: a hung (non-erroring) device would stall one /healthz request
+    # per probe window forever instead of returning a fast 503.
+    _probes_in_flight: Dict[int, threading.Thread] = {}
+    _probes_lock = threading.Lock()
+
+    def _spawn_probe(self, batcher) -> None:
+        """Run ONE recovery probe per batcher in a background thread and
+        wait at most ``probe_join_s`` for it: an instantly-succeeding probe
+        flips the CURRENT health check back to 200 (self-recovery without
+        POST traffic), while a hung device costs one bounded wait — every
+        later /healthz sees the probe still in flight and 503s at once."""
+        key = id(batcher)
+        with self._probes_lock:
+            prev = self._probes_in_flight.get(key)
+            if prev is not None and prev.is_alive():
+                return  # hung/slow probe already running: fast 503
+
+            def _probe() -> None:
+                try:
+                    batcher.health_probe(self.probe_interval_s)
+                finally:
+                    with self._probes_lock:
+                        self._probes_in_flight.pop(key, None)
+
+            t = threading.Thread(target=_probe, daemon=True, name="healthz-probe")
+            self._probes_in_flight[key] = t
+            t.start()
+        t.join(self.probe_join_s)
 
     def do_GET(self) -> None:  # noqa: N802 (http.server API)
         if self.path == "/healthz":
@@ -490,9 +525,11 @@ class _Handler(BaseHTTPRequestHandler):
                     continue
                 if batcher.stats["consecutive_failures"] >= self.unhealthy_after:
                     # a pulled replica only receives health checks: probe
-                    # the device (rate-limited) so recovery is reachable
-                    # without POST traffic, then re-read the streak
-                    batcher.health_probe(self.probe_interval_s)
+                    # the device (rate-limited, in the background) so
+                    # recovery is reachable without POST traffic, then
+                    # re-read the streak (an instant probe success flips
+                    # this very health check back to 200)
+                    self._spawn_probe(batcher)
                 stats = batcher.stats
                 if stats["consecutive_failures"] >= self.unhealthy_after:
                     degraded[path] = {

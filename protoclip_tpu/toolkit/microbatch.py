@@ -249,7 +249,9 @@ class MicroBatcher:
         try:
             self.submit(np.zeros((1,) + tuple(self.item_shape), self.dtype))
             return True
-        except BaseException:  # noqa: BLE001 — still degraded
+        except Exception:  # noqa: BLE001 — still degraded
+            # KeyboardInterrupt/SystemExit must propagate, not be read as
+            # "probe failed" — a Ctrl-C during a probe is a shutdown request
             return False
 
     # -- dispatcher side ------------------------------------------------

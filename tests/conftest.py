@@ -40,6 +40,68 @@ def reference_available() -> bool:
     return os.path.isdir(REFERENCE_DIR)
 
 
+# ---------------------------------------------------------------------------
+# Executed-reference content pinning.  Several tests import or exec() files
+# from the MOUNTED, UNTRUSTED reference snapshot verbatim.  Before any such
+# file runs, its sha256 must match the pin recorded in reference_hashes.json
+# (committed alongside the tests): a drifted/modified snapshot fails loudly
+# instead of executing un-reviewed code at test time.
+# ---------------------------------------------------------------------------
+
+_REF_HASH_FILE = os.path.join(os.path.dirname(__file__), "reference_hashes.json")
+_REF_PINS = None
+
+
+def _reference_pins() -> dict:
+    global _REF_PINS
+    if _REF_PINS is None:
+        import json
+
+        with open(_REF_HASH_FILE) as f:
+            _REF_PINS = json.load(f)
+    return _REF_PINS
+
+
+def pinned_reference_path(relpath: str) -> str:
+    """Absolute path of a reference source file, AFTER verifying its
+    content hash.  Every import/exec of reference code goes through here."""
+    import hashlib
+
+    path = os.path.join(REFERENCE_DIR, relpath)
+    if not os.path.exists(path):
+        pytest.skip(f"reference file {relpath} not mounted")
+    key = relpath.replace(os.sep, "/")
+    pinned = _reference_pins().get(key)
+    digest = hashlib.sha256(open(path, "rb").read()).hexdigest()
+    if pinned is None:
+        pytest.fail(
+            f"no pinned hash for reference file {key}; refusing to execute it "
+            f"(add its sha256 to tests/reference_hashes.json after review)"
+        )
+    if digest != pinned:
+        pytest.fail(
+            f"reference snapshot drift: {key} sha256={digest} != pinned "
+            f"{pinned}; refusing to execute drifted code"
+        )
+    return path
+
+
+def pinned_reference_dir(reldir: str) -> str:
+    """Verify every .py file under a reference directory (for whole-package
+    imports) and return the directory path."""
+    dirpath = os.path.join(REFERENCE_DIR, reldir)
+    if not os.path.isdir(dirpath):
+        pytest.skip(f"reference dir {reldir} not mounted")
+    for dp, dns, fns in os.walk(dirpath):
+        dns[:] = [d for d in dns if d != "__pycache__"]
+        for fn in sorted(fns):
+            if fn.endswith(".py"):
+                pinned_reference_path(
+                    os.path.relpath(os.path.join(dp, fn), REFERENCE_DIR)
+                )
+    return dirpath
+
+
 requires_reference = pytest.mark.skipif(
     not reference_available(), reason="reference artifacts not mounted"
 )

@@ -47,7 +47,12 @@ import types
 import numpy as np
 import pytest
 
-from tests.conftest import REFERENCE_DIR, requires_reference
+from tests.conftest import (
+    REFERENCE_DIR,
+    pinned_reference_dir,
+    pinned_reference_path,
+    requires_reference,
+)
 
 torch = pytest.importorskip("torch")
 
@@ -148,7 +153,9 @@ def _load_ref_utils():
         )
     sys.modules.update(stubs)
     try:
-        spec = importlib.util.spec_from_file_location("_ref_utils", REF_UTILS_PATH)
+        spec = importlib.util.spec_from_file_location(
+            "_ref_utils", pinned_reference_path("utils.py")
+        )
         mod = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(mod)
     finally:
@@ -666,7 +673,7 @@ def _build_ref_sampler():
     (``main.py:313``) are lifted verbatim from source; only a capture hook is
     appended at while-body depth (the torch/training statements between them
     consume no numpy randomness, so dropping them preserves the stream)."""
-    with open(REF_MAIN_PATH) as fh:
+    with open(pinned_reference_path("main.py")) as fh:
         lines = fh.read().splitlines()
 
     block = _extract_block(
@@ -819,7 +826,7 @@ def _load_ref_dataset_utils():
     sys.modules.update(stubs)
     try:
         spec = importlib.util.spec_from_file_location(
-            "_ref_ds_utils", os.path.join(REFERENCE_DIR, "datasets", "utils.py")
+            "_ref_ds_utils", pinned_reference_path(os.path.join("datasets", "utils.py"))
         )
         mod = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(mod)
@@ -974,7 +981,7 @@ def test_imagenet_asset_matches_reference_lists():
     sys.modules.update(stubs)
     try:
         spec = importlib.util.spec_from_file_location(
-            "_ref_imagenet", os.path.join(REFERENCE_DIR, "datasets", "imagenet.py")
+            "_ref_imagenet", pinned_reference_path(os.path.join("datasets", "imagenet.py"))
         )
         mod = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(mod)
@@ -1012,7 +1019,7 @@ def _load_ref_datasets_pkg():
         stubs.update({"torchvision": tv, "torchvision.transforms": tv.transforms})
     sys.modules.update(stubs)
     try:
-        pkg_dir = os.path.join(REFERENCE_DIR, "datasets")
+        pkg_dir = pinned_reference_dir("datasets")
         spec = importlib.util.spec_from_file_location(
             "refdatasets",
             os.path.join(pkg_dir, "__init__.py"),
@@ -1115,11 +1122,9 @@ def test_tsne_coordinates_match_reference_executed():
 
     from protoclip_tpu.toolkit.tsne import _tsne_embed
 
-    path = os.path.join(
-        REFERENCE_DIR, "toolkit", "proto_clip_toolkit", "utils", "tsne.py"
+    path = pinned_reference_path(
+        os.path.join("toolkit", "proto_clip_toolkit", "utils", "tsne.py")
     )
-    if not os.path.exists(path):
-        pytest.skip("reference toolkit tsne.py not mounted")
     src = open(path).read()
     start = src.index("def get_tsne_coordinates(")
     end = src.index("\n\n", src.index("return zi, zt", start))

@@ -32,7 +32,11 @@ import os
 import numpy as np
 import pytest
 
-from tests.conftest import REFERENCE_DIR, requires_reference
+from tests.conftest import (
+    REFERENCE_DIR,
+    pinned_reference_path,
+    requires_reference,
+)
 
 torch = pytest.importorskip("torch")
 
@@ -58,7 +62,9 @@ pytestmark = [
 
 @pytest.fixture(scope="module")
 def ref_clip():
-    spec = importlib.util.spec_from_file_location("ref_clip_model", REF_MODEL_PATH)
+    spec = importlib.util.spec_from_file_location(
+        "ref_clip_model", pinned_reference_path(os.path.join("clip", "model.py"))
+    )
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     return mod
@@ -209,9 +215,7 @@ def ref_adapters():
 
     from tests.test_reference_diff import _load_ref_utils
 
-    path = os.path.join(REFERENCE_DIR, "model.py")
-    if not os.path.exists(path):
-        pytest.skip("reference model.py not mounted")
+    path = pinned_reference_path("model.py")
     # model.py opens with `from utils import *`
     sys.modules["utils"] = _load_ref_utils()
     try:

@@ -842,6 +842,77 @@ def test_degraded_healthz_self_recovers_without_traffic(server, monkeypatch):
         assert json.loads(resp.read())["status"] == "ok"
 
 
+def test_degraded_healthz_is_bounded_under_hung_probe(server, monkeypatch):
+    """A HUNG (non-erroring) device must not stall health checks: the
+    recovery probe runs in a background thread joined for at most
+    ``probe_join_s``, and while it is in flight later /healthz requests
+    503 immediately instead of each blocking on a fresh probe."""
+    import time
+
+    srv, _ = server
+    port = srv.server_address[1]
+    batcher = _Handler_route(srv).batcher
+    real_run = batcher._run_batch
+    monkeypatch.setattr(srv.RequestHandlerClass, "probe_interval_s", 0.0)
+    monkeypatch.setattr(srv.RequestHandlerClass, "probe_join_s", 0.3)
+
+    rng = np.random.default_rng(35)
+    arr = rng.integers(0, 256, (32, 32, 3)).astype(np.uint8)
+    payload = {"images": [_b64_jpeg(arr)]}
+
+    def boom(block):
+        raise RuntimeError("device gone")
+
+    batcher._run_batch = boom
+    try:
+        for _ in range(3):
+            status, _ = _post(port, "/encode", payload)
+            assert status == 500
+        hung = threading.Event()
+        released = threading.Event()
+
+        def hang(block):
+            hung.set()
+            released.wait(30.0)
+            return real_run(block)
+
+        batcher._run_batch = hang
+        # first degraded check spawns the probe and waits <= probe_join_s
+        t0 = time.monotonic()
+        try:
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz")
+            raise AssertionError("expected 503")
+        except urllib.error.HTTPError as err:
+            assert err.code == 503
+        first = time.monotonic() - t0
+        assert hung.wait(5.0), "probe never reached the device"
+        assert first < 5.0  # bounded, not the 30s hang
+        # probe still in flight: the next check must 503 at once
+        t0 = time.monotonic()
+        try:
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz")
+            raise AssertionError("expected 503")
+        except urllib.error.HTTPError as err:
+            assert err.code == 503
+        assert time.monotonic() - t0 < 1.0
+    finally:
+        released.set()
+        time.sleep(0.4)  # let the in-flight probe drain through real_run
+        batcher._run_batch = real_run
+
+    # device is back; a later health check recovers via a fresh probe
+    deadline = time.monotonic() + 10.0
+    while time.monotonic() < deadline:
+        try:
+            with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz") as resp:
+                assert json.loads(resp.read())["status"] == "ok"
+                break
+        except urllib.error.HTTPError:
+            time.sleep(0.2)
+    else:
+        raise AssertionError("replica never recovered")
+
+
 def _Handler_route(srv):
     """The /encode route object bound to this server's handler class."""
     return srv.RequestHandlerClass.routes["/encode"]

@@ -221,11 +221,9 @@ def ref_simple_tokenizer():
     import sys
     import types
 
-    from tests.conftest import REFERENCE_DIR
+    from tests.conftest import pinned_reference_path
 
-    path = os.path.join(REFERENCE_DIR, "clip", "simple_tokenizer.py")
-    if not os.path.exists(path):
-        pytest.skip("reference simple_tokenizer.py not mounted")
+    path = pinned_reference_path(os.path.join("clip", "simple_tokenizer.py"))
     had_ftfy = "ftfy" in sys.modules
     if not had_ftfy:
         stub = types.ModuleType("ftfy")
@@ -277,11 +275,9 @@ def ref_clip_pkg():
     import sys
     import types
 
-    from tests.conftest import REFERENCE_DIR
+    from tests.conftest import pinned_reference_dir
 
-    pkg_dir = os.path.join(REFERENCE_DIR, "clip")
-    if not os.path.exists(os.path.join(pkg_dir, "clip.py")):
-        pytest.skip("reference clip package not mounted")
+    pkg_dir = pinned_reference_dir("clip")
 
     stubs = {}
     if "ftfy" not in sys.modules:
