@@ -1,0 +1,430 @@
+"""Executed-reference TOOLKIT differential harness.
+
+Round-4 proved the core library by executing the reference's own code; the
+deployment toolkit's two load/eval entry points were still covered only by
+transcription tests.  This module imports the reference's
+``proto_clip_toolkit/utils`` package VERBATIM (hash-pinned sources; absent
+deps stubbed) and diffs:
+
+- ``test_ood_performance`` (ref ``ood_utils.py:58-110``) against
+  ``toolkit.ood.test_ood_performance`` on a real on-disk ImageNet-Sketch
+  style tree with a shared content-keyed stub encoder and a checkpoint
+  triple WRITTEN BY OUR ``save_checkpoint_triple`` — accuracy must agree
+  exactly, which also proves the rebuild's checkpoint writes feed the
+  reference's toolkit loader;
+- ``load_pretrained_mb_and_adapters`` (ref ``model_utils.py:12-67``), BOTH
+  branches (config-derived cache path and explicit paths), against
+  ``io.checkpoint``'s ``checkpoint_paths``/``load_checkpoint_triple`` +
+  ``adapter_from_torch_state`` — tensors equal, adapter forwards equal;
+- the reference's own ``ImageNetSketchDataset`` (``ood_utils.py:26-55``,
+  executed verbatim — no torchvision involved) against
+  ``toolkit.ood.class_folder_items``: same class->label map, same
+  (path, label) rows (as sets per class: the reference lists files with
+  un-sorted ``os.listdir``).
+
+The ``torchvision.datasets.ImageFolder`` the reference uses for the sketch
+loader is absent here; the stub reproduces torchvision's documented scan
+order (sorted classes, sorted filenames).  As in the trainer diff, the
+hard-coded fp16 adapters (``model_utils.py:33-36``) run via an fp32
+``torch`` proxy scoped to the verbatim module so accuracies compare exactly
+(the fp16-vs-fp32 band is pinned in test_reference_trainer_diff.py).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import importlib.util
+import io
+import os
+import sys
+import types
+from typing import Dict
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from tests.conftest import pinned_reference_path, requires_reference
+
+torch = pytest.importorskip("torch")
+
+pytestmark = [requires_reference]
+
+N_CLS, K_SHOTS, DIM = 10, 4, 32
+N_OOD = 4  # images per class in the synthetic sketch tree
+ALPHA, BETA = 0.6, 8.0
+PIX_OFFSET = 10  # constant image pixel value = item id + offset
+
+
+# ---------------------------------------------------------------------------
+# shared synthetic problem
+# ---------------------------------------------------------------------------
+
+
+def _make_problem(seed: int = 11) -> Dict[str, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    means = rng.standard_normal((N_CLS, DIM)).astype(np.float32)
+    means /= np.linalg.norm(means, axis=-1, keepdims=True)
+
+    def draw(n_per, noise, sub):
+        r = np.random.default_rng(seed * 1000 + sub)
+        rows = []
+        for c in range(N_CLS):
+            x = means[c][None] + noise * r.standard_normal((n_per, DIM)).astype(
+                np.float32
+            )
+            rows.append(x / np.linalg.norm(x, axis=-1, keepdims=True))
+        return np.concatenate(rows)
+
+    return dict(
+        bank_rows=draw(K_SHOTS, 0.3, 1),  # (N*K, d)
+        text_rows=draw(1, 0.3, 2),  # (N, d)
+        ood_rows=draw(N_OOD, 0.45, 3),  # (N*N_OOD, d): the OOD "images"
+    )
+
+
+# ---------------------------------------------------------------------------
+# verbatim import of proto_clip_toolkit/utils (hash-pinned)
+# ---------------------------------------------------------------------------
+
+
+class _ImageFolderStub:
+    """torchvision ``ImageFolder`` semantics the reference relies on
+    (sorted class dirs -> labels; sorted filenames), yielding
+    ``(transform(PIL), label)``."""
+
+    def __init__(self, root: str, transform=None):
+        self.transform = transform
+        self.classes = sorted(
+            d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d))
+        )
+        self.samples = []
+        for label, cls in enumerate(self.classes):
+            cls_dir = os.path.join(root, cls)
+            for fname in sorted(os.listdir(cls_dir)):
+                self.samples.append((os.path.join(cls_dir, fname), label))
+
+    def __len__(self):
+        return len(self.samples)
+
+    def __getitem__(self, idx):
+        path, label = self.samples[idx]
+        img = Image.open(path).convert("RGB")
+        if self.transform is not None:
+            img = self.transform(img)
+        return img, label
+
+
+_RTK = None
+
+
+def _load_ref_toolkit_utils(feature_table: np.ndarray):
+    """Import the toolkit utils package verbatim; returns
+    (package module, clip stub) — the clip stub's ``load`` hands back an
+    encoder keyed on image content (constant pixel value -> feature row)."""
+    global _RTK
+    from tests.test_reference_diff import _FaithfulInfoNCE
+
+    os.environ.setdefault("MPLBACKEND", "Agg")
+    feats = torch.from_numpy(np.asarray(feature_table, np.float32))
+
+    def preprocess(img: Image.Image):
+        # one long per image: the item id carried in the pixel value
+        return torch.tensor(int(np.asarray(img)[0, 0, 0]) - PIX_OFFSET)
+
+    clip_stub = types.ModuleType("clip")
+    clip_stub.tokenize = lambda texts: torch.zeros((len(texts), 77), dtype=torch.long)
+    clip_stub.load = lambda backbone: (
+        types.SimpleNamespace(
+            dtype=torch.float32,
+            eval=lambda: None,
+            encode_image=lambda ids: feats[ids.long()],
+        ),
+        preprocess,
+    )
+    if _RTK is not None:
+        return _RTK, clip_stub
+
+    info_nce = types.ModuleType("info_nce")
+    info_nce.InfoNCE = _FaithfulInfoNCE
+    tv = types.ModuleType("torchvision")
+    tv_t = types.ModuleType("torchvision.transforms")
+    tv_f = types.ModuleType("torchvision.transforms.functional")
+    tv_f.to_tensor = lambda img: torch.as_tensor(np.asarray(img))
+    tv_t.functional = tv_f
+    tv.transforms = tv_t
+    tv_ds = types.ModuleType("torchvision.datasets")
+    tv_ds.ImageFolder = _ImageFolderStub
+    tv.datasets = tv_ds
+    inv2 = types.ModuleType("imagenetv2_pytorch")
+    inv2.ImageNetV2Dataset = None  # only the sketch branch is exercised
+    stubs = {
+        "clip": clip_stub,
+        "info_nce": info_nce,
+        "torchvision": tv,
+        "torchvision.transforms": tv_t,
+        "torchvision.transforms.functional": tv_f,
+        "torchvision.datasets": tv_ds,
+        "imagenetv2_pytorch": inv2,
+    }
+
+    pkg_dir = os.path.dirname(
+        pinned_reference_path(
+            os.path.join("toolkit", "proto_clip_toolkit", "utils", "ood_utils.py")
+        )
+    )
+    pinned_reference_path(
+        os.path.join("toolkit", "proto_clip_toolkit", "utils", "model_utils.py")
+    )
+    pinned_reference_path(
+        os.path.join("toolkit", "proto_clip_toolkit", "utils", "__init__.py")
+    )
+
+    names = ["utils", "model", "rtk_utils", "rtk_utils.model_utils",
+             "rtk_utils.ood_utils"]
+    saved = {k: sys.modules.get(k) for k in list(stubs) + names}
+    sys.modules.update(stubs)
+    try:
+        # the toolkit modules do ``sys.path.append(parents[3])`` then
+        # ``from utils import *`` / ``from model import ...`` — pre-install
+        # the VERBATIM root modules so that resolves to pinned code
+        def _load_flat(name, relpath):
+            spec = importlib.util.spec_from_file_location(
+                name, pinned_reference_path(relpath)
+            )
+            mod = importlib.util.module_from_spec(spec)
+            sys.modules[name] = mod
+            spec.loader.exec_module(mod)
+            return mod
+
+        _load_flat("utils", "utils.py")
+        _load_flat("model", "model.py")
+
+        spec = importlib.util.spec_from_file_location(
+            "rtk_utils",
+            os.path.join(pkg_dir, "__init__.py"),
+            submodule_search_locations=[pkg_dir],
+        )
+        pkg = importlib.util.module_from_spec(spec)
+        sys.modules["rtk_utils"] = pkg
+        spec.loader.exec_module(pkg)
+        spec = importlib.util.spec_from_file_location(
+            "rtk_utils.ood_utils", os.path.join(pkg_dir, "ood_utils.py")
+        )
+        ood_mod = importlib.util.module_from_spec(spec)
+        sys.modules["rtk_utils.ood_utils"] = ood_mod
+        spec.loader.exec_module(ood_mod)
+        pkg.ood_utils = ood_mod
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+    _RTK = pkg
+    return pkg, clip_stub
+
+
+class _TorchFp32Proxy:
+    half = torch.float32
+
+    def __getattr__(self, name):
+        return getattr(torch, name)
+
+
+@pytest.fixture(scope="module")
+def problem():
+    return _make_problem()
+
+
+@pytest.fixture(scope="module")
+def ckpt_tree(problem, tmp_path_factory):
+    """A checkpoint triple WRITTEN BY THE REBUILD at the reference's
+    config-derived cache location (adapter state from a real fp32 init)."""
+    import jax
+
+    from protoclip_tpu.io.checkpoint import checkpoint_paths, save_checkpoint_triple
+    from protoclip_tpu.models.adapters import adapter_to_torch_state, init_adapter
+
+    tmp = str(tmp_path_factory.mktemp("ood_ckpt"))
+    cache_dir = os.path.join(tmp, "caches", "imagenet")
+    paths = checkpoint_paths(cache_dir, "RN50", K_SHOTS, ALPHA, BETA, 1e-4, 1, 50)
+    adapter = init_adapter(jax.random.PRNGKey(7), DIM, "fc")
+    save_checkpoint_triple(
+        *paths,
+        problem["bank_rows"],
+        problem["text_rows"],
+        adapter_to_torch_state(adapter, "fc"),
+    )
+    return {"tmp": tmp, "cache_dir": cache_dir, "paths": paths}
+
+
+@pytest.fixture(scope="module")
+def sketch_tree(tmp_path_factory):
+    """Real on-disk ImageNet-Sketch style tree: sorted wnid folders, each
+    image a constant-color PNG carrying its item id."""
+    tmp = str(tmp_path_factory.mktemp("ood_data"))
+    root = os.path.join(tmp, "DATA", "sketch")
+    item = 0
+    for c in range(N_CLS):
+        cls_dir = os.path.join(root, f"n{c:08d}")
+        os.makedirs(cls_dir)
+        for j in range(N_OOD):
+            arr = np.full((20, 20, 3), item + PIX_OFFSET, np.uint8)
+            Image.fromarray(arr).save(os.path.join(cls_dir, f"img_{j}.png"))
+            item += 1
+    return {"tmp": tmp, "root": root}
+
+
+def _ref_cfg(ckpt_tree) -> dict:
+    return {
+        "dataset": "imagenet",
+        "shots": K_SHOTS,
+        "backbone": "RN50",
+        "lr": 1e-4,
+        "augment_epoch": 1,
+        "train_epoch": 50,
+        "alpha": ALPHA,
+        "beta": BETA,
+        "adapter": "fc",
+        "cache_dir": ckpt_tree["cache_dir"],
+    }
+
+
+def test_ood_performance_matches_reference(problem, ckpt_tree, sketch_tree):
+    """The verbatim ``test_ood_performance`` and ours agree exactly on the
+    same tree + encoder + (rebuild-written) checkpoint (``ood_utils.py:
+    58-110`` vs ``toolkit/ood.py``)."""
+    rtk, _ = _load_ref_toolkit_utils(problem["ood_rows"])
+    cfg = _ref_cfg(ckpt_tree)
+    v, t, a = ckpt_tree["paths"]
+
+    mp = pytest.MonkeyPatch()
+    cwd = os.getcwd()
+    try:
+        mp.setattr(torch.Tensor, "cuda", lambda self, *a_, **k: self, raising=False)
+        mp.setattr(torch.nn.Module, "cuda", lambda self, *a_, **k: self, raising=False)
+        mp.setattr(rtk.model_utils, "torch", _TorchFp32Proxy())
+        os.chdir(sketch_tree["tmp"])  # the sketch loader path is "./DATA/sketch"
+        with contextlib.redirect_stdout(io.StringIO()):
+            ref_acc = rtk.ood_utils.test_ood_performance(
+                cfg,
+                "imagenet_sketch",
+                0,  # n_workers
+                16,  # test_bs
+                memory_bank_v_path=v,
+                memory_bank_t_path=t,
+                adapter_type="fc",
+                adapter_weights_path=a,
+            )
+    finally:
+        os.chdir(cwd)
+        mp.undo()
+    ref_acc = float(ref_acc)
+
+    # the reference caches OOD features at the MAIN 'test' cache path
+    # (ood_utils.py:82 reuses pre_load_features' split name under
+    # get_model_dir_root, utils.py:336-338) — quirk pinned
+    assert os.path.exists(
+        os.path.join(cfg["cache_dir"], "models", "RN50",
+                     f"K-{K_SHOTS}", "test_features.pt")
+    )
+
+    import jax.numpy as jnp
+
+    from protoclip_tpu.core.config import Config
+    from protoclip_tpu.toolkit.ood import test_ood_performance as ours_fn
+
+    table = jnp.asarray(problem["ood_rows"])
+
+    def encode_fn(images_u8):
+        ids = np.asarray(images_u8)[:, 0, 0, 0].astype(np.int64) - PIX_OFFSET
+        return table[np.clip(ids, 0, len(problem["ood_rows"]) - 1)]
+
+    our_cfg = Config(
+        dataset="imagenet", shots=K_SHOTS, backbone="RN50", alpha=ALPHA,
+        beta=BETA, adapter="fc", batch_size=16,
+        cache_root=os.path.join(sketch_tree["tmp"], "our_caches"),
+        logs_dir_path=os.path.join(sketch_tree["tmp"], "logs"),
+    )
+    ours_acc = ours_fn(
+        our_cfg,
+        "imagenet_sketch",
+        encode_fn,
+        sketch_tree["root"],
+        memory_bank_v_path=v,
+        memory_bank_t_path=t,
+        adapter_weights_path=a,
+        image_size=16,
+    )
+    assert ours_acc == pytest.approx(ref_acc, abs=1e-3)  # both in %
+
+
+def test_load_pretrained_mb_and_adapters_both_branches(problem, ckpt_tree):
+    """``load_pretrained_mb_and_adapters`` executed verbatim in BOTH its
+    branches (config-derived path, ``model_utils.py:14-40``; explicit
+    paths, ``model_utils.py:41-65``) vs ``checkpoint_paths`` +
+    ``load_checkpoint_triple`` + ``adapter_from_torch_state``: identical
+    tensors, identical adapter forward."""
+    rtk, _ = _load_ref_toolkit_utils(problem["ood_rows"])
+    from protoclip_tpu.io.checkpoint import load_checkpoint_triple
+    from protoclip_tpu.models.adapters import adapter_from_torch_state, apply_adapter
+
+    cfg = _ref_cfg(ckpt_tree)
+    v, t, a = ckpt_tree["paths"]
+
+    mp = pytest.MonkeyPatch()
+    try:
+        mp.setattr(torch.Tensor, "cuda", lambda self, *a_, **k: self, raising=False)
+        mp.setattr(torch.nn.Module, "cuda", lambda self, *a_, **k: self, raising=False)
+        mp.setattr(rtk.model_utils, "torch", _TorchFp32Proxy())
+        fn = rtk.load_pretrained_mb_and_adapters
+        ev_cfg, et_cfg, ad_cfg = fn(config=cfg)
+        ev_exp, et_exp, ad_exp = fn(
+            memory_bank_v_path=v, memory_bank_t_path=t,
+            adapter_type="fc", adapter_weights_path=a,
+        )
+    finally:
+        mp.undo()
+
+    # both reference branches resolve to the same artifacts
+    assert torch.equal(ev_cfg, ev_exp) and torch.equal(et_cfg, et_exp)
+
+    bank_v, bank_t, adapter_state = load_checkpoint_triple(v, t, a)
+    np.testing.assert_array_equal(ev_cfg.float().numpy(), bank_v)
+    np.testing.assert_array_equal(et_cfg.float().numpy(), bank_t)
+
+    # adapter behavioral parity on shared queries
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((6, DIM)).astype(np.float32)
+    ref_out = ad_cfg(torch.from_numpy(x)).detach().numpy()
+    ours = adapter_from_torch_state(adapter_state, "fc")
+    our_out = np.asarray(apply_adapter(ours, x, "fc"))
+    np.testing.assert_allclose(ref_out, our_out, atol=2e-3)
+
+
+def test_sketch_dataset_scan_matches_class_folder_items(sketch_tree):
+    """The reference's own ``ImageNetSketchDataset`` scan (``ood_utils.py:
+    26-55``, executed verbatim — it uses plain os.listdir, no torchvision)
+    vs ``toolkit.ood.class_folder_items``: identical class->label mapping
+    and identical per-class file sets (the reference does not sort
+    filenames; ours does)."""
+    rtk, _ = _load_ref_toolkit_utils(np.zeros((1, DIM), np.float32))
+    from protoclip_tpu.toolkit.ood import class_folder_items
+
+    ds = sys.modules.get("rtk_utils.ood_utils") or rtk.ood_utils
+    ref_ds = rtk.ood_utils.ImageNetSketchDataset(sketch_tree["root"])
+    ours = class_folder_items(sketch_tree["root"])
+
+    ref_by_label: Dict[int, set] = {}
+    for path, label in ref_ds.images:
+        ref_by_label.setdefault(label, set()).add(os.path.normpath(path))
+    our_by_label: Dict[int, set] = {}
+    for d in ours:
+        our_by_label.setdefault(d.label, set()).add(os.path.normpath(d.impath))
+    assert ref_by_label == our_by_label
+    assert len(ref_ds) == len(ours) == N_CLS * N_OOD
+    # class->label map equality
+    our_classes = sorted({os.path.basename(os.path.dirname(d.impath)) for d in ours})
+    assert ref_ds.classes == our_classes
+    assert ref_ds.class_to_idx == {c: i for i, c in enumerate(our_classes)}
