@@ -41,6 +41,12 @@ def main() -> None:
     parser.add_argument("--out", required=True, help="output .npz path")
     parser.add_argument("--batch", type=int, default=256)
     parser.add_argument(
+        "--mesh", type=int, default=0,
+        help="shard encode batches over the first N devices (1-D 'data' "
+        "mesh, same layout as the experiment encode and --mesh serving); "
+        "0 = single device",
+    )
+    parser.add_argument(
         "--int8", action="store_true",
         help="W8A8 serving kernel (sets $PROTOCLIP_INT8)",
     )
@@ -103,7 +109,31 @@ def main() -> None:
     cfg, params = load_clip(args.backbone, args.weights, dtype=jnp.bfloat16)
     n_px = cfg.image_resolution
 
-    encode = jax.jit(make_encode_fn(cfg, normalize=not args.no_normalize))
+    encode_raw = make_encode_fn(cfg, normalize=not args.no_normalize)
+    if args.mesh:
+        # feature extraction is the embarrassingly-parallel workload: shard
+        # the fixed-shape batch over a 1-D data mesh (per-shard execution is
+        # exact, so the output is bit-identical to single-device — pinned by
+        # tests/test_e2e.py::test_extract_cli_mesh_bit_exact).  The ragged
+        # tail rides the existing fixed-batch padding; only the batch size
+        # must divide evenly over the mesh.
+        from protoclip_tpu.parallel import make_mesh
+        from protoclip_tpu.parallel.sharding import (
+            fetch_to_host,
+            make_sharded_encode,
+            shard_batch,
+        )
+
+        mesh = make_mesh(args.mesh)
+        args.batch = -(-args.batch // args.mesh) * args.mesh
+        encode_sharded = make_sharded_encode(encode_raw, mesh)
+
+        def encode(p, images):
+            out = encode_sharded(p, shard_batch(images, mesh))
+            # multi-host: batch-sharded output is not fully addressable
+            return fetch_to_host(out) if jax.process_count() > 1 else out
+    else:
+        encode = jax.jit(encode_raw)
 
     draft_px = n_px if args.fast_decode else None
 

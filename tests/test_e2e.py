@@ -433,3 +433,42 @@ def test_extract_cli(tiny_env, tmp_path, monkeypatch):
     np.testing.assert_allclose(np.linalg.norm(feats, axis=-1), 1.0, atol=1e-5)
     # stable order: a re-run lists the same files in the same order
     assert list(files) == sorted(files)
+
+
+def test_extract_cli_mesh_bit_exact(tiny_env, tmp_path, monkeypatch):
+    """``--mesh 8``: extraction sharded over the virtual 8-device data mesh
+    is BIT-IDENTICAL to the single-device run at the same batch size
+    (per-shard encode is exact — each output row depends only on its own
+    batch rows), and a batch the mesh does not divide rounds up (ragged
+    tail rides the fixed-shape padding) with features matching to float
+    tolerance (a different effective batch size may change XLA's matmul
+    blocking by an ulp)."""
+    from protoclip_tpu.cli.extract import main as extract_main
+
+    img_dir = os.path.join(tiny_env["root"], "caltech-101", "101_ObjectCategories")
+    single, meshed = str(tmp_path / "single.npz"), str(tmp_path / "meshed.npz")
+    ragged = str(tmp_path / "ragged.npz")
+    base = [
+        "extract", "--backbone", "tiny", "--weights", tiny_env["weights"],
+        "--input", img_dir,
+    ]
+    monkeypatch.setattr("sys.argv", base + ["--batch", "16", "--out", single])
+    extract_main()
+    monkeypatch.setattr(
+        "sys.argv", base + ["--batch", "16", "--out", meshed, "--mesh", "8"]
+    )
+    extract_main()
+    with np.load(single) as z:
+        files_s, feats_s = z["files"], z["features"]
+    with np.load(meshed) as z:
+        files_m, feats_m = z["files"], z["features"]
+    assert list(files_s) == list(files_m)
+    np.testing.assert_array_equal(feats_s, feats_m)
+
+    # batch 6 is not a mesh multiple: rounds up to 8 (1 row per device)
+    monkeypatch.setattr(
+        "sys.argv", base + ["--batch", "6", "--out", ragged, "--mesh", "8"]
+    )
+    extract_main()
+    with np.load(ragged) as z:
+        np.testing.assert_allclose(z["features"], feats_s, atol=1e-5)
