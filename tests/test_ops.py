@@ -352,3 +352,45 @@ def test_packed_attention_rejects_nondivisor_heads(rng):
     q = jnp.asarray(rng.standard_normal((1, 8, 96)).astype(np.float32))
     with pytest.raises(ValueError, match="must divide"):
         fused_attention_packed(q, q, q, n_head=5, interpret=True)
+
+
+def test_vendored_info_nce_golden_vectors(rng):
+    """Pin the VENDORED info-nce-pytorch v0.1.4 source
+    (``tests/vendor/info_nce_pytorch.py`` — the third-party package the
+    reference's L2-L5 losses call, ref ``utils.py:19,72-77``) with
+    hard-coded golden values across all its modes, and diff our
+    ``ops.losses.info_nce`` against it on the reference's operating point
+    (in-batch negatives, temperature 0.1, mean CE).  Any edit to the
+    vendored file breaks the goldens."""
+    torch = pytest.importorskip("torch")
+    from tests.vendor.info_nce_pytorch import InfoNCE, info_nce as vendored
+
+    from protoclip_tpu.ops.losses import info_nce as ours
+
+    r = np.random.default_rng(42)
+    q = torch.from_numpy(r.standard_normal((4, 6)).astype(np.float32))
+    k = torch.from_numpy(r.standard_normal((4, 6)).astype(np.float32))
+    neg_u = torch.from_numpy(r.standard_normal((7, 6)).astype(np.float32))
+    neg_p = torch.from_numpy(r.standard_normal((4, 3, 6)).astype(np.float32))
+
+    # golden values generated from this vendored source (see file header)
+    assert float(InfoNCE()(q, k)) == pytest.approx(3.5578298568725586, rel=1e-6)
+    assert float(vendored(q, k, neg_u)) == pytest.approx(5.697558403015137, rel=1e-6)
+    assert float(
+        vendored(q, k, neg_p, negative_mode="paired")
+    ) == pytest.approx(5.719359397888184, rel=1e-6)
+    assert float(InfoNCE(temperature=0.3)(q, k)) == pytest.approx(
+        1.7456941604614258, rel=1e-6
+    )
+    assert float(vendored(q, k, reduction="sum")) == pytest.approx(
+        14.231319427490234, rel=1e-6
+    )
+
+    # our jax implementation vs the package on the reference's call shape
+    # (InfoNCE() defaults, no explicit negatives): several sizes
+    for n, d, seed in ((4, 6, 0), (9, 20, 1), (32, 48, 2)):
+        rr = np.random.default_rng(seed)
+        a = rr.standard_normal((n, d)).astype(np.float32)
+        b = rr.standard_normal((n, d)).astype(np.float32)
+        ref_val = float(InfoNCE()(torch.from_numpy(a), torch.from_numpy(b)))
+        np.testing.assert_allclose(float(ours(a, b)), ref_val, rtol=1e-5)

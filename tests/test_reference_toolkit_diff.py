@@ -123,7 +123,7 @@ def _load_ref_toolkit_utils(feature_table: np.ndarray):
     (package module, clip stub) — the clip stub's ``load`` hands back an
     encoder keyed on image content (constant pixel value -> feature row)."""
     global _RTK
-    from tests.test_reference_diff import _FaithfulInfoNCE
+    from tests.test_reference_diff import _info_nce_module
 
     os.environ.setdefault("MPLBACKEND", "Agg")
     feats = torch.from_numpy(np.asarray(feature_table, np.float32))
@@ -145,8 +145,7 @@ def _load_ref_toolkit_utils(feature_table: np.ndarray):
     if _RTK is not None:
         return _RTK, clip_stub
 
-    info_nce = types.ModuleType("info_nce")
-    info_nce.InfoNCE = _FaithfulInfoNCE
+    info_nce = _info_nce_module()
     tv = types.ModuleType("torchvision")
     tv_t = types.ModuleType("torchvision.transforms")
     tv_f = types.ModuleType("torchvision.transforms.functional")

@@ -146,14 +146,13 @@ def _load_ref_trainer(which: str) -> types.ModuleType:
     as their import names and absent deps stubbed."""
     if which in _REF_TRAINERS:
         return _REF_TRAINERS[which]
-    from tests.test_reference_diff import _FaithfulInfoNCE
+    from tests.test_reference_diff import _info_nce_module
 
     os.environ.setdefault("MPLBACKEND", "Agg")
     clip_stub = types.ModuleType("clip")
     clip_stub.tokenize = lambda texts: torch.zeros((len(texts), 77), dtype=torch.long)
     clip_stub.load = None  # only main() touches it; run_proto_clip does not
-    info_nce = types.ModuleType("info_nce")
-    info_nce.InfoNCE = _FaithfulInfoNCE
+    info_nce = _info_nce_module()
     tv = types.ModuleType("torchvision")
     tv_t = types.ModuleType("torchvision.transforms")
     tv_f = types.ModuleType("torchvision.transforms.functional")
