@@ -754,6 +754,54 @@ def test_metrics_prometheus_exposition(server):
     assert "protoclip_dispatches_total" in client.metrics()
 
 
+def test_metrics_mesh_mode(mesh_server):
+    """/metrics in --mesh serving mode: the mesh /encode route's batcher
+    stats and HTTP counters appear with the same exposition as bundle mode
+    (observability is tested on EVERY serving mode, not just one)."""
+    import re
+
+    srv = mesh_server
+    port = srv.server_address[1]
+    rng = np.random.default_rng(22)
+    arr = rng.integers(0, 256, (32, 32, 3)).astype(np.uint8)
+    status, body = _post(port, "/encode", {"images": [_b64_jpeg(arr)] * 3})
+    assert status == 200 and len(body["features"]) == 3
+
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}/metrics") as resp:
+        text = resp.read().decode()
+
+    def value(name, **labels):
+        lbl = ",".join(f'{k}="{v}"' for k, v in labels.items())
+        m = re.search(rf"^{name}\{{{re.escape(lbl)}\}} (\S+)$", text, re.M)
+        assert m, f"{name}{{{lbl}}} missing from:\n{text}"
+        return float(m.group(1))
+
+    assert value("protoclip_http_responses_total", route="/encode", code=200) >= 1
+    assert value("protoclip_dispatches_total", route="/encode") >= 1
+    assert value("protoclip_images_total", route="/encode") >= 3
+    assert value("protoclip_dispatch_latency_ms", route="/encode", quantile="0.5") > 0
+    # the mesh route advertises its geometry on /healthz
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz") as resp:
+        health = json.loads(resp.read())
+    assert health["mesh_devices"] == jax.device_count()
+
+
+@pytest.fixture(scope="module")
+def mesh_server():
+    """A --mesh-mode server over the virtual CPU mesh (all 8 devices)."""
+    params = init_clip_params(jax.random.PRNGKey(0), TINY_VIT)
+    srv = build_server(
+        port=0, clip=(TINY_VIT, params), per_device_batch=1, quiet=True,
+        coalesce_ms=0.0,
+    )
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    yield srv
+    srv.shutdown()
+    srv.server_close()
+    thread.join(timeout=5)
+
+
 def test_healthz_degrades_on_dispatch_failures(server):
     """Failure detection: consecutive failed device dispatches turn
     /healthz into a 503 "degraded" (so load balancers pull the host), with

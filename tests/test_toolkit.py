@@ -671,6 +671,27 @@ def test_serve_classify_route(classifier_env):
         names, probs = ServeClient(f"http://127.0.0.1:{port}").classify(crops)
         assert names == [list(r) for r in want_names]
         np.testing.assert_allclose(probs, want_probs, atol=1e-6)
+
+        # /metrics covers the classify route too: its micro-batcher counters
+        # and latency quantiles use the same exposition as /encode
+        import re
+
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/metrics") as resp:
+            text = resp.read().decode()
+
+        def value(name, **labels):
+            lbl = ",".join(f'{k}="{v}"' for k, v in labels.items())
+            m = re.search(rf"^{name}\{{{re.escape(lbl)}\}} (\S+)$", text, re.M)
+            assert m, f"{name}{{{lbl}}} missing from:\n{text}"
+            return float(m.group(1))
+
+        assert value("protoclip_http_responses_total", route="/classify", code=200) >= 2
+        # 12 crops total over max_batch=4: at least 3 device dispatches
+        assert value("protoclip_dispatches_total", route="/classify") >= 3
+        assert value("protoclip_images_total", route="/classify") >= 12
+        assert value(
+            "protoclip_dispatch_latency_ms", route="/classify", quantile="0.5"
+        ) > 0
     finally:
         srv.shutdown()
         srv.server_close()
