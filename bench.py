@@ -135,6 +135,45 @@ def bench_encode(
     return batch * inner / best, best / inner
 
 
+def bench_bundle(
+    backbone: str = "ViT-B/16", batch: int = 256, iters: int = 6,
+    int8: bool = False,
+):
+    """Per-dispatch throughput of the AOT serving bundle with
+    device-resident input — the deployment artifact path
+    (``io/export.py``; one ``artifact.call`` per batch, so each dispatch
+    pays the fixed round trip that the scan benches amortize).  Floors on
+    these catch export/runtime regressions the live-path numbers cannot
+    (a broken StableHLO round trip, a deserialized program losing its
+    Mosaic custom calls)."""
+    import os
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from protoclip_tpu.io.export import load_serving_bundle, save_serving_bundle
+    from protoclip_tpu.models.clip import load_clip
+
+    os.environ["PROTOCLIP_INT8"] = "1" if int8 else "0"
+    cfg, params = load_clip(backbone, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    res = cfg.image_resolution
+    imgs = rng.integers(0, 256, (batch, res, res, 3)).astype(np.uint8)
+    with tempfile.TemporaryDirectory() as d:
+        save_serving_bundle(d, cfg, params, batch_size=batch, int8=int8)
+        encode = load_serving_bundle(d)
+        dev = jax.device_put(imgs)
+        for _ in range(2):  # compile (persistent-cached) + warm
+            np.asarray(encode.artifact.call(encode.params, dev))
+        times = []
+        for _ in range(iters):
+            start = time.perf_counter()
+            np.asarray(encode.artifact.call(encode.params, dev))
+            times.append(time.perf_counter() - start)
+    return batch / min(times)
+
+
 def bench_text_encode(
     backbone: str = "ViT-B/16", batch: int = 1024, iters: int = 4, inner: int = 20,
 ):
@@ -229,6 +268,7 @@ def main() -> None:
     _enable_compilation_cache()
     backend = jax.default_backend()
     int8_ips = rn50_ips = vitl_ips = vitl_int8_ips = text_pps = None
+    bundle_b16_ips = bundle_l14_ips = None
     if backend == "cpu":
         # CI/debug fallback: tiny run so the harness still emits a line
         ips, step_s = bench_encode(batch=8, iters=2, inner=2)
@@ -259,6 +299,17 @@ def main() -> None:
             text_pps = bench_text_encode()
         except Exception:
             text_pps = None
+        # deployment artifacts: the AOT bundles for the flagship serving
+        # point (ViT-B/16 int8) and the FewSOL-198 deploy backbone
+        # (ViT-L/14, configs/fewsol_198.yml)
+        try:
+            bundle_b16_ips = bench_bundle("ViT-B/16", batch=256, int8=True)
+        except Exception:
+            bundle_b16_ips = None
+        try:
+            bundle_l14_ips = bench_bundle("ViT-L/14", batch=128, int8=True)
+        except Exception:
+            bundle_l14_ips = None
     overhead_s = measure_dispatch_overhead()
 
     headline = ips if int8_ips is None or int8_ips < ips else int8_ips
@@ -287,6 +338,10 @@ def main() -> None:
         details["vit_l14_int8_images_per_sec"] = round(vitl_int8_ips, 1)
     if text_pps is not None:
         details["text_encode_prompts_per_sec"] = round(text_pps, 1)
+    if bundle_b16_ips is not None:
+        details["bundle_vit_b16_int8_images_per_sec"] = round(bundle_b16_ips, 1)
+    if bundle_l14_ips is not None:
+        details["bundle_vit_l14_int8_images_per_sec"] = round(bundle_l14_ips, 1)
 
     regressions = {}
     if backend != "cpu":
