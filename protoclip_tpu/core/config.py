@@ -17,6 +17,37 @@ import yaml
 _ALLOWED_ADAPTERS = ("fc", "conv-2x", "conv-3x")
 _ALLOWED_LOSSES = ("L1", "L2", "L3", "L4")
 
+# Tip-Adapter (alpha, beta) hyper-parameter search geometry per dataset —
+# the reference injects these into every run's cfg (``main.py:74-102,111``)
+# and then deliberately never reads them: its own comment at ``main.py:141``
+# says "tip-a search_scale is not helpful for proto-clip", and the test-phase
+# re-search uses hardcoded ranges instead (``main.py:407-434``).  Carried
+# for cfg-dict compatibility (a tool reading a dumped config sees the same
+# keys) and for anyone layering Tip-Adapter-style search on top.
+TIP_ADAPTER_SEARCH = {
+    "caltech101": ([12, 5], [200, 20]),
+    "dtd": ([13, 13], [200, 20]),
+    "eurosat": ([12, 10], [200, 20]),
+    "fgvc": ([30, 30], [200, 20]),
+    "food101": ([10, 10], [200, 20]),
+    "imagenet": ([7, 3], [200, 20]),
+    "oxford_flowers": ([50, 50], [200, 20]),
+    "oxford_pets": ([7, 3], [200, 20]),
+    "stanford_cars": ([20, 10], [200, 20]),
+    "sun397": ([12, 10], [200, 20]),
+    "ucf101": ([7, 3], [200, 20]),
+    "fewsol": ([13, 13], [200, 20]),
+}
+
+
+def search_scale_step(dataset: str):
+    """``(search_scale, search_step)`` for ``dataset`` — ``(None, None)``
+    when unlisted, exactly like the reference's ``dict.get`` fallback
+    (``main.py:99``).  ``fewsol_198`` maps to the ``fewsol`` row (it is our
+    alias; the reference runs both splits as dataset ``fewsol``)."""
+    name = "fewsol" if dataset == "fewsol_198" else dataset
+    return TIP_ADAPTER_SEARCH.get(name, (None, None))
+
 
 @dataclasses.dataclass
 class Config:
@@ -50,6 +81,12 @@ class Config:
     # replay-exact vs an uninterrupted one.
     snapshot_every: int = 0  # epochs; 0 = off
     resume: bool = False
+    # Tip-Adapter search geometry, derived from `dataset` at load time
+    # (ref main.py:111); vestigial in the reference too — see
+    # TIP_ADAPTER_SEARCH above.  Not settable from YAML/CLI, matching the
+    # reference where search_scale_step() overwrites any incoming value.
+    search_scale: Optional[List[int]] = dataclasses.field(default=None)
+    search_step: Optional[List[int]] = dataclasses.field(default=None)
 
     @property
     def cache_dir(self) -> str:
@@ -101,6 +138,9 @@ def load_config(path: Optional[str] = None, **overrides) -> Config:
             data = yaml.safe_load(fh) or {}
     merged = {}
     valid_fields = {f.name for f in dataclasses.fields(Config)}
+    # derived at load time from `dataset`, never from YAML/CLI (the
+    # reference's search_scale_step() likewise overwrites incoming values)
+    valid_fields -= {"search_scale", "search_step"}
     for key, value in data.items():
         if key in valid_fields:
             merged[key] = value
@@ -118,4 +158,5 @@ def load_config(path: Optional[str] = None, **overrides) -> Config:
             raise TypeError(f"unknown config override {key!r}")
         merged[key] = value
     cfg = Config(**merged)
+    cfg.search_scale, cfg.search_step = search_scale_step(cfg.dataset)
     return cfg.validate()

@@ -1139,3 +1139,44 @@ def test_tsne_coordinates_match_reference_executed():
 
     np.testing.assert_allclose(our_zi, ref_zi, atol=1e-4)
     np.testing.assert_allclose(our_zt, ref_zt, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Tip-Adapter search geometry: the reference's search_scale_step executed
+# verbatim vs core/config.py (ref main.py:74-102,111 — injected into every
+# cfg, then deliberately unused per the comment at main.py:141)
+# ---------------------------------------------------------------------------
+
+
+def test_search_scale_step_matches_executed_reference():
+    from protoclip_tpu.core.config import TIP_ADAPTER_SEARCH, search_scale_step
+
+    with open(pinned_reference_path("main.py")) as fh:
+        lines = fh.read().splitlines()
+    block = _extract_block(lines, "def search_scale_step(cfg):", "return cfg")
+    snippet = "\n".join(block)
+    for must in (
+        "dataset_dict = {'caltech101': ([12, 5], [200, 20]),",
+        "search_scale, search_step = dataset_dict.get(dataset, (None, None))",
+        "cfg['search_scale'] = search_scale",
+    ):
+        assert must in snippet, f"reference search table drifted: {must!r}"
+
+    ns = {}
+    exec(compile(snippet, "<reference search_scale_step main.py:74-102>", "exec"), ns)  # noqa: S102
+    ref_fn = ns["search_scale_step"]
+
+    datasets = sorted(TIP_ADAPTER_SEARCH) + ["unknown-ds"]
+    for name in datasets:
+        ref_cfg = ref_fn({"dataset": name})
+        scale, step = search_scale_step(name)
+        assert scale == ref_cfg["search_scale"], name
+        assert step == ref_cfg["search_step"], name
+    # every reference row is covered (none invented, none missed)
+    assert len(TIP_ADAPTER_SEARCH) == 12
+    # our fewsol_198 alias resolves to the reference's fewsol row
+    ref_fewsol = ref_fn({"dataset": "fewsol"})
+    assert search_scale_step("fewsol_198") == (
+        ref_fewsol["search_scale"],
+        ref_fewsol["search_step"],
+    )

@@ -211,6 +211,26 @@ def test_config_load_and_validation(tmp_path):
     assert Config(dataset="fewsol").cache_dir.endswith(os.sep + "fewsol")
 
 
+def test_config_tip_adapter_search_injection(tmp_path):
+    """search_scale/search_step are derived from `dataset` at load time
+    (ref main.py:74-102,111) — vestigial there and here, but present so a
+    dumped cfg dict carries the same keys the reference's does."""
+    cfg = load_config("configs/caltech101.yml")
+    assert cfg.search_scale == [12, 5] and cfg.search_step == [200, 20]
+    # fewsol_198 is our alias for the reference's fewsol run
+    assert load_config("configs/fewsol_198.yml").search_scale == [13, 13]
+    # unlisted datasets fall back to (None, None), like the ref's dict.get
+    assert Config(dataset="nope").search_scale is None
+    assert "search_scale" in load_config("configs/dtd.yml").to_dict()
+    # not settable from YAML/CLI: the reference's search_scale_step()
+    # overwrites any incoming value, so accepting one would lie
+    with pytest.raises(TypeError):
+        load_config("configs/dtd.yml", search_scale=[1, 1])
+    path = tmp_path / "c.yml"
+    path.write_text("dataset: dtd\nsearch_scale: [1, 1]\n")
+    assert load_config(str(path)).search_scale == [13, 13]  # ignored+derived
+
+
 def test_all_reference_configs_load():
     import glob
 
