@@ -17,6 +17,7 @@ from protoclip_tpu.data.transforms import (
     normalize_batch,
 )
 from protoclip_tpu.data.loader import BatchLoader
+from protoclip_tpu.data.query import iter_query_batches, query_bin_data
 
 __all__ = [
     "Datum",
@@ -29,4 +30,6 @@ __all__ = [
     "random_train_transform",
     "normalize_batch",
     "BatchLoader",
+    "iter_query_batches",
+    "query_bin_data",
 ]

@@ -1180,3 +1180,50 @@ def test_search_scale_step_matches_executed_reference():
         ref_fewsol["search_scale"],
         ref_fewsol["search_step"],
     )
+
+
+# ---------------------------------------------------------------------------
+# QueryDataset: the reference's binned-uniform query sampler executed
+# verbatim vs data/query.py (ref datasets/utils.py:397-428 — shipped but
+# referenced nowhere in the reference itself)
+# ---------------------------------------------------------------------------
+
+
+def test_query_dataset_matches_executed_reference():
+    import random as stdlib_random
+
+    from protoclip_tpu.data.query import iter_query_batches, query_bin_data
+
+    ref = _load_ref_dataset_utils()
+
+    state = stdlib_random.getstate()
+    try:
+        for n, k in [(37, 5), (12, 12), (8, 3), (6, 1)]:
+            # the reference consumes the GLOBAL random stream; replaying the
+            # same seed on both sides must give item-for-item equality
+            stdlib_random.seed(7)
+            theirs = ref.QueryDataset(n, k)
+            stdlib_random.seed(7)
+            ours = query_bin_data(n, k)
+            assert ours == theirs.data, (n, k)
+            assert len(ours) == len(theirs) == n  # total is exactly n
+            assert ours[0] == theirs[0]  # __getitem__ passthrough
+    finally:
+        stdlib_random.setstate(state)
+
+    # batch contract vs the reference's create_dataloader/collate_fn
+    # (shuffle=True, fp32, drop_last=False short tail): same multiset of
+    # values and the same batch-shape sequence — shuffle ORDER is RNG-
+    # implementation-defined on both sides, so it is not part of parity
+    stdlib_random.seed(3)
+    loader = ref.create_dataloader(n=37, k=5, batch_size=8)
+    ref_batches = [b.numpy() for b in loader]
+    stdlib_random.seed(3)
+    our_batches = list(iter_query_batches(query_bin_data(37, 5), 8, seed=0))
+    assert [b.shape for b in our_batches] == [b.shape for b in ref_batches]
+    assert all(b.dtype == np.float32 for b in our_batches)
+    np.testing.assert_allclose(
+        np.sort(np.concatenate(our_batches)),
+        np.sort(np.concatenate(ref_batches)),
+        rtol=0, atol=1e-6,  # collate goes through fp32; generation is f64
+    )
