@@ -30,6 +30,12 @@ from protoclip_tpu.models.adapters import (
     adapter_from_torch_state,
     adapter_to_torch_state,
 )
+from protoclip_tpu.models.encoder import (
+    init_encoder,
+    encoder_apply,
+    encoder_from_torch_state,
+    multi_head_attention,
+)
 
 __all__ = [
     "CLIPConfig",
@@ -46,4 +52,8 @@ __all__ = [
     "apply_adapter",
     "adapter_from_torch_state",
     "adapter_to_torch_state",
+    "init_encoder",
+    "encoder_apply",
+    "encoder_from_torch_state",
+    "multi_head_attention",
 ]

@@ -262,3 +262,106 @@ def test_adapter_matches_reference_executed(ref_adapters, kind, c_in):
         theirs = ref(torch.from_numpy(x)).numpy()
     ours = np.asarray(apply_adapter(params, jnp.asarray(x), kind))
     np.testing.assert_allclose(ours, theirs, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# The reference's standalone Embedder/MultiHeadAttention/Encoder
+# (model.py:98-170 — shipped but instantiated nowhere in the reference)
+# run VERBATIM and diffed against models/encoder.py on identical weights.
+# ---------------------------------------------------------------------------
+
+
+from protoclip_tpu.models.encoder import (  # noqa: E402
+    encoder_apply,
+    encoder_from_torch_state,
+    init_encoder,
+    multi_head_attention,
+)
+
+
+@pytest.mark.parametrize("masked", [False, True], ids=["no-mask", "mask"])
+def test_encoder_matches_reference_executed(ref_adapters, masked):
+    """Both the mask branch (softmax attention) and the reference's
+    no-mask quirk (raw scaled scores as mixing weights, model.py:110-118)
+    must agree with the reference executing its own module."""
+    vocab, d_model, heads, B, L = 50, 16, 4, 3, 5
+    torch.manual_seed(13)
+    weights = torch.randn(vocab, d_model)
+    ref = ref_adapters.Encoder(vocab, d_model, heads, weights).eval()
+
+    params = encoder_from_torch_state(
+        {k: v.numpy() for k, v in ref.state_dict().items()}
+    )
+    np.testing.assert_array_equal(params["embed"], weights.numpy())  # clone
+
+    rng = np.random.default_rng(3)
+    tokens = rng.integers(0, vocab, (B, L))
+    mask_np = rng.integers(0, 2, (B, L, L)) if masked else None
+
+    # the reference's Encoder.forward has no mask plumbing (model.py:168-170
+    # always calls attn(x1, x1, x1)); drive its MultiHeadAttention directly
+    # for the masked case, exactly as its attention() contract documents
+    x_ref = ref.embed(torch.from_numpy(tokens))
+    with torch.no_grad():
+        if masked:
+            theirs = ref.attn(x_ref, x_ref, x_ref, torch.from_numpy(mask_np)).numpy()
+        else:
+            theirs = ref(torch.from_numpy(tokens)).numpy()
+
+    if masked:
+        x = jnp.asarray(params["embed"])[jnp.asarray(tokens)]
+        ours = multi_head_attention(
+            params, x, x, x, heads, mask=jnp.asarray(mask_np)
+        )
+    else:
+        ours = encoder_apply(params, jnp.asarray(tokens), heads)
+    np.testing.assert_allclose(np.asarray(ours), theirs, atol=2e-5)
+
+
+def test_encoder_cross_attention_matches_reference_executed(ref_adapters):
+    """Distinct q/k/v inputs through MultiHeadAttention alone — the module
+    is generic cross-attention even though Encoder ties q=k=v."""
+    d_model, heads = 24, 2
+    torch.manual_seed(29)
+    ref = ref_adapters.MultiHeadAttention(heads, d_model).eval()
+    params = encoder_from_torch_state(
+        {f"attn.{k}": v.numpy() for k, v in ref.state_dict().items()}
+        | {"embed.embed.weight": np.zeros((1, d_model), np.float32)}
+    )
+    rng = np.random.default_rng(8)
+    q = rng.standard_normal((2, 3, d_model)).astype(np.float32)
+    kv = rng.standard_normal((2, 7, d_model)).astype(np.float32)
+    mask = rng.integers(0, 2, (2, 3, 7))
+    with torch.no_grad():
+        theirs = ref(
+            torch.from_numpy(q), torch.from_numpy(kv), torch.from_numpy(kv),
+            torch.from_numpy(mask),
+        ).numpy()
+    ours = multi_head_attention(
+        params, jnp.asarray(q), jnp.asarray(kv), jnp.asarray(kv), heads,
+        mask=jnp.asarray(mask),
+    )
+    np.testing.assert_allclose(np.asarray(ours), theirs, atol=2e-5)
+
+
+def test_encoder_init_and_dropout_behavior():
+    """Fresh init seeds the embedding from the given table (ref
+    model.py:99-103) and score-dropout is identity-off by default,
+    scaling-on with a key (ref model.py:119-121 applies Dropout(0.1) to
+    the score matrix)."""
+    import jax
+
+    rng = np.random.default_rng(0)
+    table = rng.standard_normal((10, 8)).astype(np.float32)
+    params = init_encoder(rng, table, heads=2)
+    np.testing.assert_array_equal(params["embed"], table)
+    tokens = jnp.asarray([[1, 2, 3]])
+    base = encoder_apply(params, tokens, heads=2)
+    again = encoder_apply(params, tokens, heads=2)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(again))
+    dropped = encoder_apply(
+        params, tokens, heads=2, dropout_rng=jax.random.PRNGKey(5)
+    )
+    assert not np.allclose(np.asarray(dropped), np.asarray(base))
+    with np.testing.assert_raises(ValueError):
+        init_encoder(rng, table, heads=3)  # 8 % 3 != 0
