@@ -46,6 +46,13 @@ PERF_FLOORS = {
     "rn50_images_per_sec": 8400.0,
     "vit_l14_int8_images_per_sec": 1200.0,
     "text_encode_prompts_per_sec": 18000.0,
+    # AOT bundle per-dispatch throughput (device input, one batch per
+    # round trip — so these carry the full ~27 ms tunnel tax per batch
+    # and get a wider margin than the amortized floors above).  Measured
+    # round 5 (BASELINE.md): B/16 int8 2946, L/14 int8 923.6, RN50 2980.1
+    "bundle_vit_b16_int8_images_per_sec": 2300.0,
+    "bundle_vit_l14_int8_images_per_sec": 800.0,
+    "bundle_rn50_images_per_sec": 2500.0,
 }
 
 
@@ -268,7 +275,7 @@ def main() -> None:
     _enable_compilation_cache()
     backend = jax.default_backend()
     int8_ips = rn50_ips = vitl_ips = vitl_int8_ips = text_pps = None
-    bundle_b16_ips = bundle_l14_ips = None
+    bundle_b16_ips = bundle_l14_ips = bundle_rn50_ips = None
     if backend == "cpu":
         # CI/debug fallback: tiny run so the harness still emits a line
         ips, step_s = bench_encode(batch=8, iters=2, inner=2)
@@ -310,6 +317,14 @@ def main() -> None:
             bundle_l14_ips = bench_bundle("ViT-L/14", batch=128, int8=True)
         except Exception:
             bundle_l14_ips = None
+        # the reference's default backbone (configs/master.yml:6) through
+        # the same StableHLO export: the conv path (NHWC convs, folded BN,
+        # attention pool) must survive serialize -> reload too.  bf16 —
+        # RN50 int8 measured no faster than bf16 (BASELINE.md)
+        try:
+            bundle_rn50_ips = bench_bundle("RN50", batch=256, int8=False)
+        except Exception:
+            bundle_rn50_ips = None
     overhead_s = measure_dispatch_overhead()
 
     headline = ips if int8_ips is None or int8_ips < ips else int8_ips
@@ -342,6 +357,8 @@ def main() -> None:
         details["bundle_vit_b16_int8_images_per_sec"] = round(bundle_b16_ips, 1)
     if bundle_l14_ips is not None:
         details["bundle_vit_l14_int8_images_per_sec"] = round(bundle_l14_ips, 1)
+    if bundle_rn50_ips is not None:
+        details["bundle_rn50_images_per_sec"] = round(bundle_rn50_ips, 1)
 
     regressions = {}
     if backend != "cpu":
