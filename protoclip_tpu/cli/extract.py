@@ -121,12 +121,19 @@ def main() -> None:
         from protoclip_tpu.parallel.sharding import (
             fetch_to_host,
             make_sharded_encode,
+            replicated,
             shard_batch,
         )
 
         mesh = make_mesh(args.mesh)
         args.batch = -(-args.batch // args.mesh) * args.mesh
         encode_sharded = make_sharded_encode(encode_raw, mesh)
+        # replicate the weights across the mesh ONCE, like cli/serve.py's
+        # mesh route: left committed to device 0, every chunk's encode
+        # would re-broadcast the full pytree (~0.9 GB for ViT-L/14) inside
+        # the hot loop — and under multiple processes jit cannot auto-
+        # reshard a process-local array onto the global mesh at all
+        params = jax.device_put(params, replicated(mesh))
 
         def encode(p, images):
             out = encode_sharded(p, shard_batch(images, mesh))

@@ -81,12 +81,17 @@ class Config:
     # replay-exact vs an uninterrupted one.
     snapshot_every: int = 0  # epochs; 0 = off
     resume: bool = False
-    # Tip-Adapter search geometry, derived from `dataset` at load time
-    # (ref main.py:111); vestigial in the reference too — see
-    # TIP_ADAPTER_SEARCH above.  Not settable from YAML/CLI, matching the
-    # reference where search_scale_step() overwrites any incoming value.
+    # Tip-Adapter search geometry, derived from `dataset` in __post_init__
+    # so EVERY construction path carries it (the reference injects at run
+    # time for every cfg, main.py:111); vestigial in the reference too —
+    # see TIP_ADAPTER_SEARCH above.  Not settable from YAML/CLI (and any
+    # constructor value is overwritten), matching the reference where
+    # search_scale_step() clobbers incoming values.
     search_scale: Optional[List[int]] = dataclasses.field(default=None)
     search_step: Optional[List[int]] = dataclasses.field(default=None)
+
+    def __post_init__(self):
+        self.search_scale, self.search_step = search_scale_step(self.dataset)
 
     @property
     def cache_dir(self) -> str:
@@ -158,5 +163,4 @@ def load_config(path: Optional[str] = None, **overrides) -> Config:
             raise TypeError(f"unknown config override {key!r}")
         merged[key] = value
     cfg = Config(**merged)
-    cfg.search_scale, cfg.search_step = search_scale_step(cfg.dataset)
     return cfg.validate()

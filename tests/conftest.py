@@ -111,3 +111,29 @@ requires_reference = pytest.mark.skipif(
 def rng():
     # function-scoped: each test gets an identical, order-independent stream
     return np.random.default_rng(0)
+
+
+class TorchFp32Proxy:
+    """``torch`` with ``.half`` remapped to fp32 — the executed-reference
+    harnesses run reference code that hard-codes ``dtype=torch.half`` (e.g.
+    the adapters at ``main.py:119-121``) on a CPU torch build where half
+    matmuls are unsupported/slow.  Every other attribute passes through."""
+
+    def __getattr__(self, name):
+        import torch
+
+        if name == "half":
+            return torch.float32
+        return getattr(torch, name)
+
+
+def prometheus_value(text: str, name: str, **labels) -> float:
+    """Extract one sample from a Prometheus exposition ``text`` by metric
+    name + exact label set; asserts presence (shared by the serving
+    /metrics tests across encode/classify/mesh modes)."""
+    import re
+
+    lbl = ",".join(f'{k}="{v}"' for k, v in labels.items())
+    m = re.search(rf"^{name}\{{{re.escape(lbl)}\}} (\S+)$", text, re.M)
+    assert m, f"{name}{{{lbl}}} missing from:\n{text}"
+    return float(m.group(1))

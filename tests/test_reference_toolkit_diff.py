@@ -116,17 +116,27 @@ class _ImageFolderStub:
 
 
 _RTK = None
+_RTK_CLIP = None
+# the verbatim reference modules bind `import clip` ONCE (the stub installed
+# at first load), so later calls cannot swap the stub object — they swap the
+# table it reads through this holder instead.  A fresh-stub-per-call design
+# silently ignored the new table under any non-default test ordering.
+_RTK_FEATS = {"feats": None}
 
 
 def _load_ref_toolkit_utils(feature_table: np.ndarray):
     """Import the toolkit utils package verbatim; returns
     (package module, clip stub) — the clip stub's ``load`` hands back an
-    encoder keyed on image content (constant pixel value -> feature row)."""
-    global _RTK
+    encoder keyed on image content (constant pixel value -> feature row).
+    Safe to call repeatedly with different tables: the cached reference
+    package reads the CURRENT table via ``_RTK_FEATS``."""
+    global _RTK, _RTK_CLIP
     from tests.test_reference_diff import _info_nce_module
 
     os.environ.setdefault("MPLBACKEND", "Agg")
-    feats = torch.from_numpy(np.asarray(feature_table, np.float32))
+    _RTK_FEATS["feats"] = torch.from_numpy(np.asarray(feature_table, np.float32))
+    if _RTK is not None:
+        return _RTK, _RTK_CLIP
 
     def preprocess(img: Image.Image):
         # one long per image: the item id carried in the pixel value
@@ -138,12 +148,10 @@ def _load_ref_toolkit_utils(feature_table: np.ndarray):
         types.SimpleNamespace(
             dtype=torch.float32,
             eval=lambda: None,
-            encode_image=lambda ids: feats[ids.long()],
+            encode_image=lambda ids: _RTK_FEATS["feats"][ids.long()],
         ),
         preprocess,
     )
-    if _RTK is not None:
-        return _RTK, clip_stub
 
     info_nce = _info_nce_module()
     tv = types.ModuleType("torchvision")
@@ -221,14 +229,11 @@ def _load_ref_toolkit_utils(feature_table: np.ndarray):
             else:
                 sys.modules[k] = v
     _RTK = pkg
+    _RTK_CLIP = clip_stub
     return pkg, clip_stub
 
 
-class _TorchFp32Proxy:
-    half = torch.float32
-
-    def __getattr__(self, name):
-        return getattr(torch, name)
+from tests.conftest import TorchFp32Proxy as _TorchFp32Proxy  # noqa: E402
 
 
 @pytest.fixture(scope="module")
@@ -411,7 +416,6 @@ def test_sketch_dataset_scan_matches_class_folder_items(sketch_tree):
     rtk, _ = _load_ref_toolkit_utils(np.zeros((1, DIM), np.float32))
     from protoclip_tpu.toolkit.ood import class_folder_items
 
-    ds = sys.modules.get("rtk_utils.ood_utils") or rtk.ood_utils
     ref_ds = rtk.ood_utils.ImageNetSketchDataset(sketch_tree["root"])
     ours = class_folder_items(sketch_tree["root"])
 

@@ -298,13 +298,9 @@ def _run_ref_trainer(
             # ``torch.half`` override corrupts torch.load's storage-type
             # map): main.py touches ``torch.half`` solely when constructing
             # the adapters (main.py:119-121)
-            class _TorchFp32Proxy:
-                half = torch.float32
+            from tests.conftest import TorchFp32Proxy
 
-                def __getattr__(self, name):
-                    return getattr(torch, name)
-
-            mp.setattr(main_mod, "torch", _TorchFp32Proxy())
+            mp.setattr(main_mod, "torch", TorchFp32Proxy())
         if gate_calls is not None:
             mp.setattr(
                 "builtins.input", lambda prompt="": gate_calls.append(prompt) or ""

@@ -732,10 +732,9 @@ def test_metrics_prometheus_exposition(server):
             assert sample.match(line), line
 
     def value(name, **labels):
-        lbl = ",".join(f'{k}="{v}"' for k, v in labels.items())
-        m = re.search(rf"^{name}\{{{re.escape(lbl)}\}} (\S+)$", text, re.M)
-        assert m, f"{name}{{{lbl}}} missing from:\n{text}"
-        return float(m.group(1))
+        from tests.conftest import prometheus_value
+
+        return prometheus_value(text, name, **labels)
 
     assert value("protoclip_http_responses_total", route="/encode", code=200) >= 1
     # unknown paths are bucketed to bound label cardinality
@@ -771,10 +770,9 @@ def test_metrics_mesh_mode(mesh_server):
         text = resp.read().decode()
 
     def value(name, **labels):
-        lbl = ",".join(f'{k}="{v}"' for k, v in labels.items())
-        m = re.search(rf"^{name}\{{{re.escape(lbl)}\}} (\S+)$", text, re.M)
-        assert m, f"{name}{{{lbl}}} missing from:\n{text}"
-        return float(m.group(1))
+        from tests.conftest import prometheus_value
+
+        return prometheus_value(text, name, **labels)
 
     assert value("protoclip_http_responses_total", route="/encode", code=200) >= 1
     assert value("protoclip_dispatches_total", route="/encode") >= 1

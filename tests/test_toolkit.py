@@ -680,10 +680,9 @@ def test_serve_classify_route(classifier_env):
             text = resp.read().decode()
 
         def value(name, **labels):
-            lbl = ",".join(f'{k}="{v}"' for k, v in labels.items())
-            m = re.search(rf"^{name}\{{{re.escape(lbl)}\}} (\S+)$", text, re.M)
-            assert m, f"{name}{{{lbl}}} missing from:\n{text}"
-            return float(m.group(1))
+            from tests.conftest import prometheus_value
+
+            return prometheus_value(text, name, **labels)
 
         assert value("protoclip_http_responses_total", route="/classify", code=200) >= 2
         # 12 crops total over max_batch=4: at least 3 device dispatches

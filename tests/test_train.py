@@ -219,6 +219,9 @@ def test_config_tip_adapter_search_injection(tmp_path):
     assert cfg.search_scale == [12, 5] and cfg.search_step == [200, 20]
     # fewsol_198 is our alias for the reference's fewsol run
     assert load_config("configs/fewsol_198.yml").search_scale == [13, 13]
+    # every construction path derives the keys, not just YAML loads (the
+    # reference injects at run time for every cfg, main.py:111)
+    assert Config(dataset="caltech101").search_scale == [12, 5]
     # unlisted datasets fall back to (None, None), like the ref's dict.get
     assert Config(dataset="nope").search_scale is None
     assert "search_scale" in load_config("configs/dtd.yml").to_dict()
