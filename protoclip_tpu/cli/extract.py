@@ -112,11 +112,15 @@ def main() -> None:
     encode_raw = make_encode_fn(cfg, normalize=not args.no_normalize)
     if args.mesh:
         # feature extraction is the embarrassingly-parallel workload: shard
-        # the fixed-shape batch over a 1-D data mesh (per-shard execution is
-        # exact, so the output is bit-identical to single-device — pinned by
-        # tests/test_e2e.py::test_extract_cli_mesh_bit_exact).  The ragged
-        # tail rides the existing fixed-batch padding; only the batch size
-        # must divide evenly over the mesh.
+        # the fixed-shape batch over a 1-D data mesh.  Each output row
+        # depends only on its own batch rows, so sharding is bit-identical
+        # to single-device at the same per-program batch (pinned by
+        # tests/test_e2e.py::test_extract_cli_mesh_bit_exact); a different
+        # effective batch can shift XLA's matmul blocking by ~1 ULP
+        # (measured: ViT-B/32 per-shard batch 1 vs single batch 8 -> 3e-8
+        # on unit-norm features).  The ragged tail rides the existing
+        # fixed-batch padding; only the batch size must divide evenly over
+        # the mesh.
         from protoclip_tpu.parallel import make_mesh
         from protoclip_tpu.parallel.sharding import (
             fetch_to_host,
