@@ -431,3 +431,154 @@ def test_sketch_dataset_scan_matches_class_folder_items(sketch_tree):
     our_classes = sorted({os.path.basename(os.path.dirname(d.impath)) for d in ours})
     assert ref_ds.classes == our_classes
     assert ref_ds.class_to_idx == {c: i for i, c in enumerate(our_classes)}
+
+
+# ---------------------------------------------------------------------------
+# ROS geometry utils: the reference's pure-math helpers executed verbatim
+# (ref toolkit/proto_clip_toolkit/ros/utils/ros_utils.py:10-172) vs
+# toolkit/ros_utils.py + toolkit/robot.py.  The rotation<->quaternion
+# conversions on the reference side are anchored by scipy (standing in for
+# the absent transforms3d, same conventions: quat2mat takes wxyz, mat2quat
+# returns wxyz with w >= 0) so the diff certifies the reference's own
+# reorder/assembly statements, not a reimplementation of them.
+# ---------------------------------------------------------------------------
+
+_ROS_UTILS = None
+
+
+def _load_ref_ros_utils():
+    global _ROS_UTILS
+    if _ROS_UTILS is not None:
+        return _ROS_UTILS
+    from scipy.spatial.transform import Rotation
+
+    def quat2mat(q_wxyz):
+        w, x, y, z = (float(v) for v in q_wxyz)
+        return Rotation.from_quat([x, y, z, w]).as_matrix()
+
+    def mat2quat(m):
+        x, y, z, w = Rotation.from_matrix(np.asarray(m, float)).as_quat()
+        if w < 0:  # transforms3d convention: w >= 0
+            x, y, z, w = -x, -y, -z, -w
+        return np.array([w, x, y, z])
+
+    rospy = types.ModuleType("rospy")
+    rospy.Time = lambda *a: None
+    rospy.Duration = lambda *a: None
+    tf_mod = types.ModuleType("tf")
+    tf_mod.transformations = types.ModuleType("tf.transformations")
+    t3d = types.ModuleType("transforms3d")
+    t3d_q = types.ModuleType("transforms3d.quaternions")
+    t3d_q.mat2quat, t3d_q.quat2mat = mat2quat, quat2mat
+    t3d.quaternions = t3d_q
+    vis = types.ModuleType("visualization_msgs")
+    vis_msg = types.ModuleType("visualization_msgs.msg")
+    vis_msg.MarkerArray = type("MarkerArray", (), {})
+    vis_msg.Marker = type("Marker", (), {"ADD": 0, "MESH_RESOURCE": 10})
+    vis.msg = vis_msg
+    geo = types.ModuleType("geometry_msgs")
+    geo_msg = types.ModuleType("geometry_msgs.msg")
+    for name in ("Pose", "PoseArray", "Point", "Quaternion"):
+        setattr(geo_msg, name, type(name, (), {}))
+    geo.msg = geo_msg
+    stubs = {
+        "rospy": rospy, "tf": tf_mod, "tf.transformations": tf_mod.transformations,
+        "transforms3d": t3d, "transforms3d.quaternions": t3d_q,
+        "visualization_msgs": vis, "visualization_msgs.msg": vis_msg,
+        "geometry_msgs": geo, "geometry_msgs.msg": geo_msg,
+    }
+    saved = {k: sys.modules.get(k) for k in stubs}
+    sys.modules.update(stubs)
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "ref_ros_utils",
+            pinned_reference_path(
+                os.path.join(
+                    "toolkit", "proto_clip_toolkit", "ros", "utils", "ros_utils.py"
+                )
+            ),
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+    _ROS_UTILS = mod
+    return mod
+
+
+def test_ros_quaternion_order_helpers_match_executed_reference():
+    from protoclip_tpu.toolkit import ros_utils as ours
+
+    ref = _load_ref_ros_utils()
+    rng = np.random.default_rng(11)
+    for _ in range(5):
+        pose = rng.standard_normal(7).tolist()
+        assert ours.convert_rosqt_to_standard(pose) == ref.convert_rosqt_to_standard(pose)
+        assert ours.convert_standard_to_rosqt(pose) == ref.convert_standard_to_rosqt(pose)
+        # round trip through the reference's own inverse
+        assert ref.convert_standard_to_rosqt(ours.convert_rosqt_to_standard(pose)) == pose
+        q = rng.standard_normal(4)
+        np.testing.assert_array_equal(ours.ros_quat(q), ref.ros_quat(q))
+
+
+def test_ros_transform_helpers_match_executed_reference():
+    from scipy.spatial.transform import Rotation
+
+    from protoclip_tpu.toolkit import ros_utils as ours
+
+    ref = _load_ref_ros_utils()
+    rng = np.random.default_rng(12)
+    for _ in range(6):
+        q_xyzw = Rotation.random(random_state=int(rng.integers(1 << 30))).as_quat()
+        trans = rng.standard_normal(3)
+        np.testing.assert_allclose(
+            ours.ros_qt_to_rt(q_xyzw, trans), ref.ros_qt_to_rt(q_xyzw, trans),
+            atol=1e-6,
+        )
+
+        rt = np.eye(4)
+        rt[:3, :3] = Rotation.random(random_state=int(rng.integers(1 << 30))).as_matrix()
+        rt[:3, 3] = rng.standard_normal(3)
+        ref_q, ref_t = ref.rt_to_ros_qt(rt)
+        our_q, our_t = ours.rt_to_ros_qt(rt)
+        np.testing.assert_allclose(our_t, ref_t, atol=1e-6)
+        # quaternion double cover: equal up to a global sign
+        d = min(
+            np.abs(np.asarray(our_q) - np.asarray(ref_q)).max(),
+            np.abs(np.asarray(our_q) + np.asarray(ref_q)).max(),
+        )
+        assert d < 1e-5, (our_q, ref_q)
+
+        inv_ref = ref.inverse_transform(rt)
+        inv_ours = ours.inverse_transform(rt)
+        assert inv_ours.dtype == inv_ref.dtype == np.float32
+        np.testing.assert_allclose(inv_ours, inv_ref, atol=1e-6)
+        # and it IS the inverse
+        np.testing.assert_allclose(inv_ref @ rt, np.eye(4), atol=1e-5)
+
+
+def test_ros_backproject_and_palette_match_executed_reference():
+    from protoclip_tpu.toolkit import ros_utils as ours
+    from protoclip_tpu.toolkit.robot import backproject
+
+    ref = _load_ref_ros_utils()
+    rng = np.random.default_rng(13)
+    h, w = 7, 9
+    depth = rng.uniform(0.2, 3.0, (h, w)).astype(np.float32)
+    depth[2, 3] = np.inf  # exercises the finite-selection branch
+    K = np.array([[222.0, 0.0, 4.2], [0.0, 220.0, 3.1], [0.0, 0.0, 1.0]])
+
+    ref_pts = ref.backproject(depth, K)  # (N_finite, 3), Kinv form
+    our_img = backproject(depth, K)      # (H, W, 3), pinhole form
+    flat = our_img.reshape(-1, 3)
+    finite = np.isfinite(flat[:, 0])
+    np.testing.assert_allclose(flat[finite], ref_pts, rtol=1e-4, atol=1e-4)
+
+    # legacy 8-color palette + BGR mapping, label 0 stays black
+    assert ours.PALETTE == ref.pallete
+    labels = rng.integers(0, 10, (6, 5))
+    np.testing.assert_array_equal(ours.map_seg_image(labels), ref.map_seg_image(labels))
