@@ -582,3 +582,179 @@ def test_ros_backproject_and_palette_match_executed_reference():
     assert ours.PALETTE == ref.pallete
     labels = rng.integers(0, 10, (6, 5))
     np.testing.assert_array_equal(ours.map_seg_image(labels), ref.map_seg_image(labels))
+
+
+# ---------------------------------------------------------------------------
+# Deployment classifier: the reference's ProtoClipClassifier executed
+# verbatim (ref ros/utils/proto_clip_classifier.py:24-158 + its
+# RealWorldDataset, image_utils.py:8-25) vs toolkit/classifier.py — the
+# crops -> features -> adapter -> P -> top-k names/probs flow on a
+# rebuild-written checkpoint triple, with BOTH sides consuming the same
+# encode: ours through its real (tiny random-init) CLIP tower, the
+# reference through the content-keyed stub loaded with that tower's own
+# feature rows (encode parity is proven separately in
+# test_reference_model_diff.py / test_hf_parity.py).
+# ---------------------------------------------------------------------------
+
+_REF_CLF = None
+
+
+def _load_ref_classifier_module(feature_table: np.ndarray):
+    """Import ros/utils/proto_clip_classifier.py verbatim as a package
+    submodule (so its relative ``.image_utils`` import resolves) WITHOUT
+    executing the package ``__init__`` (which drags in rospy/cv_bridge)."""
+    global _REF_CLF
+    rtk, clip_stub = _load_ref_toolkit_utils(feature_table)  # updates holder
+    if _REF_CLF is not None:
+        return _REF_CLF, rtk
+    from tests.test_reference_diff import _load_ref_utils
+
+    base = os.path.join("toolkit", "proto_clip_toolkit", "ros", "utils")
+    clf_path = pinned_reference_path(os.path.join(base, "proto_clip_classifier.py"))
+    img_path = pinned_reference_path(os.path.join(base, "image_utils.py"))
+
+    pct = types.ModuleType("proto_clip_toolkit")
+    pct.utils = rtk
+    pkg = types.ModuleType("ref_ros_pkg")
+    pkg.__path__ = [os.path.dirname(clf_path)]
+    stubs = {
+        "clip": clip_stub,
+        "utils": _load_ref_utils(),
+        "proto_clip_toolkit": pct,
+        "proto_clip_toolkit.utils": rtk,
+        "ref_ros_pkg": pkg,
+    }
+    saved = {k: sys.modules.get(k) for k in list(stubs) + ["ref_ros_pkg.image_utils"]}
+    path_snapshot = list(sys.path)  # the module appends its repo root
+    sys.modules.update(stubs)
+    try:
+        spec = importlib.util.spec_from_file_location("ref_ros_pkg.image_utils", img_path)
+        img_mod = importlib.util.module_from_spec(spec)
+        sys.modules["ref_ros_pkg.image_utils"] = img_mod
+        spec.loader.exec_module(img_mod)
+
+        spec = importlib.util.spec_from_file_location("ref_ros_pkg.proto_clip_classifier", clf_path)
+        clf_mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(clf_mod)
+    finally:
+        sys.path[:] = path_snapshot
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+    _REF_CLF = clf_mod
+    return clf_mod, rtk
+
+
+def test_deployment_classifier_matches_executed_reference(
+    problem, ckpt_tree, tmp_path
+):
+    import json as _json
+    import random as stdlib_random
+
+    import jax
+    import jax.numpy as jnp
+
+    from tests.conftest import TorchFp32Proxy
+    from tests.test_models import _tiny_torch_style_state_dict
+    from protoclip_tpu.core.config import Config
+    from protoclip_tpu.data.transforms import clip_preprocess, normalize_batch
+    from protoclip_tpu.models import encode_image, load_clip
+    from protoclip_tpu.toolkit import ProtoClipClassifier
+
+    # tiny random-init CLIP (embed dim 32 == DIM) + constant-pixel crops
+    rng = np.random.default_rng(0)
+    weights = str(tmp_path / "tiny_clip.pt")
+    torch.save(
+        {k: torch.from_numpy(np.asarray(v))
+         for k, v in _tiny_torch_style_state_dict(rng).items()},
+        weights,
+    )
+    n_crops = 5
+    crops = [
+        np.full((40, 40, 3), i + PIX_OFFSET, np.uint8) for i in range(n_crops)
+    ]
+
+    # OUR tower's features become the reference stub's table (un-normalized:
+    # the reference's pre_load_features_without_cache L2-normalizes itself)
+    ccfg, cparams = load_clip("tiny", weights, dtype=jnp.float32)
+    assert ccfg.embed_dim == DIM
+    batch = np.stack(
+        [clip_preprocess(Image.fromarray(c), ccfg.image_resolution) for c in crops]
+    )
+    feats = np.asarray(
+        jax.jit(
+            lambda p, x: encode_image(p, normalize_batch(x, jnp.float32), ccfg)
+        )(cparams, jnp.asarray(batch))
+    ).astype(np.float32)
+
+    clf_mod, rtk = _load_ref_classifier_module(feats)
+
+    splits = str(tmp_path / "splits.json")
+    with open(splits, "w") as fh:
+        _json.dump(
+            {"train": [[f"img{c}.jpg", c, f"thing_{c}_name"] for c in range(N_CLS)]},
+            fh,
+        )
+    cfg_yaml = str(tmp_path / "clf.yml")
+    with open(cfg_yaml, "w") as fh:
+        fh.write(
+            f"backbone: RN50\nshots: {K_SHOTS}\nalpha: {ALPHA}\nbeta: {BETA}\n"
+            f"top_k: 3\nadapter: fc\n"
+        )
+    v_path, t_path, a_path = ckpt_tree["paths"]
+    args = types.SimpleNamespace(
+        config=cfg_yaml, splits_path=splits, adapter=None,
+        memory_bank_v_path=v_path, memory_bank_t_path=t_path,
+        adapter_weights_path=a_path,
+    )
+
+    class _Fp32LoadProxy(TorchFp32Proxy):
+        """... and torch.load upcasting fp16 tensors: the checkpoint banks
+        are stored half (reference layout, main.py:350-369), so the verbatim
+        prototype arithmetic would otherwise run in fp16 while ours upcasts
+        at load (io/checkpoint.py) — the same fp16-vs-fp32 split the trainer
+        diff documents; its band is pinned there, exactness is tested here."""
+
+        @staticmethod
+        def load(path, **kw):
+            out = torch.load(path, **kw)
+            return out.float() if torch.is_tensor(out) else out
+
+    mp = pytest.MonkeyPatch()
+    rand_state = stdlib_random.getstate()
+    np_state = np.random.get_state()
+    try:
+        mp.setattr(torch.Tensor, "cuda", lambda self, *a, **k: self, raising=False)
+        # the hard-coded fp16 adapters (model_utils.py:33-36) on fp32 CPU
+        mp.setattr(rtk.model_utils, "torch", _Fp32LoadProxy())
+        ref_clf = clf_mod.ProtoClipClassifier(args)
+        with contextlib.redirect_stdout(io.StringIO()), contextlib.redirect_stderr(
+            io.StringIO()
+        ):
+            ref_names, ref_probs = ref_clf.classify_objects(crops, log=False)
+    finally:
+        mp.undo()
+        stdlib_random.setstate(rand_state)
+        np.random.set_state(np_state)
+
+    our_cfg = Config(
+        dataset="imagenet", shots=K_SHOTS, backbone="tiny", weights_path=weights,
+        alpha=ALPHA, beta=BETA, adapter="fc", top_k=3, compute_dtype="float32",
+    )
+    ours = ProtoClipClassifier(
+        our_cfg, splits_path=splits, memory_bank_v_path=v_path,
+        memory_bank_t_path=t_path, adapter_weights_path=a_path,
+    )
+    our_names, our_probs = ours.classify_objects(crops, log=False)
+
+    # identical id->name mapping (incl. the "_"->" " display replace),
+    # identical top-k ordering, probabilities equal to fp tolerance (the
+    # two sides share feature VALUES but run different fused programs)
+    assert our_names == ref_names
+    np.testing.assert_allclose(
+        our_probs, ref_probs.detach().numpy(), rtol=1e-4, atol=1e-5
+    )
+    # and the splits parse agrees with the reference's own parse
+    assert ours.class_id_mapping == ref_clf.class_id_mapping
