@@ -90,6 +90,70 @@ def mask_bbox_3d(
     }
 
 
+def erode3x3(mask: np.ndarray) -> np.ndarray:
+    """Binary 3x3 erosion, ``cv2.erode(mask, np.ones((3, 3)))`` semantics:
+    a pixel survives only if its full 8-neighborhood is set, with
+    out-of-image neighbors IGNORED (cv2's default morphology border value
+    is +inf, which a min-filter discards) — so edge pixels erode against
+    their in-image neighbors only."""
+    m = np.asarray(mask).astype(bool)
+    padded = np.pad(m, 1, constant_values=True)  # border ignored = True
+    out = np.ones_like(m)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            out &= padded[1 + dy : 1 + dy + m.shape[0], 1 + dx : 1 + dx + m.shape[1]]
+    return out
+
+
+def segmentation_boxes_3d(
+    xyz_image: np.ndarray,
+    label: np.ndarray,
+    score: np.ndarray,
+    depth: np.ndarray,
+    camera_pose: np.ndarray,
+) -> np.ndarray:
+    """Per-mask 3-D boxes in the robot base frame, the reference's exact
+    per-frame computation (ref ``seg_image_listener.py:229-285``): each
+    mask is 3x3-eroded, intersected with valid depth, its points moved to
+    the base frame by ``camera_pose``, and summarized as a row
+    ``[center_xyz (point MEAN, not box center), x_extent, y_extent,
+    z_extent (5%-percentile-trimmed against depth noise), mean score,
+    mask_id]`` — ``(num, 8) float32``, rows with zero z extent filtered
+    out, exactly like the reference (so a fully-eroded or depthless mask
+    disappears rather than yielding a degenerate box).
+
+    ``mask_bbox_3d`` above is this framework's own variant (box-center +
+    sigma-based trimming); THIS function is the reference-parity path the
+    ROS listener exposes (executed-reference diff in
+    ``tests/test_reference_toolkit_diff.py``)."""
+    label = np.asarray(label)
+    mask_ids = np.unique(label)
+    if len(mask_ids) and mask_ids[0] == 0:
+        mask_ids = mask_ids[1:]
+    camera_pose = np.asarray(camera_pose, np.float64)
+    rows = np.zeros((len(mask_ids), 8), dtype=np.float32)
+    for index, mask_id in enumerate(mask_ids):
+        mask = erode3x3(label == mask_id) & (np.asarray(depth) > 0)
+        points = xyz_image[mask, :]
+        confidence = np.mean(np.asarray(score)[mask]) if mask.any() else np.nan
+        points_base = (camera_pose[:3, :3] @ points.T).T + camera_pose[:3, 3]
+        center = np.mean(points_base, axis=0) if len(points_base) else np.full(3, np.nan)
+        if points_base.shape[0] > 0:
+            x = np.max(points_base[:, 0]) - np.min(points_base[:, 0])
+            y = np.max(points_base[:, 1]) - np.min(points_base[:, 1])
+            z_sorted = np.sort(points_base[:, 2])
+            n = len(z_sorted)
+            lower, upper = int(n * 0.05), int(n * 0.95)
+            z_sel = z_sorted[lower:upper] if upper > lower else z_sorted
+            z = np.max(z_sel) - np.min(z_sel)
+        else:
+            x = y = z = 0.0
+        rows[index, :3] = center
+        rows[index, 3:7] = (x, y, z, confidence)
+        rows[index, 7] = mask_id
+    return rows[rows[:, 5] > 0, :]
+
+
 def quaternion_to_rotation(q: Sequence[float]) -> np.ndarray:
     """Unit quaternion (x, y, z, w) -> 3x3 rotation matrix
     (ref ``ros_utils.py`` quaternion helpers)."""

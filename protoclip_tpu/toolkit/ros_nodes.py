@@ -123,6 +123,22 @@ class SegImageListener:
                 boxes.append((int(mask_id), box))
         return boxes
 
+    def bbox_frame(self, camera_pose=None):
+        """The reference's exact per-frame (num, 8) box array
+        (``seg_image_listener.py:229-285``): base-frame point-mean centers,
+        extents with 5%-trimmed z, mean score, mask id — zero-z rows
+        filtered.  ``object_boxes`` above is this framework's own variant."""
+        from protoclip_tpu.toolkit.robot import segmentation_boxes_3d
+
+        rgb, depth, label, score = self.snapshot()
+        if rgb is None:
+            return np.zeros((0, 8), np.float32)
+        xyz = backproject(depth, self.intrinsics)
+        return segmentation_boxes_3d(
+            xyz, label, score, depth,
+            np.eye(4) if camera_pose is None else camera_pose,
+        )
+
 
 class ProtoClipGraspNode:
     """Speech-selected grasp target publisher

@@ -758,3 +758,118 @@ def test_deployment_classifier_matches_executed_reference(
     )
     # and the splits parse agrees with the reference's own parse
     assert ours.class_id_mapping == ref_clf.class_id_mapping
+
+
+# ---------------------------------------------------------------------------
+# Seg listener per-frame 3-D boxes: the reference's callback math executed
+# verbatim (ref seg_image_listener.py:25-31 compute_xyz + :229-285 the bbox
+# block) vs toolkit/robot.py::{backproject, segmentation_boxes_3d}
+# ---------------------------------------------------------------------------
+
+
+from tests.test_reference_diff import _extract_block  # noqa: E402
+
+
+def _seg_listener_source():
+    path = pinned_reference_path(
+        os.path.join(
+            "toolkit", "proto_clip_toolkit", "ros", "utils", "seg_image_listener.py"
+        )
+    )
+    with open(path) as fh:
+        return fh.read().splitlines()
+
+
+def test_compute_xyz_matches_backproject_executed_reference():
+    import textwrap
+
+    from protoclip_tpu.toolkit.robot import backproject
+
+    lines = _seg_listener_source()
+    block = _extract_block(lines, "def compute_xyz(", "return xyz_img")
+    snippet = textwrap.dedent("\n".join(block))
+    assert "x_e = (indices[..., 1] - px) * z_e / fx" in snippet
+    ns = {"np": np}
+    exec(compile(snippet, "<reference compute_xyz>", "exec"), ns)  # noqa: S102
+
+    rng = np.random.default_rng(5)
+    h, w = 11, 13
+    depth = rng.uniform(0.1, 2.0, (h, w)).astype(np.float32)
+    fx, fy, px, py = 231.0, 228.5, 6.4, 5.1
+    ref_xyz = ns["compute_xyz"](depth, fx, fy, px, py, h, w)
+    K = np.array([[fx, 0, px], [0, fy, py], [0, 0, 1]], np.float32)
+    np.testing.assert_allclose(backproject(depth, K), ref_xyz, rtol=1e-6, atol=1e-6)
+
+
+def test_erode3x3_matches_cv2():
+    cv2 = pytest.importorskip("cv2")
+
+    from protoclip_tpu.toolkit.robot import erode3x3
+
+    rng = np.random.default_rng(6)
+    kernel = np.ones((3, 3), np.uint8)
+    for _ in range(20):
+        mask = (rng.random((9, 12)) < 0.7).astype(np.uint8)
+        want = cv2.erode(mask, kernel) > 0
+        np.testing.assert_array_equal(erode3x3(mask), want)
+    # edge semantics: a full mask survives erosion at the borders (cv2
+    # ignores out-of-image neighbors)
+    np.testing.assert_array_equal(
+        erode3x3(np.ones((4, 5), np.uint8)), np.ones((4, 5), bool)
+    )
+
+
+def test_segmentation_boxes_match_executed_reference():
+    import textwrap
+
+    cv2 = pytest.importorskip("cv2")
+
+    from protoclip_tpu.toolkit.robot import backproject, segmentation_boxes_3d
+
+    lines = _seg_listener_source()
+    block = _extract_block(lines, "mask_ids = np.unique(label)", "bbox = bbox[index, :]")
+    snippet = textwrap.dedent("\n".join(block))
+    for must in (
+        "mask2 = cv2.erode(mask, kernel)",
+        "mask = (mask2 > 0) & (depth_cv > 0)",
+        "points_base = np.matmul(self.camera_pose[:3, :3], points.T) + self.camera_pose[:3, 3].reshape((3, 1))",
+        "percent = 0.05",
+        "index = bbox[:, 5] > 0",
+    ):
+        assert must in snippet, f"reference bbox block drifted: {must!r}"
+
+    rng = np.random.default_rng(7)
+    h, w = 16, 14
+    depth = rng.uniform(0.3, 2.5, (h, w)).astype(np.float32)
+    depth[0:2, 0:3] = 0.0  # invalid-depth region
+    label = np.zeros((h, w), np.uint8)
+    label[1:8, 1:9] = 1          # normal object
+    label[0:5, 9:14] = 2         # touches the image edge (border erosion)
+    label[12, 5] = 3             # single pixel: fully eroded -> filtered
+    score = rng.uniform(0, 1, (h, w)).astype(np.float32)
+    K = np.array([[210.0, 0, 6.5], [0, 205.0, 7.5], [0, 0, 1]], np.float32)
+    xyz = backproject(depth, K)
+    pose = np.eye(4)
+    from scipy.spatial.transform import Rotation
+
+    pose[:3, :3] = Rotation.random(random_state=3).as_matrix()
+    pose[:3, 3] = [0.2, -0.4, 1.1]
+
+    ns = {
+        "np": np, "cv2": cv2, "label": label, "depth_cv": depth,
+        "xyz_image": xyz, "score": score,
+        "self": types.SimpleNamespace(camera_pose=pose),
+    }
+    exec(  # noqa: S102 — reference code under test
+        compile(snippet, "<reference seg bbox seg_image_listener.py:229-285>", "exec"),
+        ns,
+    )
+    ref_bbox = ns["bbox"]
+
+    ours = segmentation_boxes_3d(xyz, label, score, depth, pose)
+    assert ours.shape == ref_bbox.shape
+    assert ours.dtype == ref_bbox.dtype == np.float32
+    np.testing.assert_allclose(ours, ref_bbox, rtol=1e-5, atol=1e-6)
+    # the single-pixel mask was erased by erosion and filtered (z == 0)
+    assert 3 not in ours[:, 7]
+    assert set(ours[:, 7]) == {1.0, 2.0}
