@@ -597,13 +597,14 @@ def test_ros_backproject_and_palette_match_executed_reference():
 # ---------------------------------------------------------------------------
 
 _REF_CLF = None
+_REF_IMG_UTILS = None
 
 
 def _load_ref_classifier_module(feature_table: np.ndarray):
     """Import ros/utils/proto_clip_classifier.py verbatim as a package
     submodule (so its relative ``.image_utils`` import resolves) WITHOUT
     executing the package ``__init__`` (which drags in rospy/cv_bridge)."""
-    global _REF_CLF
+    global _REF_CLF, _REF_IMG_UTILS
     rtk, clip_stub = _load_ref_toolkit_utils(feature_table)  # updates holder
     if _REF_CLF is not None:
         return _REF_CLF, rtk
@@ -644,6 +645,7 @@ def _load_ref_classifier_module(feature_table: np.ndarray):
             else:
                 sys.modules[k] = v
     _REF_CLF = clf_mod
+    _REF_IMG_UTILS = img_mod
     return clf_mod, rtk
 
 
@@ -873,3 +875,29 @@ def test_segmentation_boxes_match_executed_reference():
     # the single-pixel mask was erased by erosion and filtered (z == 0)
     assert 3 not in ours[:, 7]
     assert set(ours[:, 7]) == {1.0, 2.0}
+
+
+def test_crop_object_images_matches_executed_reference():
+    """The reference's per-mask crop extraction (``image_utils.py:27-61``,
+    loaded verbatim with the classifier module) vs
+    ``toolkit.robot.crop_object_images`` — same crops (bit-equal slices,
+    including the exclusive-max off-by-one both preserve), same kept ids,
+    same tiny-mask rejection."""
+    from protoclip_tpu.toolkit.robot import crop_object_images
+
+    _load_ref_classifier_module(np.zeros((1, DIM), np.float32))
+    ref_fn = _REF_IMG_UTILS.crop_object_images
+
+    rng = np.random.default_rng(9)
+    h, w = 30, 26
+    rgb = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+    label = np.zeros((h, w), np.uint8)
+    label[2:20, 2:14] = 1    # normal
+    label[5:9, 20:23] = 2    # small: 4x3 extent -> rejected (<= 5)
+    label[22:29, 4:24] = 3   # wide
+    ref_crops, ref_ids = ref_fn(label, rgb)
+    our_crops, our_ids = crop_object_images(label, rgb)
+    assert our_ids == [int(i) for i in ref_ids] == [1, 3]
+    assert len(our_crops) == len(ref_crops)
+    for a, b in zip(our_crops, ref_crops):
+        np.testing.assert_array_equal(a, b)
