@@ -901,3 +901,50 @@ def test_crop_object_images_matches_executed_reference():
     assert len(our_crops) == len(ref_crops)
     for a, b in zip(our_crops, ref_crops):
         np.testing.assert_array_equal(a, b)
+
+
+def test_fewsol_paper_sets_match_executed_reference():
+    """The paper's fixed figure-set mapping executed from the reference
+    source (``paper_diagram_generator.py:10-19``; the file defines the dict
+    twice, identically — both are pinned) + ``paper_set_groups`` row/name
+    extraction vs the reference's indexing statements."""
+    import textwrap
+
+    from protoclip_tpu.toolkit.paper_figures import (
+        FEWSOL_PAPER_SETS,
+        paper_set_groups,
+    )
+
+    path = pinned_reference_path(
+        os.path.join(
+            "toolkit", "proto_clip_toolkit", "ros", "utils",
+            "paper_diagram_generator.py",
+        )
+    )
+    with open(path) as fh:
+        src = fh.read()
+    ns_all = []
+    start = 0
+    while True:
+        i = src.find("test_data_set_idx_mapping = {", start)
+        if i < 0:
+            break
+        j = src.index("}", i)
+        ns = {}
+        exec(compile(textwrap.dedent(src[i : j + 1]), path, "exec"), ns)  # noqa: S102
+        ns_all.append(ns["test_data_set_idx_mapping"])
+        start = j
+    assert len(ns_all) == 2  # the reference defines it twice
+    assert ns_all[0] == ns_all[1] == FEWSOL_PAPER_SETS
+
+    # group extraction semantics (paper_diagram_generator.py:55-63)
+    split = {
+        "test": [[f"img/{i}.jpg", i % 5, f"cls_{i}_name"] for i in range(32)]
+    }
+    groups, gts = paper_set_groups(split, "/data")
+    assert len(groups) == len(gts) == 8
+    rows = np.array(split["test"])
+    for k, set_idx in enumerate(sorted(FEWSOL_PAPER_SETS)):
+        want = rows[FEWSOL_PAPER_SETS[set_idx]]
+        assert groups[k] == [os.path.join("/data", r) for r in want[:, 0]]
+        assert gts[k] == [r.replace("_", " ") for r in want[:, 2]]
