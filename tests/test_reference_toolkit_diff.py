@@ -948,3 +948,83 @@ def test_fewsol_paper_sets_match_executed_reference():
         want = rows[FEWSOL_PAPER_SETS[set_idx]]
         assert groups[k] == [os.path.join("/data", r) for r in want[:, 0]]
         assert gts[k] == [r.replace("_", " ") for r in want[:, 2]]
+
+
+# ---------------------------------------------------------------------------
+# POS tagger: the reference's VerbAndNounTagger merge/validate logic
+# executed verbatim (ref pos/verb_and_noun_tagger.py:5-56; flair stubbed,
+# tag_sentence fed canned word-tag lists on BOTH sides so the diff isolates
+# the adjacent-tag merging and dictionary gating) vs toolkit/speech.py
+# ---------------------------------------------------------------------------
+
+
+def _load_ref_pos_tagger():
+    flair = types.ModuleType("flair")
+    flair_data = types.ModuleType("flair.data")
+    flair_data.Sentence = lambda text: text
+    flair_models = types.ModuleType("flair.models")
+    flair_models.SequenceTagger = types.SimpleNamespace(load=lambda name: None)
+    stubs = {
+        "flair": flair, "flair.data": flair_data, "flair.models": flair_models,
+    }
+    saved = {k: sys.modules.get(k) for k in stubs}
+    sys.modules.update(stubs)
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "ref_pos_tagger",
+            pinned_reference_path(
+                os.path.join(
+                    "toolkit", "proto_clip_toolkit", "pos", "verb_and_noun_tagger.py"
+                )
+            ),
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+    return mod
+
+
+def test_pos_tagger_matches_executed_reference(tmp_path):
+    from protoclip_tpu.toolkit.speech import (
+        find_valid_noun_and_verb,
+        load_dictionary,
+    )
+
+    mod = _load_ref_pos_tagger()
+
+    # dictionary-loading semantics: verbs strip newlines, nouns also map
+    # underscores to spaces (verb_and_noun_tagger.py:11-18)
+    verbs = tmp_path / "verbs.txt"
+    verbs.write_text("pick\nplace\ngrasp\n")
+    nouns = tmp_path / "nouns.txt"
+    nouns.write_text("mustard_bottle\nscissors\npower_drill\n")
+    ref = mod.VerbAndNounTagger(str(verbs), str(nouns))
+    assert ref.allowed_verb_set == load_dictionary(str(verbs))
+    assert ref.allowed_noun_set == load_dictionary(str(nouns), replace_underscores=True)
+
+    cases = [
+        # adjacent-NN merge ("mustard bottle"), VB gate
+        [("pick", "VB"), ("the", "DT"), ("mustard", "NN"), ("bottle", "NN")],
+        # three-way merge + NNS acceptance
+        [("grasp", "VB"), ("power", "NN"), ("drill", "NN"), ("scissors", "NNS")],
+        # last valid noun wins; VBD (past tense) NOT accepted
+        [("picked", "VBD"), ("scissors", "NNS"), ("mustard", "NN"), ("bottle", "NN")],
+        # dictionary gating: unknown noun/verb rejected
+        [("throw", "VB"), ("banana", "NN")],
+        # NNP accepted
+        [("place", "VB"), ("scissors", "NNP")],
+        # nothing valid
+        [("hello", "UH"), ("world", "NN")],
+    ]
+    for word_tags in cases:
+        ref.tag_sentence = lambda text, wt=word_tags: list(wt)  # canned
+        ref_verb, ref_noun = ref.find_valid_noun_and_verb("ignored")
+        our_verb, our_noun = find_valid_noun_and_verb(
+            word_tags, ref.allowed_verb_set, ref.allowed_noun_set
+        )
+        assert (our_verb, our_noun) == (ref_verb, ref_noun), word_tags
