@@ -1028,3 +1028,67 @@ def test_pos_tagger_matches_executed_reference(tmp_path):
             word_tags, ref.allowed_verb_set, ref.allowed_noun_set
         )
         assert (our_verb, our_noun) == (ref_verb, ref_noun), word_tags
+
+
+# ---------------------------------------------------------------------------
+# ASR config + whisper model-name resolution: the reference's statements
+# executed verbatim (ref asr/asr_utils.py:3-8, asr/transcribe.py:43-47) vs
+# cli/transcribe.py
+# ---------------------------------------------------------------------------
+
+
+def test_asr_config_and_model_resolution_match_executed_reference(tmp_path):
+    import json as _json
+    import textwrap
+
+    from protoclip_tpu.cli.transcribe import load_asr_config, resolve_whisper_model
+
+    # asr_utils.Config: blind setattr of every JSON key (executed verbatim)
+    spec = importlib.util.spec_from_file_location(
+        "ref_asr_utils",
+        pinned_reference_path(
+            os.path.join("toolkit", "proto_clip_toolkit", "asr", "asr_utils.py")
+        ),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    payload = {
+        "model": "whisper-medium", "non_english": False,
+        "energy_threshold": 900, "record_timeout": 2.5,
+        "phrase_timeout": 3.5, "default_microphone": "pulse",
+    }
+    cfg_path = tmp_path / "asr_config.json"
+    cfg_path.write_text(_json.dumps(payload))
+    ref_cfg = mod.Config(str(cfg_path))
+    ours = load_asr_config(str(cfg_path))
+    for key, value in payload.items():
+        assert getattr(ref_cfg, key) == getattr(ours, key) == value
+
+    # deliberate fix, demonstrated: the reference accepts any key silently
+    # (asr_utils.py:7-8), ours validates the schema
+    bad = tmp_path / "bad.json"
+    bad.write_text(_json.dumps({**payload, "energy_treshold": 1}))  # typo'd
+    assert getattr(mod.Config(str(bad)), "energy_treshold") == 1  # silently set
+    with pytest.raises(ValueError):
+        load_asr_config(str(bad))
+
+    # whisper model-name resolution (transcribe.py:43-47) executed verbatim
+    path = pinned_reference_path(
+        os.path.join("toolkit", "proto_clip_toolkit", "asr", "transcribe.py")
+    )
+    with open(path) as fh:
+        lines = fh.read().splitlines()
+    block = _extract_block(
+        lines, 'if "whisper" in config.model:', "model_type = model_type + "
+    )
+    snippet = textwrap.dedent("\n".join(block))
+    assert '_, model_type = config.model.split("-")' in snippet
+    for size in ("tiny", "base", "small", "medium", "large"):
+        for non_english in (False, True):
+            ns = {"config": types.SimpleNamespace(
+                model=f"whisper-{size}", non_english=non_english)}
+            exec(compile(snippet, path, "exec"), ns)  # noqa: S102
+            assert resolve_whisper_model(f"whisper-{size}", non_english) == ns["model_type"], (
+                size, non_english,
+            )
