@@ -154,6 +154,28 @@ def segmentation_boxes_3d(
     return rows[rows[:, 5] > 0, :]
 
 
+def select_spoken_target(
+    top_k_classes: Sequence[Sequence[str]],
+    top_k_probs,
+    spoken_noun: str,
+) -> Optional[Tuple[int, float]]:
+    """Pick the crop to grasp for a spoken object name — the reference's
+    exact rule (ref ``proto_clip_node.py:79-92``): among all crops whose
+    top-k predictions contain ``spoken_noun``, choose the one with the
+    HIGHEST probability at the noun's (first) position; ``None`` when no
+    prediction contains it.  Returns ``(crop index, matching prob)``."""
+    chosen_idx, chosen_prob = None, float("-inf")
+    for img_idx, row in enumerate(top_k_classes):
+        if spoken_noun not in row:
+            continue
+        prob = float(top_k_probs[img_idx][list(row).index(spoken_noun)])
+        if prob > chosen_prob:
+            chosen_idx, chosen_prob = img_idx, prob
+    if chosen_idx is None:
+        return None
+    return chosen_idx, chosen_prob
+
+
 def quaternion_to_rotation(q: Sequence[float]) -> np.ndarray:
     """Unit quaternion (x, y, z, w) -> 3x3 rotation matrix
     (ref ``ros_utils.py`` quaternion helpers)."""

@@ -17,7 +17,12 @@ from typing import Optional
 import numpy as np
 
 from protoclip_tpu.toolkit.classifier import ProtoClipClassifier
-from protoclip_tpu.toolkit.robot import backproject, crop_object_images, mask_bbox_3d
+from protoclip_tpu.toolkit.robot import (
+    backproject,
+    crop_object_images,
+    mask_bbox_3d,
+    select_spoken_target,
+)
 
 
 def _require_ros():
@@ -186,14 +191,17 @@ class ProtoClipGraspNode:
         )
         if noun is None:
             return None
-        for obj_idx, top_k in enumerate(names):
-            if noun in top_k:
-                for _ in range(self.republish_count):
-                    self.label_pub.publish(mask_ids[obj_idx])
-                    self.score_pub.publish(float(probs[obj_idx][top_k.index(noun)]))
-                    time.sleep(0.1)
-                return noun
-        return None
+        # the reference picks the crop with the HIGHEST matching prob
+        # across all crops, not the first match (proto_clip_node.py:79-92)
+        target = select_spoken_target(names, probs, noun)
+        if target is None:
+            return None
+        obj_idx, prob = target
+        for _ in range(self.republish_count):
+            self.label_pub.publish(mask_ids[obj_idx])
+            self.score_pub.publish(prob)
+            time.sleep(0.1)
+        return noun
 
 
 class ProtoClipResultsNode:

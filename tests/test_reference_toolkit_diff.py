@@ -1092,3 +1092,47 @@ def test_asr_config_and_model_resolution_match_executed_reference(tmp_path):
             assert resolve_whisper_model(f"whisper-{size}", non_english) == ns["model_type"], (
                 size, non_english,
             )
+
+
+def test_spoken_target_selection_matches_executed_reference():
+    """The grasp node's spoken-object -> crop selection executed verbatim
+    (ref ``proto_clip_node.py:79-92``: best MATCHING PROBABILITY across all
+    crops, not first match) vs ``toolkit.robot.select_spoken_target``."""
+    import textwrap
+
+    from protoclip_tpu.toolkit.robot import select_spoken_target
+
+    path = pinned_reference_path(
+        os.path.join("toolkit", "proto_clip_toolkit", "ros", "proto_clip_node.py")
+    )
+    with open(path) as fh:
+        lines = fh.read().splitlines()
+    block = _extract_block(
+        lines,
+        "matching_k_idxes = [row.index(spoken_noun)",
+        "chosen_img_prob = top_k_probs[img_idx][matching_k_idxes[img_idx]]",
+    )
+    snippet = textwrap.dedent("\n".join(block))
+    assert "chosen_img_idx, chosen_img_prob = None, float('-inf')" in snippet
+
+    names = [
+        ["mug", "bowl", "drill"],
+        ["bowl", "mug", "cup"],      # also contains "mug", HIGHER prob
+        ["drill", "cup", "plate"],
+        ["mug", "mug", "bowl"],      # duplicate: first index used
+    ]
+    probs = np.array(
+        [[0.5, 0.3, 0.2], [0.1, 0.62, 0.28], [0.4, 0.35, 0.25], [0.61, 0.2, 0.19]]
+    )
+    for noun in ("mug", "bowl", "drill", "cup", "absent"):
+        ns = {"spoken_noun": noun, "top_k_classes": names, "top_k_probs": probs}
+        exec(compile(snippet, path, "exec"), ns)  # noqa: S102
+        ref = (
+            None
+            if ns["chosen_img_idx"] is None
+            else (ns["chosen_img_idx"], float(ns["chosen_img_prob"]))
+        )
+        assert select_spoken_target(names, probs, noun) == ref, noun
+    # the reference rule is best-prob, NOT first-match: "mug" appears in
+    # rows 0 (0.5), 1 (0.62), 3 (0.61) -> row 1 wins
+    assert select_spoken_target(names, probs, "mug") == (1, 0.62)
