@@ -147,6 +147,20 @@ def test_seg_listener_sync_snapshot_and_boxes(fake_ros):
     boxes = listener.object_boxes()
     assert sorted(mask_id for mask_id, _ in boxes) == [1, 2]
 
+    # reference-exact per-frame boxes (seg_image_listener.py:229-285):
+    # point-MEAN centers in the base frame, mean-score confidence, mask id
+    frame_boxes = listener.bbox_frame()
+    assert frame_boxes.shape == (2, 8) and frame_boxes.dtype == np.float32
+    assert sorted(frame_boxes[:, 7]) == [1.0, 2.0]
+    np.testing.assert_allclose(frame_boxes[:, 6], 0.9, atol=1e-6)  # score
+    # against the robot.py math directly on the same frame
+    from protoclip_tpu.toolkit.robot import backproject, segmentation_boxes_3d
+
+    want = segmentation_boxes_3d(
+        backproject(depth_m, listener.intrinsics), label, score, depth_m, np.eye(4)
+    )
+    np.testing.assert_allclose(frame_boxes, want, atol=1e-6)
+
     # unsupported encoding: log-and-skip, frame unchanged (ref
     # seg_image_listener.py:216 behavior)
     fake_ros["callbacks"][0](
