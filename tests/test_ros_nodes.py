@@ -147,8 +147,16 @@ def test_seg_listener_sync_snapshot_and_boxes(fake_ros):
     boxes = listener.object_boxes()
     assert sorted(mask_id for mask_id, _ in boxes) == [1, 2]
 
-    # reference-exact per-frame boxes (seg_image_listener.py:229-285):
-    # point-MEAN centers in the base frame, mean-score confidence, mask id
+    # reference-exact per-frame boxes (seg_image_listener.py:229-285).
+    # A CONSTANT-depth frame yields zero z extent and every box is filtered
+    # (exactly the reference's `bbox[:, 5] > 0`):
+    assert listener.bbox_frame().shape == (0, 8)
+    # with real depth variation both masks produce boxes
+    rng = np.random.default_rng(3)
+    depth_var = depth_m + rng.uniform(0, 0.2, depth_m.shape).astype(np.float32)
+    fake_ros["callbacks"][0](
+        _Msg(rgb), _Msg(depth_var, "32FC1"), _Msg(label), _Msg(score)
+    )
     frame_boxes = listener.bbox_frame()
     assert frame_boxes.shape == (2, 8) and frame_boxes.dtype == np.float32
     assert sorted(frame_boxes[:, 7]) == [1.0, 2.0]
@@ -157,9 +165,13 @@ def test_seg_listener_sync_snapshot_and_boxes(fake_ros):
     from protoclip_tpu.toolkit.robot import backproject, segmentation_boxes_3d
 
     want = segmentation_boxes_3d(
-        backproject(depth_m, listener.intrinsics), label, score, depth_m, np.eye(4)
+        backproject(depth_var, listener.intrinsics), label, score, depth_var, np.eye(4)
     )
     np.testing.assert_allclose(frame_boxes, want, atol=1e-6)
+    # restore the constant-depth frame for the encoding checks below
+    fake_ros["callbacks"][0](
+        _Msg(rgb), _Msg(depth_m, "32FC1"), _Msg(label), _Msg(score)
+    )
 
     # unsupported encoding: log-and-skip, frame unchanged (ref
     # seg_image_listener.py:216 behavior)
