@@ -276,6 +276,50 @@ def _erode(mask: np.ndarray) -> np.ndarray:
     return e
 
 
+def visualize_segmentation_reference(
+    im: np.ndarray, masks: np.ndarray, nc: Optional[int] = None
+) -> np.ndarray:
+    """Pixel-exact port of the reference's programmatic
+    (``return_rgb=True``) visualization (ref ``segmentation_utils.py:7-111``,
+    itself derived from Detectron's vis.py): gist_rainbow colors indexed BY
+    MASK ID (not enumeration order — ids above ``nc`` would IndexError
+    there too, so the same bound is enforced), whitened by a 0.4 ratio,
+    alpha-0.5 ``addWeighted`` blend, then white 2-px cv2 contours.  Needs
+    cv2 + matplotlib (import-gated); ``visualize_segmentation`` above is
+    this framework's dependency-light variant."""
+    import cv2
+    from matplotlib import pyplot as plt
+
+    masks = np.asarray(masks).astype(int)
+    im = np.asarray(im).copy()
+    n_colors = int(masks.max()) + 1 if nc is None else int(nc)
+    cm = plt.get_cmap("gist_rainbow")
+    colors = [cm(1.0 * i / n_colors) for i in range(n_colors)]
+
+    def whitened(mask_id):
+        c = np.array(colors[mask_id][:3])
+        return c * (1 - 0.4) + 0.4
+
+    img_mask = np.zeros(im.shape)
+    for i in np.unique(masks):
+        if i == 0:
+            continue
+        img_mask[masks == i] = whitened(i)
+    img_mask = (img_mask * 255).round().astype(np.uint8)
+    im = cv2.addWeighted(im, 0.5, img_mask, 0.5, 0.0)
+
+    for i in np.unique(masks):
+        if i == 0:
+            continue
+        contours, _ = cv2.findContours(
+            (masks == i).astype(np.uint8).copy(),
+            cv2.RETR_CCOMP,
+            cv2.CHAIN_APPROX_NONE,
+        )
+        cv2.drawContours(im, contours, -1, (255, 255, 255), 2)
+    return im
+
+
 def save_frame_data(
     save_dir: str,
     step: int,

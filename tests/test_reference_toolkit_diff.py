@@ -1136,3 +1136,40 @@ def test_spoken_target_selection_matches_executed_reference():
     # the reference rule is best-prob, NOT first-match: "mug" appears in
     # rows 0 (0.5), 1 (0.62), 3 (0.61) -> row 1 wins
     assert select_spoken_target(names, probs, "mug") == (1, 0.62)
+
+
+def test_visualize_segmentation_reference_pixel_exact():
+    """The reference's programmatic (``return_rgb=True``) visualization
+    executed verbatim (ref ``segmentation_utils.py:7-111``; cv2 +
+    matplotlib are real here) vs
+    ``toolkit.robot.visualize_segmentation_reference`` — byte-identical
+    output, including the color-by-mask-id quirk."""
+    cv2 = pytest.importorskip("cv2")  # noqa: F841 — the module needs it
+
+    from protoclip_tpu.toolkit.robot import visualize_segmentation_reference
+
+    os.environ.setdefault("MPLBACKEND", "Agg")
+    spec = importlib.util.spec_from_file_location(
+        "ref_seg_utils",
+        pinned_reference_path(
+            os.path.join(
+                "toolkit", "proto_clip_toolkit", "ros", "utils",
+                "segmentation_utils.py",
+            )
+        ),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    rng = np.random.default_rng(17)
+    im = rng.integers(0, 256, (40, 50, 3)).astype(np.uint8)
+    masks = np.zeros((40, 50), np.uint8)
+    masks[3:18, 4:20] = 1
+    masks[8:14, 9:15] = 4   # hole in mask 1 -> RETR_CCOMP inner contour
+    masks[22:38, 25:45] = 2
+    masks[0:6, 40:50] = 5   # touches the border
+
+    for nc in (None, 8):
+        ref = mod.visualize_segmentation(im, masks, nc=nc, return_rgb=True)
+        ours = visualize_segmentation_reference(im, masks, nc=nc)
+        np.testing.assert_array_equal(ours, ref)
