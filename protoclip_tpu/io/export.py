@@ -153,9 +153,16 @@ def save_serving_bundle(
     bucket that fits, so an underfull dispatch does not pay the full
     max-batch compute — a 1-image request on a 256-only bundle burns 256x
     the necessary FLOPs.  Per-image math is row-local (LayerNorm/attention
-    act within an image's own tokens), so results are identical across
-    buckets (asserted in ``tests/test_export.py``).  ``batch_size`` is
-    always included and remains the compiled maximum.
+    act within an image's own tokens), so bucket SEMANTICS are identical
+    (asserted in ``tests/test_export.py``; interpret-mode int8 buckets are
+    bit-identical).  On real hardware each bucket is a distinct compiled
+    program whose MXU tiling moves fp intermediates by ~1 ULP — invisible
+    in bf16 (<=1e-5 on features) but amplified by int8 rounding to a full
+    quantization step when a value sits at a boundary (measured 2.5e-3 on
+    unit-norm ViT-B/16 features, inside the int8 mode's >0.995-cosine
+    budget; ``scripts/validate_bundle_tpu.py`` checks buckets with
+    mode-appropriate tolerances).  ``batch_size`` is always included and
+    remains the compiled maximum.
 
     ``int8`` exports the W8A8 serving path (requires the Pallas kernels to
     lower for the target platform — export on/for TPU).  ``platforms``

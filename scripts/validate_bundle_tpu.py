@@ -119,19 +119,38 @@ def main() -> None:
         }
 
         # bucketed executables: each bucket's rows must match the max-batch
-        # output exactly, and small buckets should dispatch faster
+        # output, and small buckets should dispatch faster.  Buckets are
+        # DISTINCT compiled programs, so batch-shape-dependent MXU tiling
+        # moves fp intermediates by ~1 ULP; under bf16 that surfaces as
+        # <=1e-5 on the output, but under int8 W8A8 a 1-ULP flip AT a
+        # quantization boundary moves that activation by a full int8 step
+        # (~1/127 of the row amax), measured 2.5e-3 on unit-norm features
+        # at ViT-B/16 (round 5) — well inside the serving mode's own
+        # >0.995-cosine-vs-fp32 budget.  Interpret-mode (single-program
+        # semantics) buckets are bit-identical, so the tolerance here is
+        # about program-pair noise, not bucket semantics.
+        tol = 1e-2 if args.int8 else 1e-5
         for size in sorted(args.buckets or []):
             sub = encode(imgs[:size])
             bucket_max = float(np.max(np.abs(sub - got[:size])))
-            # buckets are DISTINCT compiled programs: batch-shape-dependent
-            # MXU tiling can move fp32 features by ~1 ULP (unlike the
-            # same-program reload check above, which must be exactly 0)
-            if bucket_max > 1e-5:
+            cos = float(
+                np.min(np.sum(sub * got[:size], axis=-1)
+                       / (np.linalg.norm(sub, axis=-1)
+                          * np.linalg.norm(got[:size], axis=-1)))
+            )
+            # cosine floor: measured 0.99991 on-chip for int8 buckets
+            # (round 5); 0.9995 keeps 5x headroom over the observed
+            # program-pair noise while staying 10x tighter than the int8
+            # mode's own >0.995 budget
+            if bucket_max > tol or cos < 0.9995:
                 sys.exit(
                     f"FAIL: bucket {size} diverges from the max batch "
-                    f"(max|diff| = {bucket_max})"
+                    f"(max|diff| = {bucket_max}, min row cosine = {cos})"
                 )
-            print(f"[bundle] bucket {size}: max|diff| vs max batch = {bucket_max:.2e}")
+            print(
+                f"[bundle] bucket {size}: max|diff| vs max batch = "
+                f"{bucket_max:.2e}, min row cosine = {cos:.6f}"
+            )
             dev_sub = jax.device_put(imgs[:size])
             art = encode.artifacts[size]
             for _ in range(2):

@@ -213,6 +213,30 @@ def test_bucketed_bundle_routes_to_smallest_fitting_bucket(tmp_path, tiny):
         )
 
 
+def test_bucketed_int8_bundle_bit_identical_in_interpret_mode(tmp_path, tiny, monkeypatch):
+    """int8 W8A8 buckets share single-program semantics: with the Pallas
+    kernels forced into interpret mode (one program, batch-independent
+    math) every bucket's rows are BIT-identical to the max bucket's.  On
+    real hardware each bucket is a distinct compiled program whose MXU
+    tiling moves fp intermediates ~1 ULP, which int8 rounding amplifies to
+    a quantization step at boundaries (measured 2.5e-3 at ViT-B/16, round
+    5) — ``scripts/validate_bundle_tpu.py`` checks that with
+    mode-appropriate tolerances; THIS test pins that the divergence is
+    program-pair noise, not bucket semantics."""
+    monkeypatch.setenv("PROTOCLIP_PALLAS", "1")
+    monkeypatch.setenv("PROTOCLIP_PALLAS_INTERPRET", "1")
+    cfg, params = tiny
+    bundle = str(tmp_path / "bundle")
+    save_serving_bundle(bundle, cfg, params, batch_size=8, batch_sizes=(2, 4),
+                        int8=True)
+    encode = load_serving_bundle(bundle)
+    assert encode.manifest["int8"] is True
+    imgs = np.random.default_rng(3).integers(0, 256, (8, 32, 32, 3), np.uint8)
+    full = encode(imgs)
+    for n in (1, 2, 3, 4, 5, 8):
+        np.testing.assert_array_equal(encode(imgs[:n]), full[:n])
+
+
 def test_single_bucket_bundle_accepts_underfull_batches(tmp_path, tiny):
     """Back-compat relaxation: a classic single-bucket bundle pads n < max
     to its compiled batch instead of rejecting (the padded rows are zero
